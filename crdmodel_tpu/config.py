@@ -1,0 +1,210 @@
+"""Config system: ini loader + typed simulation config.
+
+Replaces the reference's boost::property_tree ini parsing (C1 in SURVEY.md;
+reference src/FHNmodel_torus.cpp:156-174) and the Python ConfigObj readers
+(reference util/GenTorus.py:14-18) with one stdlib-based loader shared by the
+solver and the post-processing tools.
+
+Reads the reference's own ini files unchanged, tolerating the documented key
+skew: the FHN mains read `Parameters.thetaMesh` while the shipped
+data/FHNmodelArgs.ini defines `xMesh` (reference src/FHNmodel_flat.cpp:166 vs
+data/FHNmodelArgs.ini:14) — we accept either spelling for every model.
+
+Deliberate divergence from reference bugs (documented per SURVEY.md §2.3):
+  - GoldbeterModel_torus never reads betaMin/betaMax/icType (reference
+    src/GoldbeterModel_torus.cpp:174-187), silently using 0/0/0 with
+    varyBeta=1. We implement the intended behavior (read the keys) for all
+    model×surface combinations.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import math
+from typing import Optional
+
+TWO_PI = 2.0 * math.pi
+
+
+def load_ini(path: str) -> dict:
+    """Parse a reference-style ini file into {section: {key: str}}.
+
+    Keys are case-preserved (reference files use camelCase). Inline trailing
+    whitespace/tabs (present throughout data/FHNmodelArgs.ini) are stripped.
+    """
+    cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+    cp.optionxform = str  # preserve case
+    with open(path, "r") as fh:
+        cp.read_string(fh.read())
+    return {s: {k: v.strip() for k, v in cp.items(s)} for s in cp.sections()}
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Fully-resolved simulation configuration.
+
+    Mirrors the union of the four reference programs' parameter globals
+    (reference src/FHNmodel_torus.cpp:80-94, src/GoldbeterModel_torus.cpp:90-106)
+    plus framework-level knobs (dtype, backend selection) that have no
+    reference counterpart.
+    """
+
+    # --- model / surface selection (reference: which of 4 binaries) ---
+    model: str = "fhn"          # "fhn" | "goldbeter"
+    surface: str = "flat"       # "flat" | "torus"
+
+    # --- [Parameters] ---
+    diffusion: float = 0.12
+    beta: float = 1.25
+    surface_width: float = 20.0    # minor circumference (torus) / width (flat)
+    surface_length: float = 80.0   # major circumference (torus) / length (flat)
+    wave_length: float = 0.1       # fraction of domain length (phi/y)
+    wave_width: float = 0.5        # fraction of domain width (theta/x)
+    wave_inside: int = 0           # torus only: segment at theta=pi (1) or 0 (0)
+    output_timestep: int = 20      # Nt: number of output intervals
+    t_boundary: float = 0.0        # absorbing-boundary turn-off time
+    t_final: float = 50.0
+    x_mesh: int = 400              # nx (theta/x mesh size)
+    beta_min: float = 0.0
+    beta_max: float = 0.0
+
+    # --- [System] ---
+    include_all_vars: int = 0
+    vary_beta: int = 0
+    just_diffusion: int = 0        # goldbeter only in reference; honored for all
+    ic_type: int = 0               # goldbeter varyBeta ICs: 0 homog, 1 perturb, 2 random
+
+    # --- integrator (hardcoded in reference, src/FHNmodel_torus.cpp:197-198,372) ---
+    rtol: float = 1.0e-5
+    atol: float = 1.0e-10
+    max_steps: int = 200_000       # max internal steps per output interval
+    method: str = "bs32"           # embedded ERK tableau: "bs32" | "zonneveld43" | "dopri54"
+
+    # --- framework knobs (no reference counterpart) ---
+    dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
+    rng_seed: int = 0              # explicit PRNG for ic_type=2 (reference: unseeded rand())
+    use_pallas: bool = True        # fused Pallas RHS when eligible
+
+    # ------------------------------------------------------------------
+    # Derived geometry. Conventions reproduced exactly from the reference
+    # for parity (SURVEY.md §7 "parity traps"):
+    #   torus: r=W/2pi, R=L/2pi, ny=int(nx*R/r), domain [0,2pi]^2,
+    #          dx=2pi/(nx-1) (duplicated periodic seam point)
+    #          (src/FHNmodel_torus.cpp:188-193,233-234)
+    #   flat:  ny=nx*int(L/W) (integer-truncated ratio), domain [0,W]x[0,L]
+    #          (src/FHNmodel_flat.cpp:172-175,190-192,230-231)
+    # ------------------------------------------------------------------
+
+    @property
+    def nx(self) -> int:
+        return self.x_mesh
+
+    @property
+    def ny(self) -> int:
+        if self.surface == "torus":
+            radius_ratio = self.major_radius / self.minor_radius
+            return int(self.x_mesh * radius_ratio)
+        # reference truncates L/W to long int BEFORE multiplying
+        return self.x_mesh * int(self.surface_length / self.surface_width)
+
+    @property
+    def minor_radius(self) -> float:
+        return self.surface_width / TWO_PI
+
+    @property
+    def major_radius(self) -> float:
+        return self.surface_length / TWO_PI
+
+    @property
+    def xmin(self) -> float:
+        return 0.0
+
+    @property
+    def xmax(self) -> float:
+        return TWO_PI if self.surface == "torus" else self.surface_width
+
+    @property
+    def ymin(self) -> float:
+        return 0.0
+
+    @property
+    def ymax(self) -> float:
+        return TWO_PI if self.surface == "torus" else self.surface_length
+
+    @property
+    def dx(self) -> float:
+        return (self.xmax - self.xmin) / (self.nx - 1.0)
+
+    @property
+    def dy(self) -> float:
+        return (self.ymax - self.ymin) / (self.ny - 1.0)
+
+    @property
+    def program_name(self) -> str:
+        """Reference binary name for file-format parity (e.g. FHNmodel_torus)."""
+        base = {"fhn": "FHNmodel", "goldbeter": "GoldbeterModel"}[self.model]
+        return f"{base}_{self.surface}"
+
+    def validate(self) -> "SimConfig":
+        if self.model not in ("fhn", "goldbeter"):
+            raise ValueError(f"unknown model {self.model!r}")
+        if self.surface not in ("flat", "torus"):
+            raise ValueError(f"unknown surface {self.surface!r}")
+        if self.wave_inside not in (0, 1):
+            raise ValueError("waveInside must be 0 or 1")
+        if self.nx < 3 or self.ny < 3:
+            raise ValueError(f"grid too small: {self.nx}x{self.ny}")
+        if self.output_timestep < 1:
+            raise ValueError("outputTimestep must be >= 1")
+        return self
+
+
+# ini key -> (dataclass field, type)
+_PARAM_KEYS = {
+    "diffusion": ("diffusion", float),
+    "beta": ("beta", float),
+    "surfaceWidth": ("surface_width", float),
+    "surfaceLength": ("surface_length", float),
+    "waveLength": ("wave_length", float),
+    "waveWidth": ("wave_width", float),
+    "waveInside": ("wave_inside", int),
+    "outputTimestep": ("output_timestep", int),
+    "tBoundary": ("t_boundary", float),
+    "tFinal": ("t_final", float),
+    "xMesh": ("x_mesh", int),
+    "thetaMesh": ("x_mesh", int),   # FHN mains' spelling (src/FHNmodel_torus.cpp:170)
+    "betaMin": ("beta_min", float),
+    "betaMax": ("beta_max", float),
+}
+
+_SYSTEM_KEYS = {
+    "includeAllVars": ("include_all_vars", int),
+    "varyBeta": ("vary_beta", int),
+    "justDiffusion": ("just_diffusion", int),
+    "icType": ("ic_type", int),
+    # documented in the reference inis but never read by any main
+    # (data/FHNmodelArgs.ini:38); accepted and ignored for compatibility
+    "symmetricIC": (None, int),
+}
+
+
+def config_from_ini(path: str, model: str, surface: str, **overrides) -> SimConfig:
+    """Build a SimConfig from a reference-format ini file.
+
+    `model`/`surface` select the program (the reference encodes this in the
+    choice of binary, not the ini). Extra keyword overrides win over the file.
+    """
+    sections = load_ini(path)
+    fields: dict = {"model": model, "surface": surface}
+    for section, keymap in (("Parameters", _PARAM_KEYS), ("System", _SYSTEM_KEYS)):
+        for key, raw in sections.get(section, {}).items():
+            if key not in keymap:
+                continue  # tolerate unknown keys like the Python readers do
+            field, typ = keymap[key]
+            if field is None:
+                continue
+            # ints written as "20" parse fine; floats written as "0.4" too
+            fields[field] = typ(float(raw)) if typ is int else typ(raw)
+    fields.update(overrides)
+    return SimConfig(**fields).validate()

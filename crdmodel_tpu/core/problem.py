@@ -1,0 +1,198 @@
+"""Problem assembly: config -> (rhs, initial state, params).
+
+This is the model/driver layer (SURVEY.md L3) rebuilt as data + pure
+functions: one `build_problem` replaces the four monolith `main()`s' shared
+setup (ICs at src/FHNmodel_torus.cpp:284-354 and the three siblings; beta
+ramp and boundary freeze inside each `f`).
+
+RHS semantics (exact reference parity, src/FHNmodel_torus.cpp:504-667):
+  ydot[0] = D*Lap(y[0]) + reaction_0     (diffusion acts on variable 0 only)
+  ydot[1] =               reaction_1
+  if t < tBoundary: rows at global j==0 and j==ny-1 are frozen (ydot=0, both
+    variables — overrides diffusion too; src/FHNmodel_torus.cpp:643-653).
+  justDiffusion==1 skips the entire reaction block *including the freeze*
+    (src/GoldbeterModel_torus.cpp:668-721).
+
+The rhs signature is rhs(t, state, params) with params a small pytree
+(currently the scalar-or-field `b`), so parameter sweeps are a `jax.vmap`
+over params + state with the same compiled step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.core.grid import Grid, Geometry, make_geometry
+from crdmodel_tpu.models.base import ReactionModel, get_model
+from crdmodel_tpu.ops.stencil import flat_laplacian, torus_laplacian
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    cfg: SimConfig
+    model: ReactionModel
+    geometry: Geometry
+    rhs: Callable          # rhs(t, state, params) -> dstate, state (nvars, ny, nx)
+    y0: jnp.ndarray        # (nvars, ny, nx)
+    params: dict           # {"b": scalar or (ny, 1) field}
+    steady_state: tuple    # background fixed point used in ICs
+
+    @property
+    def grid(self) -> Grid:
+        return self.geometry.grid
+
+
+def beta_field(cfg: SimConfig, dtype) -> jnp.ndarray:
+    """The bifurcation parameter as used in the RHS: scalar BETA, or the
+    linear-in-y ramp b(y) = betaMin + y*(betaMax-betaMin)/(YMAX-YMIN)
+    (reference src/FHNmodel_torus.cpp:625-632), shape (ny, 1) for broadcast.
+    """
+    if cfg.vary_beta == 0:
+        return jnp.asarray(cfg.beta, dtype=dtype)
+    y = np.float64(cfg.ymin) + np.arange(cfg.ny, dtype=np.float64) * cfg.dy
+    b = cfg.beta_min + y * (cfg.beta_max - cfg.beta_min) / (cfg.ymax - cfg.ymin)
+    return jnp.asarray(b, dtype=dtype)[:, None]
+
+
+def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
+                  dtype) -> jnp.ndarray:
+    """Initial conditions, (nvars, ny, nx). Reproduces SURVEY.md C9 exactly.
+
+    Computed in float64 numpy (setup-time, not traced) then cast.
+    ic_type==2 uses an explicit jax PRNG key instead of the reference's
+    unseeded per-rank rand() (src/GoldbeterModel_torus.cpp:409-410) —
+    distribution reproduced (uniform [0, 1.4]), bitstream deliberately not.
+    """
+    nx, ny = cfg.nx, cfg.ny
+    xx = cfg.xmin + np.arange(nx, dtype=np.float64) * cfg.dx   # (nx,)
+    yy = cfg.ymin + np.arange(ny, dtype=np.float64) * cfg.dy   # (ny,)
+    X = xx[None, :]   # (1, nx)
+    Y = yy[:, None]   # (ny, 1)
+
+    wave_len = (cfg.ymax - cfg.ymin) * cfg.wave_length
+    wave_wid = (cfg.xmax - cfg.xmin) * cfg.wave_width
+
+    if cfg.surface == "torus":
+        # segment centred at theta=pi (inside) or wrapping theta=0 (outside)
+        # (src/FHNmodel_torus.cpp:284-300)
+        if cfg.wave_inside == 1:
+            wxmin = np.pi - wave_wid / 2.0
+            wxmax = np.pi + wave_wid / 2.0
+            in_x = (X >= wxmin) & (X <= wxmax)
+        else:
+            wxmin = -wave_wid / 2.0 + (cfg.xmax - cfg.xmin)
+            wxmax = wave_wid / 2.0
+            in_x = (X >= wxmin) | (X <= wxmax)
+    else:
+        # flat: segment centred at width/2 (src/FHNmodel_flat.cpp:280-282)
+        mid = cfg.surface_width / 2.0
+        wxmin = mid - wave_wid / 2.0
+        wxmax = mid + wave_wid / 2.0
+        in_x = (X >= wxmin) & (X <= wxmax)
+
+    bg = np.zeros((model.nvars, ny, nx), dtype=np.float64)
+
+    if cfg.model == "fhn":
+        if cfg.vary_beta == 1:
+            # all-ones field (src/FHNmodel_torus.cpp:349-352)
+            bg[:] = 1.0
+        else:
+            us, vs = steady
+            seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+            bg[0] = np.where(seg, us + 2.0, us)
+            bg[1] = np.where(seg, vs + 1.5, vs)
+    elif cfg.model == "goldbeter":
+        zs, ys = steady
+        if cfg.vary_beta == 0:
+            if cfg.surface == "torus":
+                # y in [wl, 2wl] (src/GoldbeterModel_torus.cpp:347,363)
+                seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+            else:
+                # y in [2wl, 3wl] (src/GoldbeterModel_flat.cpp:328)
+                seg = in_x & (Y >= 2.0 * wave_len) & (Y <= 3.0 * wave_len)
+            bg[0] = np.where(seg, zs + 1.0, zs)
+            bg[1] = np.where(seg, ys + 1.0, ys)
+        else:
+            if cfg.ic_type == 0:
+                bg[0], bg[1] = 0.4, 1.6
+            elif cfg.ic_type == 1:
+                # torus icType=1 uses the AND form even for waveInside=0
+                # (src/GoldbeterModel_torus.cpp:392); flat identical
+                seg = ((X >= wxmin) & (X <= wxmax)
+                       & (Y >= 2.0 * wave_len) & (Y <= 3.0 * wave_len))
+                bg[0] = np.where(seg, 1.4, 0.4)
+                bg[1] = np.where(seg, 2.6, 1.6)
+            elif cfg.ic_type == 2:
+                key = jax.random.PRNGKey(cfg.rng_seed)
+                k0, k1 = jax.random.split(key)
+                bg[0] = 1.4 * np.asarray(
+                    jax.random.uniform(k0, (ny, nx), dtype=jnp.float32), np.float64)
+                bg[1] = 1.4 * np.asarray(
+                    jax.random.uniform(k1, (ny, nx), dtype=jnp.float32), np.float64)
+            else:
+                raise ValueError(f"icType must be 0/1/2, got {cfg.ic_type}")
+    else:
+        raise ValueError(cfg.model)
+
+    return jnp.asarray(bg, dtype=dtype)
+
+
+def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
+    """Build rhs(t, state, params) for the full (unsharded) grid."""
+    coeffs = geometry.stencil_coeffs(dtype)
+    lap = torus_laplacian if geometry.kind == "torus" else flat_laplacian
+    ny = geometry.grid.ny
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    # interior-row mask: zero at global rows j==0 and j==ny-1
+    edge = np.ones((ny, 1), dtype=bool)
+    edge[0, 0] = False
+    edge[-1, 0] = False
+    interior_rows = jnp.asarray(edge)
+
+    def rhs(t, state, params):
+        diff = lap(state[0], coeffs)
+        if just_diffusion:
+            ydot = jnp.stack([diff] + [jnp.zeros_like(diff)] * (model.nvars - 1))
+            return ydot
+        ydot = model.kinetics(state, params["b"])
+        ydot = ydot.at[0].add(diff)
+        if has_freeze:
+            # The freeze releases at t==tBoundary, a discontinuity the
+            # integrator handles by segmenting at tBoundary (sim.py passes it
+            # as a breakpoint). A segment *ending* at or before tBoundary is
+            # wholly on the frozen piece (its final stage evaluates exactly at
+            # the segment end, which must still be frozen); otherwise fall
+            # back to the reference's pure t < tBoundary rule
+            # (src/FHNmodel_torus.cpp:643-653).
+            seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+            if seg_end is not None:
+                freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
+            else:
+                freeze_now = t < t_boundary
+            frozen = jnp.where(interior_rows, ydot, 0.0)
+            ydot = jnp.where(freeze_now, frozen, ydot)
+        return ydot
+
+    return rhs
+
+
+def build_problem(cfg: SimConfig) -> Problem:
+    cfg = cfg.validate()
+    dtype = jnp.dtype(cfg.dtype)
+    model = get_model(cfg.model)
+    geometry = make_geometry(cfg)
+    steady = model.steady_state(cfg.beta)
+    y0 = initial_state(cfg, model, steady, dtype)
+    rhs = make_rhs(cfg, model, geometry, dtype)
+    params = {"b": beta_field(cfg, dtype)}
+    return Problem(cfg=cfg, model=model, geometry=geometry, rhs=rhs,
+                   y0=y0, params=params, steady_state=steady)

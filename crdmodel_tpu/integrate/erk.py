@@ -1,0 +1,347 @@
+"""Adaptive embedded explicit Runge–Kutta integrator (the ARKode replacement).
+
+Rebuilds the reference's time-integration runtime (SURVEY.md L2: SUNDIALS
+ARKode with explicit-only RHS, rtol=1e-5/atol=1e-10, <=200000 internal steps
+per output interval, ARK_NORMAL outer loop — reference
+src/FHNmodel_torus.cpp:356-373,413-478) as a jit-compiled `lax.while_loop`
+with SUNDIALS-semantics WRMS error control:
+
+  wrms(e; y) = sqrt( mean_i ( e_i / (rtol*|y_i| + atol) )^2 ),  accept if <= 1
+
+The mean runs over ALL solution components (both variables, full global
+grid), which on the reference side is the hidden per-step MPI allreduce inside
+N_VWrmsNorm (src/FHNmodel_torus.cpp:281). Here the reduction is injectable:
+`reduce_fn=jnp.sum` on one device, `lambda x: lax.psum(x, axes)` under
+shard_map — guaranteeing every device takes identical accept/reject and
+step-size decisions (the distributed-correctness core, SURVEY.md §7).
+
+Deliberate divergence: ARKode's ARK_NORMAL steps *past* tout and interpolates
+the dense output back; we instead clamp the final step to land exactly on
+tout (TSTOP-style). Both are within integrator tolerance of each other.
+
+Tableaus: Bogacki–Shampine 3(2) (default — lowest cost per step at these
+tolerances), Zonneveld 4(3) (ARKode's default 4th-order ERK table, for
+behavioural parity), Dormand–Prince 5(4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Tableau:
+    name: str
+    order: int        # order of the propagating solution
+    err_order: int    # order of the local error estimate (= embedded order + 1)
+    a: np.ndarray     # (s, s) strictly lower triangular
+    b: np.ndarray     # (s,)  propagating weights
+    bhat: np.ndarray  # (s,)  embedded weights
+    c: np.ndarray     # (s,)
+
+    @property
+    def stages(self) -> int:
+        return len(self.b)
+
+    @property
+    def fsal(self) -> bool:
+        """First-same-as-last: last stage of an accepted step equals the
+        first stage of the next (a[-1] == b and c[-1] == 1)."""
+        return bool(np.allclose(self.a[-1], self.b) and np.isclose(self.c[-1], 1.0))
+
+
+def _tab(name, order, err_order, a, b, bhat, c):
+    return Tableau(name, order, err_order,
+                   np.array(a, dtype=np.float64),
+                   np.array(b, dtype=np.float64),
+                   np.array(bhat, dtype=np.float64),
+                   np.array(c, dtype=np.float64))
+
+
+BS32 = _tab(
+    "bs32", 3, 3,
+    a=[[0, 0, 0, 0],
+       [1 / 2, 0, 0, 0],
+       [0, 3 / 4, 0, 0],
+       [2 / 9, 1 / 3, 4 / 9, 0]],
+    b=[2 / 9, 1 / 3, 4 / 9, 0],
+    bhat=[7 / 24, 1 / 4, 1 / 3, 1 / 8],
+    c=[0, 1 / 2, 3 / 4, 1],
+)
+
+# ARKode's default explicit 4th-order table (Zonneveld 1963), behavioural
+# parity with the reference's ARKodeInit(..., f, NULL, ...) default.
+ZONNEVELD43 = _tab(
+    "zonneveld43", 4, 4,
+    a=[[0, 0, 0, 0, 0],
+       [1 / 2, 0, 0, 0, 0],
+       [0, 1 / 2, 0, 0, 0],
+       [0, 0, 1, 0, 0],
+       [5 / 32, 7 / 32, 13 / 32, -1 / 32, 0]],
+    b=[1 / 6, 1 / 3, 1 / 3, 1 / 6, 0],
+    bhat=[-1 / 2, 7 / 3, 7 / 3, 13 / 6, -16 / 3],
+    c=[0, 1 / 2, 1 / 2, 1, 3 / 4],
+)
+
+DOPRI54 = _tab(
+    "dopri54", 5, 5,
+    a=[[0, 0, 0, 0, 0, 0, 0],
+       [1 / 5, 0, 0, 0, 0, 0, 0],
+       [3 / 40, 9 / 40, 0, 0, 0, 0, 0],
+       [44 / 45, -56 / 15, 32 / 9, 0, 0, 0, 0],
+       [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729, 0, 0, 0],
+       [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656, 0, 0],
+       [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0]],
+    b=[35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0],
+    bhat=[5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40],
+    c=[0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1, 1],
+)
+
+TABLEAUS = {"bs32": BS32, "zonneveld43": ZONNEVELD43, "dopri54": DOPRI54}
+
+# controller constants (PI controller, Gustafsson/Hairer-style)
+SAFETY = 0.9
+PI_KI = 0.7     # exponent on current error (divided by err_order)
+PI_KP = 0.4     # exponent on previous error (divided by err_order)
+ETA_MIN = 0.1
+ETA_MAX_FIRST = 10000.0   # ARKode etamx1
+ETA_MAX = 10.0
+ETA_REJECT_MAX = 0.9
+
+
+class SolveStats(NamedTuple):
+    steps: jnp.ndarray     # internal steps attempted per output interval
+    accepted: jnp.ndarray
+    rejected: jnp.ndarray
+    status: jnp.ndarray    # 0 ok; 1 max-steps exceeded; 2 dt underflow
+
+
+def wrms_norm(e, y, rtol, atol, reduce_fn=jnp.sum, global_size=None):
+    """SUNDIALS weighted RMS norm of error e with weights from solution y."""
+    w = 1.0 / (rtol * jnp.abs(y) + atol)
+    ss = reduce_fn(jnp.square(e * w))
+    n = global_size if global_size is not None else e.size
+    return jnp.sqrt(ss / n)
+
+
+def _initial_step(rhs, t0, y0, f0, params, tout, rtol, atol,
+                  err_order, reduce_fn, global_size):
+    """Hairer-style automatic initial step size (replaces ARKode's internal
+    h0 estimation; exact parity is not required — any reasonable h0 is
+    corrected by the controller within a few steps)."""
+    big = jnp.asarray(1e35, dtype=jnp.result_type(y0))
+
+    def nrm(v, ref):
+        return wrms_norm(v, ref, rtol, atol, reduce_fn, global_size)
+
+    d0 = nrm(y0, y0)
+    d1 = nrm(f0, y0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / jnp.maximum(d1, 1e-35))
+    h0 = jnp.minimum(h0, jnp.abs(tout - t0))
+    y1 = y0 + h0 * f0
+    f1 = rhs(t0 + h0, y1, params)
+    d2 = nrm(f1 - f0, y0) / jnp.maximum(h0, 1e-35)
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / jnp.maximum(dmax, 1e-35)) ** (1.0 / err_order))
+    h = jnp.minimum(100.0 * h0, h1)
+    h = jnp.minimum(h, jnp.abs(tout - t0))
+    return jnp.where(jnp.isfinite(h) & (h > 0), h, 1e-6).astype(y0.dtype)
+
+
+def make_erk_step(tableau: Tableau, rhs: Callable):
+    """Return step(t, y, h, params) -> (y_new, err_vec, f0).
+
+    Stages are unrolled in Python (static, <=7) so XLA fuses the whole step;
+    no FSAL reuse in v1 (one extra rhs eval/step for fsal tables — revisit).
+    """
+    s = tableau.stages
+    a = tableau.a
+    b = tableau.b
+    d = tableau.b - tableau.bhat
+    c = tableau.c
+
+    def step(t, y, h, params):
+        ks = []
+        for i in range(s):
+            yi = y
+            for j in range(i):
+                if a[i, j] != 0.0:
+                    yi = yi + (h * a[i, j]) * ks[j]
+            ks.append(rhs(t + c[i] * h, yi, params))
+        y_new = y
+        err = jnp.zeros_like(y)
+        for i in range(s):
+            if b[i] != 0.0:
+                y_new = y_new + (h * b[i]) * ks[i]
+            if d[i] != 0.0:
+                err = err + (h * d[i]) * ks[i]
+        return y_new, err
+
+    return step
+
+
+def integrate_interval(step, rhs, t0, y0, h_init, err_prev_init, tout, params,
+                       *, rtol, atol, err_order, max_steps,
+                       reduce_fn=jnp.sum, global_size=None,
+                       first_interval=False, status0=None):
+    """Integrate from (t0, y0) to tout with adaptive steps.
+
+    Returns (t, y, h, err_prev, stats_tuple). All control-flow decisions are
+    functions of reduce_fn-global scalars, so under shard_map every device
+    agrees. A nonzero incoming status0 makes the interval a no-op (sticky
+    failure: the reference breaks its output loop on solver failure,
+    src/FHNmodel_torus.cpp:430-435).
+    """
+    dtype = y0.dtype
+    inv_q = 1.0 / float(err_order)
+    eps = float(jnp.finfo(dtype).eps)
+
+    def cond(carry):
+        t, y, h, errp, nstep, nacc, nrej, status = carry
+        return (t < tout) & (status == 0) & (nstep < max_steps)
+
+    def body(carry):
+        t, y, h, errp, nstep, nacc, nrej, status = carry
+        last = t + h >= tout
+        hs = jnp.where(last, tout - t, h)
+
+        y_new, err_vec = step(t, y, hs, params)
+        err = wrms_norm(err_vec, y, rtol, atol, reduce_fn, global_size)
+        err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
+        accept = err <= 1.0
+
+        # PI step-size update
+        err_c = jnp.maximum(err, 1e-10)
+        eta = SAFETY * err_c ** (-PI_KI * inv_q) * errp ** (PI_KP * inv_q)
+        eta_max = ETA_MAX_FIRST if first_interval else ETA_MAX
+        eta_acc = jnp.clip(eta, ETA_MIN, eta_max)
+        eta_rej = jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX)
+        # when the step was clamped only to land on tout (`last`), the tiny hs
+        # says nothing about the error-limited step size: keep the unclamped h
+        # as memory for the next interval (otherwise every interval boundary
+        # collapses h and a single rejection near hmin fakes a dt underflow)
+        h_grow = hs * eta_acc
+        h_acc = jnp.where(last, jnp.maximum(h, h_grow), h_grow)
+        h_next = jnp.where(accept, h_acc, hs * eta_rej)
+
+        t_next = jnp.where(accept, jnp.where(last, tout, t + hs), t)
+        y_next = jnp.where(accept, y_new, y)
+        errp_next = jnp.where(accept, jnp.maximum(err_c, 1e-10), errp)
+
+        # dt underflow: step no longer advances time
+        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
+        status_next = jnp.where((~accept) & (h_next < hmin),
+                                jnp.asarray(2, jnp.int32), status)
+
+        return (t_next, y_next, h_next, errp_next,
+                nstep + 1,
+                nacc + accept.astype(jnp.int32),
+                nrej + (~accept).astype(jnp.int32),
+                status_next)
+
+    zero = jnp.asarray(0, jnp.int32)
+    s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
+    carry0 = (t0.astype(dtype), y0, h_init.astype(dtype),
+              err_prev_init.astype(dtype), zero, zero, zero, s0)
+    t, y, h, errp, nstep, nacc, nrej, status = jax.lax.while_loop(
+        cond, body, carry0)
+    # max-steps exhaustion without reaching tout
+    status = jnp.where((t < tout) & (status == 0), jnp.asarray(1, jnp.int32),
+                       status)
+    return t, y, h, errp, (nstep, nacc, nrej, status)
+
+
+def integrate_to_outputs(rhs, y0, params, t0, touts, *,
+                         rtol, atol, method="bs32", max_steps=200_000,
+                         reduce_fn=jnp.sum, global_size=None,
+                         breakpoints=()):
+    """ARK_NORMAL-equivalent outer loop: integrate through each output time,
+    emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
+
+    touts: 1-D array (static values) of strictly increasing output times
+    (T0 excluded). Returns (traj, stats): traj (len(touts), *y0.shape);
+    stats arrays per output interval.
+
+    breakpoints: static times where the RHS is known to be discontinuous in t
+    (e.g. the absorbing-boundary turn-off at tBoundary). Integration stops
+    exactly at each breakpoint and restarts, so every integration segment sees
+    a smooth RHS. The reference instead brute-forces ARKode across the
+    discontinuity (burning rejected steps and, in f32, risking dt underflow —
+    observed on the canonical FHN torus config); stepping to the breakpoint is
+    strictly more robust and costs nothing. Breakpoint sub-intervals' step
+    counts are attributed to the enclosing output interval.
+
+    Fully jittable; the scan body shares one compiled while_loop.
+    """
+    tableau = TABLEAUS[method] if isinstance(method, str) else method
+    step = make_erk_step(tableau, rhs)
+    dtype = y0.dtype
+
+    touts_np = np.asarray(touts, dtype=np.float64)
+    t0f = float(np.asarray(t0))
+    # merge breakpoints (static) into the stop list, tagging real outputs
+    stops = [(float(t), True) for t in touts_np]
+    for bp in breakpoints:
+        bp = float(bp)
+        if bp <= t0f or bp >= stops[-1][0]:
+            continue
+        if any(np.isclose(bp, t) for t, _ in stops):
+            continue
+        stops.append((bp, False))
+    stops.sort(key=lambda p: p[0])
+    stop_times = np.array([t for t, _ in stops], dtype=np.float64)
+    is_output = np.array([o for _, o in stops], dtype=bool)
+    # each merged interval contributes its stats to the output interval it
+    # falls inside (breakpoint segments belong to the *next* real output)
+    seg_ids = np.cumsum(is_output) - is_output.astype(int)
+    out_idx = np.nonzero(is_output)[0]
+
+    def seg_params(tout):
+        # Segment-aware RHS support: rhs may branch on which smooth piece it
+        # is integrating (e.g. the boundary freeze) via params["_seg_end"],
+        # because stage times touch both endpoints of a segment and a pure
+        # function of t cannot distinguish the frozen piece's final stage at
+        # t==tBoundary from the released piece's first stage at the same t.
+        if isinstance(params, dict):
+            return {**params, "_seg_end": tout}
+        return params
+
+    t0 = jnp.asarray(t0, dtype)
+    tout0 = jnp.asarray(stop_times[0], dtype)
+    f0 = rhs(t0, y0, seg_params(tout0))
+    h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
+                       rtol, atol, tableau.err_order, reduce_fn, global_size)
+
+    def scan_body(carry, tout):
+        t, y, h, errp, status = carry
+        t, y, h, errp, stats = integrate_interval(
+            step, rhs, t, y, h, errp, tout, seg_params(tout),
+            rtol=rtol, atol=atol, err_order=tableau.err_order,
+            max_steps=max_steps, reduce_fn=reduce_fn, global_size=global_size,
+            status0=status)
+        return (t, y, h, errp, stats[-1]), (y, *stats)
+
+    errp0 = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0, jnp.int32)
+    (_, _, _, _, _), (traj, nstep, nacc, nrej, status) = jax.lax.scan(
+        scan_body, (t0, y0, h0, errp0, zero), jnp.asarray(stop_times, dtype))
+
+    if len(stops) != len(touts_np):
+        nseg = len(touts_np)
+        seg = jnp.asarray(seg_ids)
+        nstep = jax.ops.segment_sum(nstep, seg, num_segments=nseg)
+        nacc = jax.ops.segment_sum(nacc, seg, num_segments=nseg)
+        nrej = jax.ops.segment_sum(nrej, seg, num_segments=nseg)
+        status = jax.ops.segment_max(status, seg, num_segments=nseg)
+        traj = traj[jnp.asarray(out_idx)]
+    return traj, SolveStats(steps=nstep, accepted=nacc, rejected=nrej,
+                            status=status)

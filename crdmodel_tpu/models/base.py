@@ -1,0 +1,43 @@
+"""Reaction-model registry.
+
+The reference hardcodes model kinetics inline in each monolith's RHS
+(SURVEY.md C7/C8). Here a model is data: a pair of pure functions
+(kinetics, steady_state) registered by name, so the solver core is shared by
+every model x surface combination and new models are one small file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+# kinetics(state, b) -> dstate  where state/dstate are (nvars, ...) arrays
+# and b is the (possibly spatially varying) bifurcation parameter field.
+KineticsFn = Callable[..., object]
+# steady_state(beta) -> tuple of nvars floats
+SteadyStateFn = Callable[[float], Tuple[float, ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReactionModel:
+    name: str
+    nvars: int
+    var_names: Tuple[str, ...]     # output file suffixes: ("u","v") / ("Z","Y")
+    kinetics: KineticsFn
+    steady_state: SteadyStateFn
+    diffusive_vars: Tuple[int, ...] = (0,)  # reference diffuses variable 0 only
+
+
+_REGISTRY: Dict[str, ReactionModel] = {}
+
+
+def register_model(model: ReactionModel) -> ReactionModel:
+    _REGISTRY[model.name] = model
+    return model
+
+
+def get_model(name: str) -> ReactionModel:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; registered: {sorted(_REGISTRY)}")

@@ -1,0 +1,126 @@
+"""Integrator tests: known solutions + tolerance behaviour."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crdmodel_tpu.integrate.erk import (
+    TABLEAUS, integrate_to_outputs, make_erk_step, wrms_norm,
+)
+
+
+def test_tableau_consistency():
+    for name, tab in TABLEAUS.items():
+        # row-sum condition c_i = sum_j a_ij and order-1 condition sum b = 1
+        np.testing.assert_allclose(tab.a.sum(axis=1), tab.c, atol=1e-14)
+        np.testing.assert_allclose(tab.b.sum(), 1.0, atol=1e-14)
+        np.testing.assert_allclose(tab.bhat.sum(), 1.0, atol=1e-12)
+        assert np.allclose(np.triu(tab.a), 0.0), f"{name} not explicit"
+
+
+@pytest.mark.parametrize("method", ["bs32", "zonneveld43", "dopri54"])
+def test_exponential_decay(method):
+    rhs = lambda t, y, p: -y
+    y0 = jnp.ones((1,), dtype=jnp.float64)
+    touts = np.linspace(0.25, 2.0, 8)
+    traj, stats = integrate_to_outputs(rhs, y0, {}, 0.0, touts,
+                                       rtol=1e-8, atol=1e-12, method=method)
+    assert np.all(np.asarray(stats.status) == 0)
+    np.testing.assert_allclose(np.asarray(traj)[:, 0], np.exp(-touts),
+                               rtol=1e-6)
+
+
+def test_oscillator_order():
+    """Harmonic oscillator: tighter rtol must give smaller error."""
+    rhs = lambda t, y, p: jnp.stack([y[1], -y[0]])
+    y0 = jnp.asarray([1.0, 0.0], dtype=jnp.float64)
+    touts = np.array([2 * np.pi])
+    errs = []
+    for rtol in (1e-4, 1e-6, 1e-8):
+        traj, stats = integrate_to_outputs(rhs, y0, {}, 0.0, touts,
+                                           rtol=rtol, atol=1e-12, method="bs32")
+        assert np.all(np.asarray(stats.status) == 0)
+        errs.append(abs(float(traj[0, 0]) - 1.0))
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 1e-6
+
+
+def test_time_dependent_rhs():
+    """y' = cos(t), y(0)=0 -> y = sin(t): exercises the c_i*h stage times."""
+    rhs = lambda t, y, p: jnp.cos(t) * jnp.ones_like(y)
+    y0 = jnp.zeros((1,), dtype=jnp.float64)
+    touts = np.array([0.5, 1.0, 1.5])
+    traj, _ = integrate_to_outputs(rhs, y0, {}, 0.0, touts,
+                                   rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(traj)[:, 0], np.sin(touts), atol=1e-7)
+
+
+def test_params_threading():
+    rhs = lambda t, y, p: -p["k"] * y
+    y0 = jnp.ones((1,), dtype=jnp.float64)
+    traj, _ = integrate_to_outputs(rhs, y0, {"k": jnp.asarray(2.0)}, 0.0,
+                                   np.array([1.0]), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(float(traj[0, 0]), np.exp(-2.0), rtol=1e-6)
+
+
+def test_max_steps_flag():
+    """A stiff-ish problem with absurdly low max_steps must flag status=1
+    (the reference's 200000-step cap, src/FHNmodel_torus.cpp:372)."""
+    rhs = lambda t, y, p: -1000.0 * (y - jnp.sin(t))
+    y0 = jnp.zeros((1,), dtype=jnp.float64)
+    traj, stats = integrate_to_outputs(rhs, y0, {}, 0.0, np.array([10.0]),
+                                       rtol=1e-8, atol=1e-12, max_steps=5)
+    assert int(stats.status[0]) == 1
+
+
+def test_wrms_norm_definition():
+    e = jnp.asarray([1.0, -2.0], dtype=jnp.float64)
+    y = jnp.asarray([10.0, 100.0], dtype=jnp.float64)
+    rtol, atol = 1e-2, 1e-3
+    w = 1.0 / (rtol * np.abs(np.asarray(y)) + atol)
+    want = np.sqrt(np.mean((np.asarray(e) * w) ** 2))
+    got = float(wrms_norm(e, y, rtol, atol))
+    assert np.isclose(got, want, rtol=1e-14)
+
+
+def test_step_matches_scipy_rk45_single_step():
+    """One DOPRI54 step must match the textbook update (scipy RK45 uses the
+    same tableau)."""
+    import scipy.integrate as si
+
+    def f(t, y):
+        return np.array([y[1], -np.sin(y[0])])
+
+    rhs = lambda t, y, p: jnp.stack([y[1], -jnp.sin(y[0])])
+    step = make_erk_step(TABLEAUS["dopri54"], rhs)
+    y0 = jnp.asarray([0.3, -0.2], dtype=jnp.float64)
+    h = 0.05
+    y1, _ = step(jnp.asarray(0.0), y0, jnp.asarray(h), {})
+
+    # manual tableau evaluation in numpy
+    tab = TABLEAUS["dopri54"]
+    ks = []
+    y0n = np.asarray(y0)
+    for i in range(tab.stages):
+        yi = y0n + h * sum(tab.a[i, j] * ks[j] for j in range(i))
+        ks.append(f(tab.c[i] * h, yi))
+    want = y0n + h * sum(tab.b[i] * ks[i] for i in range(tab.stages))
+    np.testing.assert_allclose(np.asarray(y1), want, rtol=1e-14)
+
+
+def test_jit_and_fwd_diff_compatible():
+    """The whole driver is jittable and forward-mode differentiable w.r.t.
+    params (a capability the reference cannot express). Reverse mode through
+    lax.while_loop is unsupported by JAX; use jacfwd."""
+    rhs = lambda t, y, p: -p["k"] * y
+
+    def loss(k):
+        traj, _ = integrate_to_outputs(rhs, jnp.ones((1,), jnp.float64),
+                                       {"k": k}, 0.0, np.array([1.0]),
+                                       rtol=1e-6, atol=1e-10)
+        return traj[0, 0]
+
+    g = jax.jit(jax.jacfwd(loss))(jnp.asarray(1.0, jnp.float64))
+    # d/dk exp(-k) at k=1 = -exp(-1)
+    np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-3)
