@@ -1,0 +1,59 @@
+"""Benchmark: the BASELINE.json north-star metric on real TPU hardware.
+
+Runs the canonical FHN torus problem (400x1600 grid, varyBeta ramp,
+tBoundary=38, Tf=50 — data/FHNmodelArgs.ini) with the adaptive BS3(2)
+integrator in float32 and reports grid-points x internal-steps / second on
+one chip.
+
+Baseline: the MPI+SUNDIALS reference cannot be built in this image (no
+mpicxx/SUNDIALS/boost), so the recorded baseline is the CPU proxy measured by
+scripts/measure_baseline.py — identical method-of-lines numerics (vectorised
+f64 numpy stencil + BS3(2) WRMS adaptive control) on the host CPU:
+5.3688e6 grid-points*steps/sec (this machine, 2026-08-16). Vectorised numpy
+flatters the reference's scalar per-point loops, so vs_baseline is, if
+anything, understated.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RATE = 5.3688e6  # scripts/measure_baseline.py, this host, 2026-08-16
+
+
+def main():
+    import jax
+    from crdmodel_tpu.config import config_from_ini
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.sim import make_simulation_fn
+
+    cfg = config_from_ini("/root/reference/data/FHNmodelArgs.ini",
+                          model="fhn", surface="torus")
+    problem = build_problem(cfg)
+    run, _ = make_simulation_fn(problem)
+
+    # compile + warm-up
+    traj, stats = run(problem.y0, problem.params)
+    jax.block_until_ready(traj)
+    assert np.all(np.asarray(stats.status) == 0), np.asarray(stats.status)
+
+    t0 = time.perf_counter()
+    traj, stats = run(problem.y0, problem.params)
+    jax.block_until_ready(traj)
+    wall = time.perf_counter() - t0
+
+    steps = int(np.sum(np.asarray(stats.steps)))
+    rate = cfg.nx * cfg.ny * steps / wall
+    print(json.dumps({
+        "metric": "grid-points*steps/sec/chip (FHN torus 400x1600 f32 adaptive, Tf=50)",
+        "value": rate,
+        "unit": "points*steps/s",
+        "vs_baseline": rate / BASELINE_RATE,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Sharded simulation: the full adaptive integration inside jax.shard_map.
+
+The whole solver loop (not just the RHS) runs under shard_map so each device
+steps its local block while every control-flow decision — step accept/reject,
+step-size update, failure flags — derives from `lax.psum`-reduced WRMS norms
+and is therefore bitwise-identical across devices. This is the TPU-native
+equivalent of the reference's SUNDIALS parallel NVector, whose hidden
+allreduce per step synchronised ARKode's error control across MPI ranks
+(src/FHNmodel_torus.cpp:281; SURVEY.md §2.5).
+
+All spatial fields (state, metric coefficient profiles, beta ramp, boundary
+masks) are *global* arrays sharded by in_specs — the global-row/column logic
+(e.g. the freeze acting on global rows 0 and ny-1, src/FHNmodel_torus.cpp:643-653)
+is data, so decomposition needs no index bookkeeping: the reference's
+SetupDecomp is/ie/js/je arithmetic (src/FHNmodel_torus.cpp:750-755)
+disappears entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.core.problem import Problem, beta_field, build_problem
+from crdmodel_tpu.integrate.erk import integrate_to_outputs
+from crdmodel_tpu.ops.stencil import laplacian_from_padded
+from crdmodel_tpu.parallel.halo import halo_pad
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+from crdmodel_tpu.sim import SimResult, output_times
+
+
+def make_local_rhs(cfg: SimConfig, model, kind: str):
+    """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
+
+    Spatial inputs come through params (so they shard with the mesh):
+      params["coeffs"]: stencil coefficient profiles ((nx,) arrays or scalars)
+      params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
+      params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
+    """
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    def rhs(t, state, params):
+        up = halo_pad(state[0])
+        diff = laplacian_from_padded(up, params["coeffs"], kind)
+        if just_diffusion:
+            return jnp.stack([diff] + [jnp.zeros_like(diff)] * (model.nvars - 1))
+        ydot = model.kinetics(state, params["b"])
+        ydot = ydot.at[0].add(diff)
+        if has_freeze:
+            seg_end = params.get("_seg_end")
+            if seg_end is not None:
+                freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
+            else:
+                freeze_now = t < t_boundary
+            frozen = jnp.where(params["interior"], ydot, 0.0)
+            ydot = jnp.where(freeze_now, frozen, ydot)
+        return ydot
+
+    return rhs
+
+
+def sharded_params(problem: Problem):
+    """Global parameter arrays + their PartitionSpecs."""
+    cfg = problem.cfg
+    dtype = jnp.dtype(cfg.dtype)
+    coeffs = problem.geometry.stencil_coeffs(dtype)
+    coeff_spec = tuple(
+        P(AXIS_X) if getattr(c, "ndim", 0) == 1 else P() for c in coeffs)
+    b = beta_field(cfg, dtype)
+    b_spec = P(AXIS_Y, None) if getattr(b, "ndim", 0) == 2 else P()
+    interior = np.ones((cfg.ny, 1), dtype=bool)
+    interior[0, 0] = False
+    interior[-1, 0] = False
+    params = {"coeffs": coeffs, "b": b, "interior": jnp.asarray(interior)}
+    specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
+    return params, specs
+
+
+def make_sharded_simulation_fn(problem: Problem, mesh: Mesh):
+    """Jitted (y0, params) -> (traj, stats) with everything under shard_map."""
+    cfg = problem.cfg
+    model = problem.model
+    kind = problem.geometry.kind
+    touts = output_times(cfg)
+    local_rhs = make_local_rhs(cfg, model, kind)
+    global_size = model.nvars * cfg.ny * cfg.nx
+
+    breakpoints = ()
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        breakpoints = (cfg.t_boundary,)
+
+    def reduce_fn(x):
+        return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
+
+    def run_local(y0, params):
+        return integrate_to_outputs(
+            local_rhs, y0, params, 0.0, touts,
+            rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
+            max_steps=cfg.max_steps, breakpoints=breakpoints,
+            reduce_fn=reduce_fn, global_size=global_size)
+
+    _, param_specs = sharded_params(problem)
+    state_spec = P(None, AXIS_Y, AXIS_X)
+    traj_spec = P(None, None, AXIS_Y, AXIS_X)
+    stats_spec = jax.tree_util.tree_map(lambda _: P(), _stats_struct())
+
+    fn = jax.shard_map(
+        run_local,
+        mesh=mesh,
+        in_specs=(state_spec, param_specs),
+        out_specs=(traj_spec, stats_spec),
+    )
+    return jax.jit(fn), touts
+
+
+def _stats_struct():
+    from crdmodel_tpu.integrate.erk import SolveStats
+    return SolveStats(steps=0, accepted=0, rejected=0, status=0)
+
+
+def simulate_sharded(cfg: SimConfig, mesh: Optional[Mesh] = None,
+                     n_devices: Optional[int] = None,
+                     problem: Optional[Problem] = None) -> SimResult:
+    """Drop-in sharded variant of sim.simulate()."""
+    problem = problem if problem is not None else build_problem(cfg)
+    if mesh is None:
+        mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
+    params, _ = sharded_params(problem)
+    run, touts = make_sharded_simulation_fn(problem, mesh)
+    t_start = time.perf_counter()
+    traj, stats = run(problem.y0, params)
+    traj = jax.block_until_ready(traj)
+    wall = time.perf_counter() - t_start
+    full_traj = jnp.concatenate([problem.y0[None], traj], axis=0)
+    return SimResult(cfg=cfg, problem=problem, trajectory=full_traj,
+                     touts=np.concatenate([[0.0], touts]), stats=stats,
+                     wall_time=wall)

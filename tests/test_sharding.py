@@ -1,0 +1,141 @@
+"""Sharding correctness: single- vs multi-device equivalence (SURVEY.md §4d).
+
+The same grid sharded 1x1 vs 2x4 (etc.) must match to float64 bitwise-level
+tolerance — this replaces the reference's untestable MPI path, and runs on
+the 8 virtual CPU devices forced in conftest.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.core.problem import build_problem
+from crdmodel_tpu.ops.stencil import flat_laplacian, torus_laplacian
+from crdmodel_tpu.parallel.halo import halo_pad
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, balanced_dims, make_mesh
+from crdmodel_tpu.parallel.sharded import (
+    make_local_rhs, make_sharded_simulation_fn, sharded_params, simulate_sharded,
+)
+from crdmodel_tpu.sim import simulate
+from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_balanced_dims():
+    assert balanced_dims(8, 1600, 400) in [(4, 2), (2, 4), (8, 1)]
+    py, px = balanced_dims(8, 1600, 400)
+    assert 1600 % py == 0 and 400 % px == 0
+    with pytest.raises(ValueError):
+        balanced_dims(7, 10, 10)  # 7 divides neither
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 4), (4, 2), (8, 1), (1, 8)])
+def test_halo_pad_matches_wrap(mesh_shape):
+    """shard_map halo_pad must equal single-device jnp.pad(mode='wrap')."""
+    ny, nx = 16, 24
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    mesh = make_mesh(shape=mesh_shape)
+
+    padded_blocks = jax.jit(jax.shard_map(
+        lambda x: halo_pad(x)[None],  # leading axis to carry block identity
+        mesh=mesh, in_specs=P(AXIS_Y, AXIS_X),
+        out_specs=P(None, AXIS_Y, AXIS_X),
+    ))(u)
+    # reconstruct: each device's padded interior must match the wrap-pad of
+    # the full array at its block position
+    want_full = np.pad(np.asarray(u), 1, mode="wrap")
+    py, px = mesh_shape
+    nyl, nxl = ny // py, nx // px
+    got = np.asarray(padded_blocks)
+    # sharded out along py/px on axes 1,2: got has global shape (1, ny+2*py, nx+2*px)
+    for iy in range(py):
+        for ix in range(px):
+            block = got[0, iy * (nyl + 2):(iy + 1) * (nyl + 2),
+                        ix * (nxl + 2):(ix + 1) * (nxl + 2)]
+            u_np = np.asarray(u)
+            interior = u_np[iy * nyl:(iy + 1) * nyl, ix * nxl:(ix + 1) * nxl]
+            np.testing.assert_array_equal(block[1:-1, 1:-1], interior)
+            # halo rows: wrap of global
+            np.testing.assert_array_equal(
+                block[0, 1:-1],
+                u_np[(iy * nyl - 1) % ny, ix * nxl:(ix + 1) * nxl])
+            np.testing.assert_array_equal(
+                block[-1, 1:-1],
+                u_np[((iy + 1) * nyl) % ny, ix * nxl:(ix + 1) * nxl])
+            np.testing.assert_array_equal(
+                block[1:-1, 0],
+                u_np[iy * nyl:(iy + 1) * nyl, (ix * nxl - 1) % nx])
+            np.testing.assert_array_equal(
+                block[1:-1, -1],
+                u_np[iy * nyl:(iy + 1) * nyl, ((ix + 1) * nxl) % nx])
+
+
+@pytest.mark.parametrize("surface,mesh_shape", [
+    ("flat", (2, 4)), ("torus", (2, 4)), ("torus", (8, 1)), ("flat", (1, 8)),
+])
+def test_sharded_rhs_matches_global(surface, mesh_shape):
+    cfg = SimConfig(model="fhn", surface=surface, x_mesh=16,
+                    surface_width=20, surface_length=40, t_boundary=5.0,
+                    vary_beta=1, beta_min=0.7, beta_max=1.7, dtype="float64")
+    p = build_problem(cfg)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal(p.y0.shape))
+    t = jnp.asarray(1.0)
+    want = np.asarray(p.rhs(t, y, p.params))
+
+    mesh = make_mesh(shape=mesh_shape)
+    local_rhs = make_local_rhs(cfg, p.model, p.geometry.kind)
+    params, specs = sharded_params(p)
+    got = jax.jit(jax.shard_map(
+        lambda yy, pp: local_rhs(t, yy, pp),
+        mesh=mesh, in_specs=(P(None, AXIS_Y, AXIS_X), specs),
+        out_specs=P(None, AXIS_Y, AXIS_X),
+    ))(y, params)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("model,surface", [
+    ("fhn", "flat"), ("fhn", "torus"), ("goldbeter", "torus"),
+])
+def test_sharded_simulation_matches_single_device(model, surface):
+    """Full adaptive run on a 2x4 mesh vs the roll-based single-device path.
+    Identical f64 arithmetic order is not guaranteed (psum tree vs jnp.sum),
+    so tolerance is tight-but-not-bitwise."""
+    beta = 1.25 if model == "fhn" else 0.85
+    cfg = SimConfig(model=model, surface=surface, x_mesh=16,
+                    surface_width=20, surface_length=40, beta=beta,
+                    t_final=2.0, output_timestep=2, t_boundary=1.0,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    res1 = simulate(cfg)
+    assert res1.ok
+    res8 = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert res8.ok
+    np.testing.assert_allclose(np.asarray(res8.trajectory),
+                               np.asarray(res1.trajectory),
+                               rtol=1e-9, atol=1e-9)
+    # step-control decisions agree up to psum-vs-sum rounding flips near
+    # err==1 (at most a couple of borderline accepts)
+    assert np.abs(np.asarray(res8.stats.steps)
+                  - np.asarray(res1.stats.steps)).max() <= 2
+
+
+def test_sharded_simulation_with_breakpoint_freeze():
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20, surface_length=80,
+                    t_final=3.0, output_timestep=3, t_boundary=1.7,
+                    vary_beta=1, beta_min=0.7, beta_max=1.7,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    res1 = simulate(cfg)
+    res8 = simulate_sharded(cfg, mesh=make_mesh(shape=(4, 2)))
+    assert res1.ok and res8.ok
+    # the freeze-release interval is a stiff transient: a single
+    # psum-rounding-flipped accept there compounds to ~integrator tolerance;
+    # equivalence holds at the accuracy the tolerances promise (rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res8.trajectory),
+                               np.asarray(res1.trajectory),
+                               rtol=1e-5, atol=1e-6)
