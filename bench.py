@@ -26,6 +26,7 @@ BASELINE_RATE = 5.3688e6  # scripts/measure_baseline.py, this host, 2026-08-16
 
 def main():
     import jax
+    import jax.numpy as jnp
     from crdmodel_tpu.config import config_from_ini
     from crdmodel_tpu.core.problem import build_problem
     from crdmodel_tpu.sim import make_simulation_fn
@@ -35,14 +36,16 @@ def main():
     problem = build_problem(cfg)
     run, _ = make_simulation_fn(problem)
 
-    # compile + warm-up
+    # compile + warm-up (note: on the axon backend block_until_ready is a
+    # no-op — only a device->host transfer synchronises, so timing brackets
+    # a scalar pull)
     traj, stats = run(problem.y0, problem.params)
-    jax.block_until_ready(traj)
     assert np.all(np.asarray(stats.status) == 0), np.asarray(stats.status)
+    float(jnp.sum(traj[-1]))
 
     t0 = time.perf_counter()
     traj, stats = run(problem.y0, problem.params)
-    jax.block_until_ready(traj)
+    float(jnp.sum(traj[-1]))  # sync
     wall = time.perf_counter() - t0
 
     steps = int(np.sum(np.asarray(stats.steps)))

@@ -1,0 +1,191 @@
+"""Command-line interface — the orchestration layer (SURVEY.md L7).
+
+Replaces the reference's four shell scripts (util/ShellScripts/run*.sh: mpirun
+-> plot -> GenTorus -> MapOutputToTorus) with subcommands of one CLI:
+
+  python -m crdmodel_tpu run <ini> --model fhn --surface torus [options]
+  python -m crdmodel_tpu plot <ini> --model ... --dir outputs
+  python -m crdmodel_tpu gentorus <ini>
+  python -m crdmodel_tpu curvature <ini>
+  python -m crdmodel_tpu sweep <ini> --model ... --betas 0.1:1.0:10
+  python -m crdmodel_tpu steadystate <beta>      (SolveGoldbeterODE.py parity)
+
+`run` mirrors the full reference pipeline: banner (C14), progress/ETA (C12),
+reference-format per-rank text files (C11), optional movie + torus mapping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p):
+    p.add_argument("ini", help="reference-format ini file")
+    p.add_argument("--model", choices=["fhn", "goldbeter"], required=True)
+    p.add_argument("--surface", choices=["flat", "torus"], required=True)
+    p.add_argument("--dtype", default=None,
+                   help="float32 (default) or float64")
+    p.add_argument("--method", default=None,
+                   help="bs32 | zonneveld43 | dopri54")
+
+
+def _cfg_from_args(args, **extra):
+    from crdmodel_tpu.config import config_from_ini
+    overrides = dict(extra)
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+    if getattr(args, "method", None):
+        overrides["method"] = args.method
+    return config_from_ini(args.ini, model=args.model, surface=args.surface,
+                           **overrides)
+
+
+def cmd_run(args):
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.io.trajectory import save_npz, write_reference_files
+    from crdmodel_tpu.sim import print_banner, simulate_streaming
+
+    cfg = _cfg_from_args(args)
+    problem = build_problem(cfg)
+    print_banner(cfg, problem)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    res = simulate_streaming(cfg, problem=problem, progress=not args.quiet)
+    print(res.describe())
+
+    write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
+    print(f"   wrote reference-format files to {args.outdir}/")
+    if args.npz:
+        path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
+        save_npz(res, path)
+        print(f"   wrote {path}")
+    if args.plot:
+        from crdmodel_tpu.viz import plot_movie
+        out = plot_movie(res, cfg, args.outdir)
+        print(f"   wrote {len(out['frames'])} frames"
+              + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+    if args.map_torus and cfg.surface == "torus":
+        from crdmodel_tpu.viz import generate_torus_vtp, map_output_to_torus
+        generate_torus_vtp(cfg, args.outdir)
+        pvd = map_output_to_torus(res, args.outdir)
+        print(f"   wrote {pvd}")
+    return 0 if res.ok else 1
+
+
+def cmd_plot(args):
+    from crdmodel_tpu.viz import plot_movie
+    cfg = _cfg_from_args(args)
+    out = plot_movie(args.dir, cfg, args.dir)
+    print(f"wrote {len(out['frames'])} frames"
+          + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+    return 0
+
+
+def cmd_gentorus(args):
+    from crdmodel_tpu.viz import generate_torus_vtp
+    cfg = _cfg_from_args(args)
+    path = generate_torus_vtp(cfg, args.outdir, manual=args.manual)
+    print(f"Saving output to file {path}")
+    return 0
+
+
+def cmd_curvature(args):
+    from crdmodel_tpu.viz import (generate_curvature_coupling_vtp,
+                                  plot_curvature_profiles)
+    cfg = _cfg_from_args(args)
+    path = generate_curvature_coupling_vtp(cfg, args.outdir)
+    print(f"Saving output to file {path}")
+    if args.profiles:
+        p = plot_curvature_profiles(
+            os.path.join(args.outdir, "curvature_profiles.png"))
+        print(f"Saving profiles to {p}")
+    return 0
+
+
+def cmd_sweep(args):
+    from crdmodel_tpu.sweep import sweep_beta
+    cfg = _cfg_from_args(args, vary_beta=0)
+    lo, hi, n = args.betas.split(":")
+    betas = np.linspace(float(lo), float(hi), int(n))
+    res = sweep_beta(cfg, betas)
+    print(f"swept {len(betas)} betas in {res.wall_time:.2f}s "
+          f"({'ok' if res.ok() else 'FAILED'})")
+    if args.npz:
+        np.savez_compressed(args.npz, betas=betas,
+                            trajectories=np.asarray(res.trajectories),
+                            touts=res.touts,
+                            status=np.asarray(res.stats.status))
+        print(f"wrote {args.npz}")
+    return 0 if res.ok() else 1
+
+
+def cmd_steadystate(args):
+    """Parity with util/GoldbeterModel/SolveGoldbeterODE.py's stdout contract:
+    prints `[Zs] [Ys]` (consumed by the reference C++ via fscanf,
+    src/GoldbeterModel_torus.cpp:258)."""
+    from crdmodel_tpu.models import get_model
+    zs, ys = get_model(args.model).steady_state(args.beta)
+    print(f"[{zs}] [{ys}]")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="crdmodel_tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="simulate + write outputs (replaces "
+                       "util/ShellScripts/run*.sh)")
+    _add_model_args(p)
+    p.add_argument("--outdir", default="outputs")
+    p.add_argument("--nprocs-files", type=int, default=1,
+                   help="virtual rank count for reference-format files")
+    p.add_argument("--npz", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--map-torus", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("plot", help="render movie from output files")
+    _add_model_args(p)
+    p.add_argument("--dir", default="outputs")
+    p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("gentorus", help="torus mesh vtp (GenTorus.py)")
+    _add_model_args(p)
+    p.add_argument("--outdir", default=".")
+    p.add_argument("--manual", action="store_true",
+                   help="GenTorusManual.py variant")
+    p.set_defaults(fn=cmd_gentorus)
+
+    p = sub.add_parser("curvature",
+                       help="curvature/coupling vtp (GenCurvatureCoupling.py)")
+    _add_model_args(p)
+    p.add_argument("--outdir", default=".")
+    p.add_argument("--profiles", action="store_true",
+                   help="also plot K/C profiles (PlotGaussianAndCoupling.py)")
+    p.set_defaults(fn=cmd_curvature)
+
+    p = sub.add_parser("sweep", help="vmapped beta sweep (new capability)")
+    _add_model_args(p)
+    p.add_argument("--betas", required=True, metavar="LO:HI:N")
+    p.add_argument("--npz", default=None)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("steadystate",
+                       help="print a model's fixed point: `[Zs] [Ys]`")
+    p.add_argument("beta", type=float)
+    p.add_argument("--model", default="goldbeter",
+                   choices=["fhn", "goldbeter"])
+    p.set_defaults(fn=cmd_steadystate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

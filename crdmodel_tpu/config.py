@@ -84,7 +84,12 @@ class SimConfig:
     # --- framework knobs (no reference counterpart) ---
     dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
     rng_seed: int = 0              # explicit PRNG for ic_type=2 (reference: unseeded rand())
-    use_pallas: bool = True        # fused Pallas RHS when eligible
+    # Fused Pallas step kernel (ops/pallas_step.py). Off by default: on the
+    # canonical 400x1600 grid XLA's own stage fusion (117us/step) currently
+    # beats the kernel (130us kernel + an unfusable accept/reject pass);
+    # measured 2026-08-16, see ops/pallas_step.py docstring. The kernel is
+    # numerics-validated and kept as an alternative backend.
+    use_pallas: bool = False
 
     # ------------------------------------------------------------------
     # Derived geometry. Conventions reproduced exactly from the reference

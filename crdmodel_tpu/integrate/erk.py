@@ -189,11 +189,29 @@ def make_erk_step(tableau: Tableau, rhs: Callable):
     return step
 
 
-def integrate_interval(step, rhs, t0, y0, h_init, err_prev_init, tout, params,
-                       *, rtol, atol, err_order, max_steps,
-                       reduce_fn=jnp.sum, global_size=None,
+def make_default_step_err(tableau: Tableau, rhs: Callable, rtol, atol):
+    """XLA-path step_err(t, y, h, params) -> (y_new, err_ss): one embedded
+    step plus the local sum of squared WRMS-scaled errors. The fused Pallas
+    kernel (ops/pallas_step.py) is a drop-in replacement."""
+    step = make_erk_step(tableau, rhs)
+
+    def step_err(t, y, h, params):
+        y_new, err_vec = step(t, y, h, params)
+        w = 1.0 / (rtol * jnp.abs(y) + atol)
+        scaled = err_vec * w
+        return y_new, jnp.sum(scaled * scaled)
+
+    return step_err
+
+
+def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
+                       *, err_order, max_steps, global_size,
+                       reduce_fn=jnp.sum,
                        first_interval=False, status0=None):
     """Integrate from (t0, y0) to tout with adaptive steps.
+
+    step_err(t, y, h, params) -> (y_new, err_ss) where err_ss is the local
+    sum of squared WRMS-scaled errors (see make_default_step_err).
 
     Returns (t, y, h, err_prev, stats_tuple). All control-flow decisions are
     functions of reduce_fn-global scalars, so under shard_map every device
@@ -214,8 +232,8 @@ def integrate_interval(step, rhs, t0, y0, h_init, err_prev_init, tout, params,
         last = t + h >= tout
         hs = jnp.where(last, tout - t, h)
 
-        y_new, err_vec = step(t, y, hs, params)
-        err = wrms_norm(err_vec, y, rtol, atol, reduce_fn, global_size)
+        y_new, err_ss = step_err(t, y, hs, params)
+        err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
         accept = err <= 1.0
 
@@ -263,12 +281,13 @@ def integrate_interval(step, rhs, t0, y0, h_init, err_prev_init, tout, params,
 def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          rtol, atol, method="bs32", max_steps=200_000,
                          reduce_fn=jnp.sum, global_size=None,
-                         breakpoints=()):
+                         breakpoints=(), step_err=None, y_loop0=None,
+                         capture=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
     touts: 1-D array (static values) of strictly increasing output times
-    (T0 excluded). Returns (traj, stats): traj (len(touts), *y0.shape);
+    (T0 excluded). Returns (traj, stats): traj (len(touts), *capture shape);
     stats arrays per output interval.
 
     breakpoints: static times where the RHS is known to be discontinuous in t
@@ -280,11 +299,23 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     strictly more robust and costs nothing. Breakpoint sub-intervals' step
     counts are attributed to the enclosing output interval.
 
+    Custom loop representations (e.g. the Pallas fused step's lane-padded
+    state): pass step_err (the fused step), y_loop0 (y0 in loop
+    representation), and capture (loop representation -> output snapshot).
+    h0 estimation always runs on the plain y0 via rhs.
+
     Fully jittable; the scan body shares one compiled while_loop.
     """
     tableau = TABLEAUS[method] if isinstance(method, str) else method
-    step = make_erk_step(tableau, rhs)
     dtype = y0.dtype
+    if global_size is None:
+        global_size = y0.size
+    if step_err is None:
+        step_err = make_default_step_err(tableau, rhs, rtol, atol)
+    if y_loop0 is None:
+        y_loop0 = y0
+    if capture is None:
+        capture = lambda y: y
 
     touts_np = np.asarray(touts, dtype=np.float64)
     t0f = float(np.asarray(t0))
@@ -324,16 +355,16 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     def scan_body(carry, tout):
         t, y, h, errp, status = carry
         t, y, h, errp, stats = integrate_interval(
-            step, rhs, t, y, h, errp, tout, seg_params(tout),
-            rtol=rtol, atol=atol, err_order=tableau.err_order,
+            step_err, t, y, h, errp, tout, seg_params(tout),
+            err_order=tableau.err_order,
             max_steps=max_steps, reduce_fn=reduce_fn, global_size=global_size,
             status0=status)
-        return (t, y, h, errp, stats[-1]), (y, *stats)
+        return (t, y, h, errp, stats[-1]), (capture(y), *stats)
 
     errp0 = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0, jnp.int32)
     (_, _, _, _, _), (traj, nstep, nacc, nrej, status) = jax.lax.scan(
-        scan_body, (t0, y0, h0, errp0, zero), jnp.asarray(stop_times, dtype))
+        scan_body, (t0, y_loop0, h0, errp0, zero), jnp.asarray(stop_times, dtype))
 
     if len(stops) != len(touts_np):
         nseg = len(touts_np)

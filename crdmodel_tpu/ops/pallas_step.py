@@ -1,0 +1,300 @@
+"""Fused embedded-ERK step as a single Pallas TPU kernel.
+
+The hot loop of the whole framework. One kernel invocation performs a full
+embedded Runge–Kutta step — every stage's stencil + kinetics, the solution
+update, and the WRMS error-norm partial sums — in one pass over HBM:
+
+  read y (2 fields, + ~1% halo re-reads) -> [VMEM: all stages via temporal
+  row-blocking] -> write y_new (2 fields) + per-strip error partial sums
+
+The XLA path materialises stage tensors and runs a separate norm pass
+(measured ~117us/step on the canonical 400x1600 FHN torus grid vs a ~66us
+single-read-write floor at this chip's measured effective bandwidth).
+
+Temporal blocking: the grid is processed in row strips. A strip loaded with
+P halo rows (P >= number of RHS evaluations) supports all stages entirely in
+VMEM: stage s's values are valid on a region that shrinks by one ring per
+stage, and the strip interior stays valid through the last stage.
+
+Lane alignment: Mosaic requires lane (last-dim) DMA slices to be 128-aligned,
+so the solver state lives in a *persistently lane-padded* representation
+(nvars, ny, nxp): columns = [P wrapped halo | nx physical | P wrapped halo |
+zero fill to nxp], nxp a multiple of 128. Every in-kernel DMA then moves
+full-width rows (always aligned). The kernel refreshes the column halos of
+y_new before writing (two lane-rotates + selects), so the representation is
+closed under steps; `pad`/`unpad` convert at the boundaries of the
+integration loop only. Garbage fill lanes evolve as independent 0-D ODEs
+(bounded for both models), never contaminate the physical region (roll
+pollution travels 1 lane/stage, < P), and are masked out of the error norm.
+
+Row periodicity comes from three in-kernel DMAs per strip with wrapped row
+offsets (top halo / body / bottom halo). All row offsets stay multiples of 8
+(Mosaic sublane alignment) because the strip size and P are multiples of 8.
+
+The per-step freeze decision (absorbing boundary,
+src/FHNmodel_torus.cpp:643-653) is derived from the integration segment
+(params["_seg_end"], see integrate/erk.py breakpoints) — a scalar, since
+segments never straddle the tBoundary discontinuity.
+
+float32 only (TPU f64 is emulated); callers fall back to the XLA path
+otherwise (see is_supported()).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate.erk import Tableau
+
+HALO = 8  # >= stages for every supported tableau; multiple of 8 for alignment
+
+
+def _pick_strip(ny: int, target: int = 256) -> int | None:
+    """Largest divisor of ny <= target that is a multiple of 8 (Mosaic
+    sublane alignment for row slices)."""
+    best = None
+    for s in range(8, min(ny, target) + 1, 8):
+        if ny % s == 0:
+            best = s
+    return best
+
+
+def is_supported(problem, tableau: Tableau, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if tableau.stages > HALO:
+        return False
+    if _pick_strip(problem.cfg.ny) is None:
+        return False
+    return True
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedStep:
+    step_err: Callable   # (t, yp, h, params) -> (ynew_p, err_ss)
+    pad: Callable        # (nvars, ny, nx) -> (nvars, ny, nxp)
+    unpad: Callable      # (nvars, ny, nxp) -> (nvars, ny, nx)
+    nxp: int
+
+
+def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
+    cfg = problem.cfg
+    model = problem.model
+    geometry = problem.geometry
+    nvars = model.nvars
+    ny, nx = cfg.ny, cfg.nx
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = geometry.kind
+
+    a = tableau.a
+    bw = tableau.b
+    d = tableau.b - tableau.bhat
+    n_stages = tableau.stages
+    P = HALO
+    assert n_stages <= P
+    S = _pick_strip(ny)
+    if S is None:
+        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
+    n_strips = ny // S
+    R = S + 2 * P                              # rows resident per strip
+    nxp = ((nx + 2 * P + 127) // 128) * 128    # padded lane width
+
+    def pad_cols(arr):
+        out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
+        fill = nxp - (nx + 2 * P)
+        if fill:
+            padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
+            out = jnp.pad(out, padw)
+        return out
+
+    def unpad_cols(arr):
+        return arr[..., P:P + nx]
+
+    # --- per-problem constant arrays, passed as kernel inputs ---
+    coeffs = geometry.stencil_coeffs(dtype)
+    if kind == "torus":
+        c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
+        c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
+        c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
+        c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
+        c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
+    from crdmodel_tpu.core.problem import beta_field
+    b_arr = beta_field(cfg, dtype)
+    b_is_field = getattr(b_arr, "ndim", 0) == 2
+    if b_is_field:
+        b_np = np.asarray(b_arr)                          # (ny, 1)
+        b_pad = jnp.asarray(
+            np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
+    else:
+        b_pad = jnp.full((1, 1), float(b_arr), dtype)
+
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+    interior = np.ones((ny, 1), dtype=np.float32)
+    interior[0, 0] = 0.0
+    interior[-1, 0] = 0.0
+    m_pad = jnp.asarray(
+        np.concatenate([interior[-P:], interior, interior[:P]], axis=0), dtype)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nx] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+        # three wrapped-row DMAs: top halo | body | bottom halo (full width).
+        # All offsets are multiples of 8 (S, P, ny are), hinted for Mosaic.
+        top_start = pl.multiple_of((row0 - P) % ny, 8)
+        bot_start = pl.multiple_of((row0 + S) % ny, 8)
+        top = pltpu.make_async_copy(
+            y_hbm.at[:, pl.ds(top_start, P), :],
+            yv.at[:, pl.ds(0, P), :], sems.at[0])
+        body = pltpu.make_async_copy(
+            y_hbm.at[:, pl.ds(row0, S), :],
+            yv.at[:, pl.ds(P, S), :], sems.at[1])
+        bot = pltpu.make_async_copy(
+            y_hbm.at[:, pl.ds(bot_start, P), :],
+            yv.at[:, pl.ds(P + S, P), :], sems.at[2])
+        top.start()
+        body.start()
+        bot.start()
+        top.wait()
+        body.wait()
+        bot.wait()
+
+        h = h_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        if kind == "torus":
+            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
+        else:
+            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+
+        def rhs_block(yb):
+            u = yb[0]
+            ue = jnp.roll(u, -1, axis=-1)
+            uw = jnp.roll(u, 1, axis=-1)
+            un = jnp.roll(u, -1, axis=-2)
+            us = jnp.roll(u, 1, axis=-2)
+            if kind == "torus":
+                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                       + cphi * (un - 2.0 * u + us))
+            else:
+                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            if just_diffusion:
+                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+            react = model.kinetics(yb, b_rows)
+            # scatter-free var-0 update (Mosaic has no scatter-add)
+            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]], axis=0)
+            if has_freeze:
+                ydot = ydot * live_rows
+            return ydot
+
+        y0 = yv[:, :, :]
+        ks = []
+        for s in range(n_stages):
+            yi = y0
+            for j in range(s):
+                if a[s, j] != 0.0:
+                    yi = yi + (h * a[s, j]) * ks[j]
+            ks.append(rhs_block(yi))
+
+        ynew = y0
+        err = jnp.zeros_like(y0)
+        for s in range(n_stages):
+            if bw[s] != 0.0:
+                ynew = ynew + (h * bw[s]) * ks[s]
+            if d[s] != 0.0:
+                err = err + (h * d[s]) * ks[s]
+
+        # centre rows; refresh the wrapped column halos so the padded
+        # representation is closed under steps
+        z = ynew[:, P:P + S, :]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
+        zl = jnp.roll(z, -nx, axis=-1)    # left halo j<P wants z[j+nx]
+        zr = jnp.roll(z, nx, axis=-1)     # right halo j>=P+nx wants z[j-nx]
+        z = jnp.where(jcol < P, zl, jnp.where(jcol >= P + nx, zr, z))
+        ynew_ref[:, :, :] = z
+
+        yc = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+        scaled = err[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # y stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_strips, 1), whole
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype),
+        ],
+    )
+
+    def step_err(t, yp, h, params):
+        del t  # stage times only matter through the per-segment freeze flag
+        if has_freeze:
+            seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+            if seg_end is None:
+                fz = jnp.asarray(0.0, dtype)
+            else:
+                fz = (seg_end <= t_boundary).astype(dtype)
+        else:
+            fz = jnp.asarray(0.0, dtype)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b_pad, m_pad, col_mask, yp)
+        return ynew, jnp.sum(ss)
+
+    return FusedStep(step_err=step_err, pad=pad_cols, unpad=unpad_cols,
+                     nxp=nxp)

@@ -64,8 +64,23 @@ def output_times(cfg: SimConfig) -> np.ndarray:
     return touts
 
 
+def _pallas_eligible(cfg) -> bool:
+    if not cfg.use_pallas:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return True
+
+
 def make_simulation_fn(problem: Problem):
-    """Build the jitted end-to-end integration fn(y0, params) -> (traj, stats)."""
+    """Build the jitted end-to-end integration fn(y0, params) -> (traj, stats).
+
+    On TPU with float32 the fused Pallas step kernel (ops/pallas_step.py) is
+    used automatically; anything else takes the XLA roll-based path. Both are
+    the same numerics (validated bitwise on y_new in tests/tpu/)."""
     cfg = problem.cfg
     touts = output_times(cfg)
 
@@ -75,11 +90,24 @@ def make_simulation_fn(problem: Problem):
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = (cfg.t_boundary,)
 
+    fused = None
+    if _pallas_eligible(cfg):
+        from crdmodel_tpu.integrate.erk import TABLEAUS
+        from crdmodel_tpu.ops import pallas_step
+        tableau = TABLEAUS[cfg.method]
+        if pallas_step.is_supported(problem, tableau, jnp.dtype(cfg.dtype)):
+            fused = pallas_step.build_fused_step(problem, tableau,
+                                                 jnp.dtype(cfg.dtype))
+
     def run(y0, params):
+        kw = {}
+        if fused is not None:
+            kw = dict(step_err=fused.step_err, y_loop0=fused.pad(y0),
+                      capture=fused.unpad)
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
-            max_steps=cfg.max_steps, breakpoints=breakpoints)
+            max_steps=cfg.max_steps, breakpoints=breakpoints, **kw)
 
     return jax.jit(run), touts
 
@@ -97,3 +125,131 @@ def simulate(cfg: SimConfig, problem: Optional[Problem] = None,
     return SimResult(
         cfg=cfg, problem=problem, trajectory=full_traj,
         touts=np.concatenate([[0.0], touts]), stats=stats, wall_time=wall)
+
+
+def print_banner(cfg: SimConfig, problem: Problem):
+    """Startup parameter dump (C14 equivalent,
+    reference src/FHNmodel_torus.cpp:246-276)."""
+    print(f"\n2D {cfg.model.upper()} model PDE problem on a {cfg.surface}:")
+    print(f"   nx = {cfg.nx}\n   ny = {cfg.ny}")
+    print(f"   Diff = {cfg.diffusion}")
+    print(f"   Tfinal = {cfg.t_final}")
+    print(f"   Output timesteps = {cfg.output_timestep}")
+    if cfg.surface == "torus":
+        print(f"   Major circumference = {cfg.surface_length}")
+        print(f"   Minor circumference = {cfg.surface_width}")
+    else:
+        print(f"   Surface length = {cfg.surface_length}")
+        print(f"   Surface width = {cfg.surface_width}")
+    print(f"   Absorbing boundary turn off time = {cfg.t_boundary}")
+    print(f"   Wavelength = {cfg.wave_length * 100:g}%")
+    print(f"   Wavewidth = {cfg.wave_width * 100:g}%")
+    print(f"   rtol = {cfg.rtol}\n   atol = {cfg.atol}")
+    print(f"   method = {cfg.method}, dtype = {cfg.dtype}")
+    print(f"   Include all variables in output = {cfg.include_all_vars}")
+    if cfg.just_diffusion:
+        print("   Diffusion Only")
+    elif cfg.vary_beta:
+        print(f"   Beta varied over surface [{cfg.beta_min}, {cfg.beta_max}]")
+    else:
+        s = ", ".join(f"{v:g}" for v in problem.steady_state)
+        print(f"   Beta = {cfg.beta}\n   Stable state values: {s}")
+    print()
+
+
+def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
+                       on_snapshot=None, progress: bool = False) -> SimResult:
+    """Interval-by-interval driver: one device dispatch per output interval,
+    invoking `on_snapshot(k, y_np)` after each (for incremental file writes,
+    like the reference's per-step fprintf loop) and printing the reference's
+    `%% | elapsed | remaining` progress line (C12 equivalent,
+    src/FHNmodel_torus.cpp:457-477) when progress=True.
+    """
+    from crdmodel_tpu.integrate.erk import (
+        SolveStats, TABLEAUS, _initial_step, integrate_interval,
+        make_default_step_err, wrms_norm)
+
+    problem = problem if problem is not None else build_problem(cfg)
+    touts = output_times(cfg)
+    tableau = TABLEAUS[cfg.method]
+    dtype = jnp.dtype(cfg.dtype)
+
+    breakpoints = []
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        breakpoints = [cfg.t_boundary]
+    stops = sorted({(float(t), True) for t in touts}
+                   | {(float(b), False) for b in breakpoints
+                      if 0.0 < b < touts[-1]
+                      and not any(np.isclose(b, t) for t in touts)})
+
+    step_err = make_default_step_err(tableau, problem.rhs, cfg.rtol, cfg.atol)
+
+    @jax.jit
+    def one_interval(t, y, h, errp, status, tout):
+        params = {**problem.params, "_seg_end": tout}
+        return integrate_interval(
+            step_err, t, y, h, errp, tout, params,
+            err_order=tableau.err_order, max_steps=cfg.max_steps,
+            global_size=y.size, status0=status)
+
+    @jax.jit
+    def h0_fn(y):
+        t0 = jnp.asarray(0.0, dtype)
+        params = {**problem.params, "_seg_end": jnp.asarray(stops[0][0], dtype)}
+        f0 = problem.rhs(t0, y, params)
+        return _initial_step(problem.rhs, t0, y, f0, params,
+                             jnp.asarray(stops[0][0], dtype),
+                             cfg.rtol, cfg.atol, tableau.err_order,
+                             jnp.sum, y.size)
+
+    t_start = time.perf_counter()
+    y = problem.y0
+    t = jnp.asarray(0.0, dtype)
+    h = h0_fn(y)
+    errp = jnp.asarray(1.0, dtype)
+    status = jnp.asarray(0, jnp.int32)
+
+    if on_snapshot is not None:
+        on_snapshot(0, np.asarray(y))
+
+    snaps = [y]
+    nt = len(touts)
+    stats_acc = {k: np.zeros(nt, dtype=np.int64)
+                 for k in ("steps", "accepted", "rejected", "status")}
+    k_out = 0
+    for stop, is_out in stops:
+        t, y, h, errp, (ns, na, nr, status) = one_interval(
+            t, y, h, errp, status, jnp.asarray(stop, dtype))
+        stats_acc["steps"][k_out] += int(ns)
+        stats_acc["accepted"][k_out] += int(na)
+        stats_acc["rejected"][k_out] += int(nr)
+        stats_acc["status"][k_out] = max(stats_acc["status"][k_out],
+                                         int(status))
+        if not is_out:
+            continue
+        snaps.append(y)
+        if on_snapshot is not None:
+            on_snapshot(k_out + 1, np.asarray(y))
+        if progress:
+            elapsed = time.perf_counter() - t_start
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
+                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
+                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
+                  f"remaining", end="", flush=True)
+        if int(status) != 0:
+            print("\nSolver failure, stopping integration")
+            break
+        k_out += 1
+    if progress:
+        print("\n   ----------------------")
+
+    wall = time.perf_counter() - t_start
+    traj = jnp.stack(snaps)
+    stats = SolveStats(steps=jnp.asarray(stats_acc["steps"]),
+                       accepted=jnp.asarray(stats_acc["accepted"]),
+                       rejected=jnp.asarray(stats_acc["rejected"]),
+                       status=jnp.asarray(stats_acc["status"]))
+    return SimResult(cfg=cfg, problem=problem, trajectory=traj,
+                     touts=np.concatenate([[0.0], touts[:traj.shape[0] - 1]]),
+                     stats=stats, wall_time=wall)

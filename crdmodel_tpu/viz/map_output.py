@@ -1,0 +1,81 @@
+"""Map simulation output onto the 3D torus surface (P7/P8 equivalents).
+
+Replaces util/FHNmodel/MapOutputToTorus.py and
+util/GoldbeterModel/MapOutputToTorus.py (the FHN one ships with a syntax
+error at line 58 and cannot run as-is): per output step, attach the field as
+named per-cell arrays on the parametric torus mesh, write
+<prefix>/<prefix>_NNN.vtp and a <collection>.pvd ParaView collection.
+
+Array names match the reference exactly:
+  FHN:       "Activator", "Inhibitor", "Hopf Bifurcations"
+  Goldbeter: "Cytosolic Calcium", "Calcium in Stores", "Hopf Bifurcations"
+(util/FHNmodel/MapOutputToTorus.py:157-191,
+ util/GoldbeterModel/MapOutputToTorus.py:156-198)
+
+Because the mesh is generated parametrically (torus_mesh.py), the cell ->
+grid-sample association is exact by construction instead of the reference's
+per-cell-centre nearest-neighbour search; the Hopf marker keeps the
+reference's |phi - phi_hopf| < 0.01 tolerance band.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from crdmodel_tpu.viz.plots import hopf_positions
+from crdmodel_tpu.viz.torus_mesh import torus_mesh
+from crdmodel_tpu.viz.vtp import write_pvd, write_vtp
+
+ARRAY_NAMES = {
+    "fhn": ("Activator", "Inhibitor"),
+    "goldbeter": ("Cytosolic Calcium", "Calcium in Stores"),
+}
+STEP_PREFIX = {"fhn": "FHNstep", "goldbeter": "GBstep"}
+PVD_NAME = {"fhn": "FHNtimeSteps.pvd", "goldbeter": "GBtimeSteps.pvd"}
+
+
+def map_output_to_torus(result, outdir: str = ".",
+                        mesh_nx: Optional[int] = None) -> str:
+    """result: SimResult of a torus run. Writes step vtps + pvd; returns the
+    pvd path."""
+    cfg = result.cfg
+    if cfg.surface != "torus":
+        raise ValueError("map_output_to_torus needs a torus run")
+    mesh_nx = mesh_nx or cfg.nx
+    mesh_ny = int(mesh_nx * cfg.major_radius / cfg.minor_radius)
+    pts, tris, cell_rc = torus_mesh(cfg.major_radius, cfg.minor_radius,
+                                    mesh_nx, mesh_ny)
+    # grid sample indices for each cell (mesh resolution may differ from the
+    # field grid: map proportionally, the reference's rc rounding)
+    rows = np.minimum((cell_rc[:, 0] * cfg.ny) // mesh_ny, cfg.ny - 1)
+    cols = np.minimum((cell_rc[:, 1] * cfg.nx) // mesh_nx, cfg.nx - 1)
+
+    main_name, second_name = ARRAY_NAMES[cfg.model]
+    prefix = STEP_PREFIX[cfg.model]
+    stepdir = os.path.join(outdir, prefix)
+    os.makedirs(stepdir, exist_ok=True)
+
+    hopf_arr = None
+    if cfg.vary_beta:
+        ph_cells = 2 * np.pi * (cell_rc[:, 0] + 0.5) / mesh_ny
+        hopf_arr = np.zeros(len(cell_rc))
+        for y in hopf_positions(cfg):
+            hopf_arr[np.abs(ph_cells - y) < 0.01] = 1.0
+
+    traj = np.asarray(result.trajectory)
+    nt = traj.shape[0]
+    files = {}
+    for k in range(nt):
+        cell_data = {main_name: traj[k, 0][rows, cols]}
+        if cfg.include_all_vars:
+            cell_data[second_name] = traj[k, 1][rows, cols]
+        if hopf_arr is not None:
+            cell_data["Hopf Bifurcations"] = hopf_arr
+        rel = os.path.join(prefix, f"{prefix}_{k:03d}.vtp")
+        write_vtp(os.path.join(outdir, rel), pts, tris, cell_data=cell_data)
+        time = (k / nt) * cfg.t_final
+        files[time] = rel
+    return write_pvd(os.path.join(outdir, PVD_NAME[cfg.model]), files)

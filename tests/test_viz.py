@@ -1,0 +1,130 @@
+"""Visualization layer tests: mesh geometry, vtp round trip, movies,
+curvature formulas vs the reference's math."""
+
+import os
+
+import numpy as np
+import pytest
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.sim import simulate
+from crdmodel_tpu.viz import (
+    coupling_strength, gaussian_curvature, generate_curvature_coupling_vtp,
+    generate_torus_vtp, hopf_positions, map_output_to_torus, plot_movie,
+    read_vtp, torus_mesh, write_pvd, write_vtp,
+)
+from crdmodel_tpu.viz.torus_mesh import xyz_to_angles
+
+
+def _torus_cfg(**kw):
+    base = dict(model="fhn", surface="torus", x_mesh=12, surface_width=20,
+                surface_length=40, t_final=0.5, output_timestep=2,
+                dtype="float64", rtol=1e-6)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_torus_mesh_geometry():
+    R, r = 40 / (2 * np.pi), 20 / (2 * np.pi)
+    pts, tris, cell_rc = torus_mesh(R, r, 8, 16)
+    assert pts.shape == (8 * 16, 3)
+    assert tris.shape == (2 * 8 * 16, 3)
+    # every point is exactly on the torus surface
+    rho = np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2) - R
+    d = np.sqrt(rho ** 2 + pts[:, 2] ** 2)
+    np.testing.assert_allclose(d, r, rtol=1e-12)
+    # angles round-trip
+    phi, theta = xyz_to_angles(pts, R, r)
+    k = 3 * 8 + 5  # j=3, i=5
+    assert np.isclose(theta[k], 2 * np.pi * 5 / 8)
+    assert np.isclose(phi[k], 2 * np.pi * 3 / 16)
+    # triangle indices valid, every cell has a grid sample
+    assert tris.max() < len(pts) and tris.min() >= 0
+    assert cell_rc.shape == (len(tris), 2)
+
+
+def test_vtp_roundtrip(tmp_path):
+    pts, tris, _ = torus_mesh(2.0, 0.5, 6, 8)
+    data = {"Activator": np.arange(len(tris), dtype=float)}
+    path = write_vtp(str(tmp_path / "t.vtp"), pts, tris, cell_data=data)
+    p2, t2, cd = read_vtp(path)
+    np.testing.assert_allclose(p2, pts, rtol=1e-15)
+    np.testing.assert_array_equal(t2, tris)
+    np.testing.assert_array_equal(cd["Activator"], data["Activator"])
+
+
+def test_generate_torus_vtp_filename(tmp_path):
+    cfg = _torus_cfg()
+    path = generate_torus_vtp(cfg, str(tmp_path))
+    # reference naming: torus_R<L>_r<W>_mesh<nx>.vtp (util/GenTorus.py:54)
+    assert os.path.basename(path) == "torus_R40_r20_mesh12.vtp"
+    assert os.path.exists(path)
+
+
+def test_hopf_positions():
+    cfg = _torus_cfg(vary_beta=1, beta_min=0.7, beta_max=1.7)
+    (h,) = hopf_positions(cfg)
+    # (1-0.7)*2pi/(1.7-0.7) (plot_FHNmodel_torus.py:95)
+    assert np.isclose(h, 0.3 * 2 * np.pi)
+    gb = SimConfig(model="goldbeter", surface="torus", x_mesh=12,
+                   surface_width=20, surface_length=40, vary_beta=1,
+                   beta_min=0.0, beta_max=1.0)
+    hs = hopf_positions(gb)
+    np.testing.assert_allclose(hs, [0.289 * 2 * np.pi, 0.774 * 2 * np.pi])
+
+
+def test_plot_movie_frames(tmp_path):
+    cfg = _torus_cfg()
+    res = simulate(cfg)
+    out = plot_movie(res, cfg, str(tmp_path))
+    assert len(out["frames"]) == 3  # IC + 2 outputs
+    assert all(os.path.exists(f) for f in out["frames"])
+
+
+def test_map_output_to_torus(tmp_path):
+    cfg = _torus_cfg(include_all_vars=1, vary_beta=1, beta_min=0.7,
+                     beta_max=1.7)
+    res = simulate(cfg)
+    pvd = map_output_to_torus(res, str(tmp_path))
+    assert os.path.basename(pvd) == "FHNtimeSteps.pvd"
+    step0 = os.path.join(str(tmp_path), "FHNstep", "FHNstep_000.vtp")
+    pts, tris, cd = read_vtp(step0)
+    assert set(cd) == {"Activator", "Inhibitor", "Hopf Bifurcations"}
+    # IC for varyBeta FHN is all ones (src/FHNmodel_torus.cpp:349-352)
+    np.testing.assert_allclose(cd["Activator"], 1.0)
+    # the +-0.01 Hopf band (reference tolerance,
+    # util/FHNmodel/MapOutputToTorus.py:180) may miss every cell centre on a
+    # coarse test mesh — values must still be clean 0/1 flags
+    assert set(np.unique(cd["Hopf Bifurcations"])) <= {0.0, 1.0}
+    assert "DataSet" in open(pvd).read()
+
+
+def test_curvature_formulas():
+    r, R = 20 / (2 * np.pi), 80 / (2 * np.pi)
+    th = np.array([0.0, np.pi / 2, np.pi])
+    K = gaussian_curvature(th, r, R)
+    # outer equator positive, top zero, inner negative
+    assert K[0] > 0 and abs(K[1]) < 1e-12 and K[2] < 0
+    np.testing.assert_allclose(K[0], 1.0 / (r * (R + r)))
+    # coupling strength: direct transcription of PTtoETA + C formula
+    a = np.sqrt(R ** 2 - r ** 2)
+    eta = np.arctanh(a / R)
+    for t in th:
+        arg = R / r - a ** 2 / (r * (R + r * np.cos(t)))
+        ti = np.arccos(np.clip(arg, -1, 1))
+        want = 10 * (np.cosh(eta) - np.cos(ti)) ** 2 / a ** 2
+        np.testing.assert_allclose(coupling_strength(t, r, R), want)
+
+
+def test_curvature_vtp(tmp_path):
+    cfg = _torus_cfg()
+    path = generate_curvature_coupling_vtp(cfg, str(tmp_path))
+    assert os.path.basename(path) == "CurvatureCoupling_torus_R40_r20_mesh12.vtp"
+    _, _, cd = read_vtp(path)
+    assert set(cd) == {"Gaussian Curvature", "Coupling Strength"}
+
+
+def test_curvature_profile_plot(tmp_path):
+    from crdmodel_tpu.viz import plot_curvature_profiles
+    p = plot_curvature_profiles(str(tmp_path / "profiles.png"))
+    assert os.path.exists(p)
