@@ -35,6 +35,8 @@ def _add_model_args(p):
 
 def _cfg_from_args(args, **extra):
     from crdmodel_tpu.config import config_from_ini
+    if not os.path.exists(args.ini):
+        sys.exit(f"error: config file not found: {args.ini}")
     overrides = dict(extra)
     if args.dtype:
         overrides["dtype"] = args.dtype
@@ -59,6 +61,10 @@ def cmd_run(args):
 
     write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
     print(f"   wrote reference-format files to {args.outdir}/")
+    from crdmodel_tpu.utils import RunManifest
+    mpath = RunManifest.from_result(res).save(
+        os.path.join(args.outdir, f"{cfg.program_name}_manifest.json"))
+    print(f"   wrote {mpath}")
     if args.npz:
         path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
         save_npz(res, path)

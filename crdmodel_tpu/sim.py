@@ -158,12 +158,19 @@ def print_banner(cfg: SimConfig, problem: Problem):
 
 
 def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
-                       on_snapshot=None, progress: bool = False) -> SimResult:
+                       on_snapshot=None, progress: bool = False,
+                       checkpoint_every: Optional[int] = None,
+                       checkpoint_path: Optional[str] = None,
+                       _resume: Optional[dict] = None) -> SimResult:
     """Interval-by-interval driver: one device dispatch per output interval,
     invoking `on_snapshot(k, y_np)` after each (for incremental file writes,
     like the reference's per-step fprintf loop) and printing the reference's
     `%% | elapsed | remaining` progress line (C12 equivalent,
     src/FHNmodel_torus.cpp:457-477) when progress=True.
+
+    checkpoint_every=N writes a resumable checkpoint to checkpoint_path
+    after every N output intervals (io/checkpoint.py); _resume is the loaded
+    checkpoint dict (use io.checkpoint.resume_streaming).
     """
     from crdmodel_tpu.integrate.erk import (
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
@@ -203,21 +210,42 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                              jnp.sum, y.size)
 
     t_start = time.perf_counter()
-    y = problem.y0
-    t = jnp.asarray(0.0, dtype)
-    h = h0_fn(y)
-    errp = jnp.asarray(1.0, dtype)
+    nt = len(touts)
+    if _resume is not None:
+        k_start = int(_resume["k_out"])
+        y = jnp.asarray(_resume["y"], dtype)
+        t = jnp.asarray(float(_resume["t"]), dtype)
+        h = jnp.asarray(float(_resume["h"]), dtype)
+        errp = jnp.asarray(float(_resume["err_prev"]), dtype)
+        snaps = [jnp.asarray(s, dtype) for s in _resume["snapshots"]]
+        stats_acc = {k: np.array(_resume[f"stats_{k}"], dtype=np.int64)
+                     for k in ("steps", "accepted", "rejected", "status")}
+    else:
+        k_start = 0
+        y = problem.y0
+        t = jnp.asarray(0.0, dtype)
+        h = h0_fn(y)
+        errp = jnp.asarray(1.0, dtype)
+        snaps = [y]
+        stats_acc = {k: np.zeros(nt, dtype=np.int64)
+                     for k in ("steps", "accepted", "rejected", "status")}
+        if on_snapshot is not None:
+            on_snapshot(0, np.asarray(y))
     status = jnp.asarray(0, jnp.int32)
 
-    if on_snapshot is not None:
-        on_snapshot(0, np.asarray(y))
+    def maybe_checkpoint(k_done):
+        if checkpoint_every and checkpoint_path and \
+                k_done % checkpoint_every == 0 and k_done < nt:
+            from crdmodel_tpu.io.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, cfg, k_done, np.asarray(y),
+                            float(t), float(h), float(errp),
+                            np.stack([np.asarray(s) for s in snaps]),
+                            stats_acc)
 
-    snaps = [y]
-    nt = len(touts)
-    stats_acc = {k: np.zeros(nt, dtype=np.int64)
-                 for k in ("steps", "accepted", "rejected", "status")}
-    k_out = 0
+    k_out = k_start
     for stop, is_out in stops:
+        if float(stop) <= float(t):
+            continue
         t, y, h, errp, (ns, na, nr, status) = one_interval(
             t, y, h, errp, status, jnp.asarray(stop, dtype))
         stats_acc["steps"][k_out] += int(ns)
@@ -230,6 +258,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         snaps.append(y)
         if on_snapshot is not None:
             on_snapshot(k_out + 1, np.asarray(y))
+        maybe_checkpoint(k_out + 1)
         if progress:
             elapsed = time.perf_counter() - t_start
             eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)

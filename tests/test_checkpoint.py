@@ -1,0 +1,59 @@
+"""Checkpoint/resume tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.io.checkpoint import (
+    config_fingerprint, load_checkpoint, resume_streaming,
+)
+from crdmodel_tpu.sim import simulate_streaming
+
+
+def _cfg(**kw):
+    base = dict(model="fhn", surface="torus", x_mesh=12, surface_width=20,
+                surface_length=40, t_final=1.0, output_timestep=4,
+                beta=1.25, t_boundary=0.3, dtype="float64",
+                rtol=1e-6, atol=1e-10)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_fingerprint_sensitivity():
+    cfg = _cfg()
+    assert config_fingerprint(cfg) == config_fingerprint(_cfg())
+    assert config_fingerprint(cfg) != config_fingerprint(_cfg(beta=1.3))
+    # non-physics knobs don't change the fingerprint
+    assert config_fingerprint(cfg) == config_fingerprint(
+        dataclasses.replace(cfg, use_pallas=True))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    cfg = _cfg()
+    full = simulate_streaming(cfg)
+    assert full.ok
+
+    # checkpoint_every=2 with nt=4 writes a single mid-run checkpoint at k=2
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+    data = load_checkpoint(ck, cfg)
+    assert int(data["k_out"]) == 2
+    assert data["snapshots"].shape[0] == 3  # IC + 2 outputs
+
+    # resume (as if the original run had crashed after k=2) and finish
+    res = resume_streaming(cfg, ck)
+    assert res.ok
+    assert res.trajectory.shape[0] == full.trajectory.shape[0]
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_resume_refuses_wrong_config(tmp_path):
+    cfg = _cfg()
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+    with pytest.raises(ValueError, match="different problem"):
+        resume_streaming(_cfg(beta=0.5), ck)
