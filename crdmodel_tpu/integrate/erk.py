@@ -190,28 +190,75 @@ def make_erk_step(tableau: Tableau, rhs: Callable):
 
 
 def make_default_step_err(tableau: Tableau, rhs: Callable, rtol, atol):
-    """XLA-path step_err(t, y, h, params) -> (y_new, err_ss): one embedded
-    step plus the local sum of squared WRMS-scaled errors. The fused Pallas
-    kernel (ops/pallas_step.py) is a drop-in replacement."""
-    step = make_erk_step(tableau, rhs)
+    """XLA-path stepper: (step_err, init_carry).
 
-    def step_err(t, y, h, params):
-        y_new, err_vec = step(t, y, h, params)
-        w = 1.0 / (rtol * jnp.abs(y) + atol)
-        scaled = err_vec * w
-        return y_new, jnp.sum(scaled * scaled)
+      step_err(t, y, h, params, carry) -> (y_new, err_ss, new_carry)
+      init_carry(t, y, params) -> carry
 
-    return step_err
+    err_ss is the local sum of squared WRMS-scaled errors. For FSAL tableaus
+    (BS3(2), DOPRI5(4): last stage row equals b, c_s = 1) the carry holds
+    f(t, y) — the previous accepted step's final stage — eliminating one RHS
+    evaluation per step (25% of BS3's stage work). The integrate loop keeps
+    the old carry on rejected steps, where (t, y) are unchanged and the
+    cached stage stays valid. The fused Pallas kernel (ops/pallas_step.py)
+    uses an empty carry.
+    """
+    s = tableau.stages
+    a, b, c = tableau.a, tableau.b, tableau.c
+    d = tableau.b - tableau.bhat
+    fsal = tableau.fsal
+
+    def _stages(t, y, h, params, k1):
+        ks = [k1]
+        for i in range(1, s):
+            yi = y
+            for j in range(i):
+                if a[i, j] != 0.0:
+                    yi = yi + (h * a[i, j]) * ks[j]
+            ks.append(rhs(t + c[i] * h, yi, params))
+        y_new = y
+        err = jnp.zeros_like(y)
+        for i in range(s):
+            if b[i] != 0.0:
+                y_new = y_new + (h * b[i]) * ks[i]
+            if d[i] != 0.0:
+                err = err + (h * d[i]) * ks[i]
+        return y_new, err, ks[-1]
+
+    if fsal:
+        def init_carry(t, y, params):
+            return rhs(t, y, params)
+
+        def step_err(t, y, h, params, carry):
+            y_new, err_vec, k_last = _stages(t, y, h, params, carry)
+            w = 1.0 / (rtol * jnp.abs(y) + atol)
+            scaled = err_vec * w
+            return y_new, jnp.sum(scaled * scaled), k_last
+    else:
+        def init_carry(t, y, params):
+            return ()
+
+        def step_err(t, y, h, params, carry):
+            k1 = rhs(t, y, params)
+            y_new, err_vec, _ = _stages(t, y, h, params, k1)
+            w = 1.0 / (rtol * jnp.abs(y) + atol)
+            scaled = err_vec * w
+            return y_new, jnp.sum(scaled * scaled), ()
+
+    return step_err, init_carry
 
 
 def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
                        *, err_order, max_steps, global_size,
-                       reduce_fn=jnp.sum,
+                       reduce_fn=jnp.sum, carry0=(),
                        first_interval=False, status0=None):
     """Integrate from (t0, y0) to tout with adaptive steps.
 
-    step_err(t, y, h, params) -> (y_new, err_ss) where err_ss is the local
-    sum of squared WRMS-scaled errors (see make_default_step_err).
+    step_err(t, y, h, params, carry) -> (y_new, err_ss, new_carry) where
+    err_ss is the local sum of squared WRMS-scaled errors (see
+    make_default_step_err) and carry is the stepper's cross-step cache (FSAL
+    stage). The loop keeps the old carry on rejected steps — (t, y) are
+    unchanged there, so a cached f(t, y) stays valid.
 
     Returns (t, y, h, err_prev, stats_tuple). All control-flow decisions are
     functions of reduce_fn-global scalars, so under shard_map every device
@@ -223,16 +270,16 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     inv_q = 1.0 / float(err_order)
     eps = float(jnp.finfo(dtype).eps)
 
-    def cond(carry):
-        t, y, h, errp, nstep, nacc, nrej, status = carry
+    def cond(state):
+        t, y, h, errp, fc, nstep, nacc, nrej, status = state
         return (t < tout) & (status == 0) & (nstep < max_steps)
 
-    def body(carry):
-        t, y, h, errp, nstep, nacc, nrej, status = carry
+    def body(state):
+        t, y, h, errp, fc, nstep, nacc, nrej, status = state
         last = t + h >= tout
         hs = jnp.where(last, tout - t, h)
 
-        y_new, err_ss = step_err(t, y, hs, params)
+        y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
         err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
         accept = err <= 1.0
@@ -254,13 +301,15 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
         t_next = jnp.where(accept, jnp.where(last, tout, t + hs), t)
         y_next = jnp.where(accept, y_new, y)
         errp_next = jnp.where(accept, jnp.maximum(err_c, 1e-10), errp)
+        fc_next = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), fc_new, fc)
 
         # dt underflow: step no longer advances time
         hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
         status_next = jnp.where((~accept) & (h_next < hmin),
                                 jnp.asarray(2, jnp.int32), status)
 
-        return (t_next, y_next, h_next, errp_next,
+        return (t_next, y_next, h_next, errp_next, fc_next,
                 nstep + 1,
                 nacc + accept.astype(jnp.int32),
                 nrej + (~accept).astype(jnp.int32),
@@ -268,10 +317,10 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 
     zero = jnp.asarray(0, jnp.int32)
     s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
-    carry0 = (t0.astype(dtype), y0, h_init.astype(dtype),
-              err_prev_init.astype(dtype), zero, zero, zero, s0)
-    t, y, h, errp, nstep, nacc, nrej, status = jax.lax.while_loop(
-        cond, body, carry0)
+    state0 = (t0.astype(dtype), y0, h_init.astype(dtype),
+              err_prev_init.astype(dtype), carry0, zero, zero, zero, s0)
+    t, y, h, errp, _, nstep, nacc, nrej, status = jax.lax.while_loop(
+        cond, body, state0)
     # max-steps exhaustion without reaching tout
     status = jnp.where((t < tout) & (status == 0), jnp.asarray(1, jnp.int32),
                        status)
@@ -281,8 +330,8 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          rtol, atol, method="bs32", max_steps=200_000,
                          reduce_fn=jnp.sum, global_size=None,
-                         breakpoints=(), step_err=None, y_loop0=None,
-                         capture=None):
+                         breakpoints=(), step_err=None, init_carry=None,
+                         y_loop0=None, capture=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -311,7 +360,9 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     if global_size is None:
         global_size = y0.size
     if step_err is None:
-        step_err = make_default_step_err(tableau, rhs, rtol, atol)
+        step_err, init_carry = make_default_step_err(tableau, rhs, rtol, atol)
+    elif init_carry is None:
+        init_carry = lambda t, y, params: ()
     if y_loop0 is None:
         y_loop0 = y0
     if capture is None:
@@ -354,9 +405,13 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
 
     def scan_body(carry, tout):
         t, y, h, errp, status = carry
+        p = seg_params(tout)
+        # fresh stepper cache per segment: the RHS may differ across a
+        # breakpoint (freeze release), invalidating a cached FSAL stage
+        fc0 = init_carry(t, y, p)
         t, y, h, errp, stats = integrate_interval(
-            step_err, t, y, h, errp, tout, seg_params(tout),
-            err_order=tableau.err_order,
+            step_err, t, y, h, errp, tout, p,
+            err_order=tableau.err_order, carry0=fc0,
             max_steps=max_steps, reduce_fn=reduce_fn, global_size=global_size,
             status0=status)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)

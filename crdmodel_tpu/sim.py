@@ -102,8 +102,10 @@ def make_simulation_fn(problem: Problem):
     def run(y0, params):
         kw = {}
         if fused is not None:
-            kw = dict(step_err=fused.step_err, y_loop0=fused.pad(y0),
-                      capture=fused.unpad)
+            kw = dict(
+                step_err=lambda t, y, h, p, carry:
+                    (*fused.step_err(t, y, h, p), ()),
+                y_loop0=fused.pad(y0), capture=fused.unpad)
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
@@ -189,15 +191,17 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                       if 0.0 < b < touts[-1]
                       and not any(np.isclose(b, t) for t in touts)})
 
-    step_err = make_default_step_err(tableau, problem.rhs, cfg.rtol, cfg.atol)
+    step_err, init_carry = make_default_step_err(
+        tableau, problem.rhs, cfg.rtol, cfg.atol)
 
     @jax.jit
     def one_interval(t, y, h, errp, status, tout):
         params = {**problem.params, "_seg_end": tout}
+        fc0 = init_carry(t, y, params)
         return integrate_interval(
             step_err, t, y, h, errp, tout, params,
             err_order=tableau.err_order, max_steps=cfg.max_steps,
-            global_size=y.size, status0=status)
+            global_size=y.size, carry0=fc0, status0=status)
 
     @jax.jit
     def h0_fn(y):
