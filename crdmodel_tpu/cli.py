@@ -56,7 +56,20 @@ def cmd_run(args):
     print_banner(cfg, problem)
     os.makedirs(args.outdir, exist_ok=True)
 
-    res = simulate_streaming(cfg, problem=problem, progress=not args.quiet)
+    if args.devices and args.devices > 1:
+        from crdmodel_tpu.parallel.sharded import simulate_sharded
+        res = simulate_sharded(cfg, n_devices=args.devices, problem=problem)
+    elif args.resume:
+        from crdmodel_tpu.io.checkpoint import resume_streaming
+        res = resume_streaming(cfg, args.resume, problem=problem,
+                               progress=not args.quiet,
+                               checkpoint_every=args.checkpoint_every,
+                               checkpoint_path=args.checkpoint)
+    else:
+        res = simulate_streaming(cfg, problem=problem,
+                                 progress=not args.quiet,
+                                 checkpoint_every=args.checkpoint_every,
+                                 checkpoint_path=args.checkpoint)
     print(res.describe())
 
     write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
@@ -154,6 +167,14 @@ def main(argv=None):
     p.add_argument("--plot", action="store_true")
     p.add_argument("--map-torus", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the run over N devices (2D spatial mesh)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file path (with --checkpoint-every)")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   metavar="N", help="checkpoint every N output intervals")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint file")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("plot", help="render movie from output files")
