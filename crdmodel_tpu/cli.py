@@ -145,10 +145,15 @@ def cmd_sweep(args):
 def cmd_steadystate(args):
     """Parity with util/GoldbeterModel/SolveGoldbeterODE.py's stdout contract:
     prints `[Zs] [Ys]` (consumed by the reference C++ via fscanf,
-    src/GoldbeterModel_torus.cpp:258)."""
+    src/GoldbeterModel_torus.cpp:258). --plot adds the script's two-panel
+    trajectory figure."""
     from crdmodel_tpu.models import get_model
     zs, ys = get_model(args.model).steady_state(args.beta)
     print(f"[{zs}] [{ys}]")
+    if args.plot:
+        from crdmodel_tpu.models.ode_tools import plot_model_ode
+        p = plot_model_ode(args.model, args.beta, args.plot)
+        print(f"Saving trajectories to {p}", file=sys.stderr)
     return 0
 
 
@@ -208,6 +213,8 @@ def main(argv=None):
     p.add_argument("beta", type=float)
     p.add_argument("--model", default="goldbeter",
                    choices=["fhn", "goldbeter"])
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="also render the 0-D trajectory figure")
     p.set_defaults(fn=cmd_steadystate)
 
     args = ap.parse_args(argv)
