@@ -106,10 +106,16 @@ DOPRI54 = _tab(
 
 TABLEAUS = {"bs32": BS32, "zonneveld43": ZONNEVELD43, "dopri54": DOPRI54}
 
-# controller constants (PI controller, Gustafsson/Hairer-style)
-SAFETY = 0.9
-PI_KI = 0.7     # exponent on current error (divided by err_order)
-PI_KP = 0.4     # exponent on previous error (divided by err_order)
+# step-size controller: ARKode's default PID with its constants
+# (k1=0.58, k2=0.21, k3=0.1, bias=1.5, safety=0.96) — matching the
+# reference's controller equilibrium (err ~ 0.5) so step counts track
+# ARKode's instead of over-resolving (a plain PI(0.7,0.4) with safety 0.9
+# equilibrates at err ~ 0.35, ~13% more steps for accuracy nobody asked for)
+SAFETY = 0.96
+PID_K1 = 0.58
+PID_K2 = 0.21
+PID_K3 = 0.1
+ERR_BIAS = 1.5
 ETA_MIN = 0.1
 ETA_MAX_FIRST = 10000.0   # ARKode etamx1
 ETA_MAX = 10.0
@@ -271,11 +277,12 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     eps = float(jnp.finfo(dtype).eps)
 
     def cond(state):
-        t, y, h, errp, fc, nstep, nacc, nrej, status = state
+        t, y, h, errs, fc, nstep, nacc, nrej, status = state
         return (t < tout) & (status == 0) & (nstep < max_steps)
 
     def body(state):
-        t, y, h, errp, fc, nstep, nacc, nrej, status = state
+        t, y, h, errs, fc, nstep, nacc, nrej, status = state
+        ep, epp = errs
         last = t + h >= tout
         hs = jnp.where(last, tout - t, h)
 
@@ -284,9 +291,12 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
         accept = err <= 1.0
 
-        # PI step-size update
+        # ARKode-style PID step-size update (biased error history)
         err_c = jnp.maximum(err, 1e-10)
-        eta = SAFETY * err_c ** (-PI_KI * inv_q) * errp ** (PI_KP * inv_q)
+        eta = (SAFETY
+               * (ERR_BIAS * err_c) ** (-PID_K1 * inv_q)
+               * (ERR_BIAS * ep) ** (PID_K2 * inv_q)
+               * (ERR_BIAS * epp) ** (-PID_K3 * inv_q))
         eta_max = ETA_MAX_FIRST if first_interval else ETA_MAX
         eta_acc = jnp.clip(eta, ETA_MIN, eta_max)
         eta_rej = jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX)
@@ -300,7 +310,8 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 
         t_next = jnp.where(accept, jnp.where(last, tout, t + hs), t)
         y_next = jnp.where(accept, y_new, y)
-        errp_next = jnp.where(accept, jnp.maximum(err_c, 1e-10), errp)
+        ep_next = jnp.where(accept, err_c, ep)
+        epp_next = jnp.where(accept, ep, epp)
         fc_next = jax.tree_util.tree_map(
             lambda new, old: jnp.where(accept, new, old), fc_new, fc)
 
@@ -309,7 +320,7 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
         status_next = jnp.where((~accept) & (h_next < hmin),
                                 jnp.asarray(2, jnp.int32), status)
 
-        return (t_next, y_next, h_next, errp_next, fc_next,
+        return (t_next, y_next, h_next, (ep_next, epp_next), fc_next,
                 nstep + 1,
                 nacc + accept.astype(jnp.int32),
                 nrej + (~accept).astype(jnp.int32),
@@ -317,14 +328,15 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 
     zero = jnp.asarray(0, jnp.int32)
     s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
+    one = jnp.asarray(1.0, dtype)
     state0 = (t0.astype(dtype), y0, h_init.astype(dtype),
-              err_prev_init.astype(dtype), carry0, zero, zero, zero, s0)
-    t, y, h, errp, _, nstep, nacc, nrej, status = jax.lax.while_loop(
+              (err_prev_init.astype(dtype), one), carry0, zero, zero, zero, s0)
+    t, y, h, (ep, _), _, nstep, nacc, nrej, status = jax.lax.while_loop(
         cond, body, state0)
     # max-steps exhaustion without reaching tout
     status = jnp.where((t < tout) & (status == 0), jnp.asarray(1, jnp.int32),
                        status)
-    return t, y, h, errp, (nstep, nacc, nrej, status)
+    return t, y, h, ep, (nstep, nacc, nrej, status)
 
 
 def integrate_to_outputs(rhs, y0, params, t0, touts, *,
