@@ -90,6 +90,11 @@ class SimConfig:
     # measured 2026-08-16, see ops/pallas_step.py docstring. The kernel is
     # numerics-validated and kept as an alternative backend.
     use_pallas: bool = False
+    # Speculative K-step fused kernel (ops/pallas_multistep.py +
+    # integrate/speculative.py): advance K steps per HBM pass with frozen h,
+    # validate each step's WRMS error post-hoc. 0 = off. Requires TPU, f32,
+    # an FSAL tableau. K=8 amortises the memory traffic ~8x.
+    speculative_k: int = 0
 
     # ------------------------------------------------------------------
     # Derived geometry. Conventions reproduced exactly from the reference

@@ -99,6 +99,11 @@ def make_simulation_fn(problem: Problem):
             fused = pallas_step.build_fused_step(problem, tableau,
                                                  jnp.dtype(cfg.dtype))
 
+    # XLA-side speculation: batches of K sub-steps per while iteration; the
+    # fused Pallas step path keeps per-step control (its kernel invocation
+    # boundary would defeat the batching fusion)
+    spec_k = 0 if fused is not None else int(cfg.speculative_k)
+
     def run(y0, params):
         kw = {}
         if fused is not None:
@@ -109,7 +114,8 @@ def make_simulation_fn(problem: Problem):
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
-            max_steps=cfg.max_steps, breakpoints=breakpoints, **kw)
+            max_steps=cfg.max_steps, breakpoints=breakpoints,
+            spec_k=spec_k, **kw)
 
     return jax.jit(run), touts
 
