@@ -185,6 +185,33 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
     return rhs
 
 
+def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
+                   dtype):
+    """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
+    integrator: static Gershgorin bound of the diffusion operator (variable
+    0 only) + the model's pointwise kinetics Jacobian bound over the grid."""
+    coeffs = geometry.stencil_coeffs(jnp.float64)
+    if geometry.kind == "torus":
+        c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)
+        rho_diff = float(4.0 * np.max(c_th) + 4.0 * np.max(c_phi)
+                         + 2.0 * np.max(np.abs(c_asym)))
+    else:
+        cu1, cu2, _ = (float(np.asarray(c)) for c in coeffs)
+        rho_diff = 4.0 * cu1 + 4.0 * cu2
+    just_diffusion = bool(cfg.just_diffusion)
+    if model.jac_bound is None and not just_diffusion:
+        raise ValueError(f"model {model.name} has no jac_bound; "
+                         "rkc2 unsupported")
+
+    def rho(t, y, params):
+        r = jnp.asarray(rho_diff, dtype)
+        if not just_diffusion:
+            r = r + model.jac_bound(y, params["b"]).astype(dtype)
+        return r
+
+    return rho
+
+
 def build_problem(cfg: SimConfig) -> Problem:
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)

@@ -442,7 +442,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          rtol, atol, method="bs32", max_steps=200_000,
                          reduce_fn=jnp.sum, global_size=None,
                          breakpoints=(), step_err=None, init_carry=None,
-                         y_loop0=None, capture=None, spec_k=0):
+                         y_loop0=None, capture=None, spec_k=0, rho_fn=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -466,14 +466,27 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
 
     Fully jittable; the scan body shares one compiled while_loop.
     """
-    tableau = TABLEAUS[method] if isinstance(method, str) else method
     dtype = y0.dtype
     if global_size is None:
         global_size = y0.size
-    if step_err is None:
-        step_err, init_carry = make_default_step_err(tableau, rhs, rtol, atol)
-    elif init_carry is None:
-        init_carry = lambda t, y, params: ()
+    if method == "rkc2":
+        # stabilized Chebyshev method: not a tableau (integrate/rkc.py)
+        from crdmodel_tpu.integrate import rkc
+        if rho_fn is None:
+            raise ValueError("method 'rkc2' needs rho_fn")
+        tableau = None
+        err_order = rkc.ERR_ORDER
+        if step_err is None:
+            step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn,
+                                                          rtol, atol)
+    else:
+        tableau = TABLEAUS[method] if isinstance(method, str) else method
+        err_order = tableau.err_order
+        if step_err is None:
+            step_err, init_carry = make_default_step_err(tableau, rhs,
+                                                         rtol, atol)
+        elif init_carry is None:
+            init_carry = lambda t, y, params: ()
     if y_loop0 is None:
         y_loop0 = y0
     if capture is None:
@@ -512,7 +525,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     tout0 = jnp.asarray(stop_times[0], dtype)
     f0 = rhs(t0, y0, seg_params(tout0))
     h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
-                       rtol, atol, tableau.err_order, reduce_fn, global_size)
+                       rtol, atol, err_order, reduce_fn, global_size)
 
     def scan_body(carry, tout):
         t, y, h, errp, status = carry
@@ -524,13 +537,13 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
             t, y, h, errp, stats = integrate_interval_batched(
                 step_err, int(spec_k), t, y, h,
                 (errp, jnp.asarray(1.0, dtype)), tout, p,
-                err_order=tableau.err_order, carry0=fc0,
+                err_order=err_order, carry0=fc0,
                 max_steps=max_steps, reduce_fn=reduce_fn,
                 global_size=global_size, status0=status)
         else:
             t, y, h, errp, stats = integrate_interval(
                 step_err, t, y, h, errp, tout, p,
-                err_order=tableau.err_order, carry0=fc0,
+                err_order=err_order, carry0=fc0,
                 max_steps=max_steps, reduce_fn=reduce_fn,
                 global_size=global_size, status0=status)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)

@@ -26,6 +26,10 @@ class ReactionModel:
     kinetics: KineticsFn
     steady_state: SteadyStateFn
     diffusive_vars: Tuple[int, ...] = (0,)  # reference diffuses variable 0 only
+    # jac_bound(state, b) -> scalar Gershgorin bound on the kinetics
+    # Jacobian's spectral radius over the grid (used by the RKC2 stabilized
+    # integrator's stage selection); None disables rkc2 for the model
+    jac_bound: Callable = None
 
 
 _REGISTRY: Dict[str, ReactionModel] = {}

@@ -32,6 +32,14 @@ def steady_state(beta: float):
     return (-beta, beta ** 3 - 3.0 * beta)
 
 
+def jac_bound(state, b):
+    """Gershgorin bound on the kinetics Jacobian
+    J = [[3-3u^2, -1], [eps, 0]] over the grid."""
+    u = state[0]
+    row1 = jnp.max(jnp.abs(3.0 - 3.0 * u * u)) + 1.0
+    return jnp.maximum(row1, EPSILON)
+
+
 MODEL = register_model(
     ReactionModel(
         name="fhn",
@@ -39,5 +47,6 @@ MODEL = register_model(
         var_names=("u", "v"),
         kinetics=kinetics,
         steady_state=steady_state,
+        jac_bound=jac_bound,
     )
 )

@@ -117,6 +117,29 @@ OSC_BETA_MIN = 0.289
 OSC_BETA_MAX = 0.774
 
 
+def jac_bound(state, b):
+    """Gershgorin bound on the kinetics Jacobian over the grid.
+
+      dv2/dZ = 2 VM2 K2^2 Z / (K2^2+Z^2)^2
+      dv3/dZ = 4 VM3 gY KA^4 Z^3 / (KA^4+Z^4)^2,  gY = Y^2/(KR^2+Y^2)
+      dv3/dY = 2 VM3 gZ KR^2 Y / (KR^2+Y^2)^2,    gZ = Z^4/(KA^4+Z^4)
+      J = [[-dv2dZ + dv3dZ - k, dv3dY + kf],
+           [ dv2dZ - dv3dZ,    -dv3dY - kf]]
+    """
+    Z, Y = state[0], state[1]
+    Z2 = Z * Z
+    Z4 = Z2 * Z2
+    Y2 = Y * Y
+    dv2 = 2.0 * VM2 * (K2 * K2) * Z / (K2 * K2 + Z2) ** 2
+    gY = Y2 / (KR * KR + Y2)
+    gZ = Z4 / (KA ** 4 + Z4)
+    dv3_dZ = 4.0 * VM3 * gY * (KA ** 4) * Z * Z2 / (KA ** 4 + Z4) ** 2
+    dv3_dY = 2.0 * VM3 * gZ * (KR * KR) * Y / (KR * KR + Y2) ** 2
+    row1 = jnp.abs(-dv2 + dv3_dZ - K) + jnp.abs(dv3_dY + KF)
+    row2 = jnp.abs(dv2 - dv3_dZ) + jnp.abs(dv3_dY + KF)
+    return jnp.max(jnp.maximum(row1, row2))
+
+
 MODEL = register_model(
     ReactionModel(
         name="goldbeter",
@@ -124,5 +147,6 @@ MODEL = register_model(
         var_names=("Z", "Y"),
         kinetics=kinetics,
         steady_state=steady_state,
+        jac_bound=jac_bound,
     )
 )

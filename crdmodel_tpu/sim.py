@@ -90,8 +90,14 @@ def make_simulation_fn(problem: Problem):
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = (cfg.t_boundary,)
 
+    rho_fn = None
+    if cfg.method == "rkc2":
+        from crdmodel_tpu.core.problem import make_rho_bound
+        rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
+                                jnp.dtype(cfg.dtype))
+
     fused = None
-    if _pallas_eligible(cfg):
+    if cfg.method != "rkc2" and _pallas_eligible(cfg):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -115,7 +121,7 @@ def make_simulation_fn(problem: Problem):
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
-            spec_k=spec_k, **kw)
+            spec_k=spec_k, rho_fn=rho_fn, **kw)
 
     return jax.jit(run), touts
 
@@ -186,7 +192,6 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
 
     problem = problem if problem is not None else build_problem(cfg)
     touts = output_times(cfg)
-    tableau = TABLEAUS[cfg.method]
     dtype = jnp.dtype(cfg.dtype)
 
     breakpoints = []
@@ -197,8 +202,18 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                       if 0.0 < b < touts[-1]
                       and not any(np.isclose(b, t) for t in touts)})
 
-    step_err, init_carry = make_default_step_err(
-        tableau, problem.rhs, cfg.rtol, cfg.atol)
+    if cfg.method == "rkc2":
+        from crdmodel_tpu.core.problem import make_rho_bound
+        from crdmodel_tpu.integrate import rkc
+        rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype)
+        step_err, init_carry = rkc.make_rkc2_step_err(
+            problem.rhs, rho_fn, cfg.rtol, cfg.atol)
+        err_order = rkc.ERR_ORDER
+    else:
+        tableau = TABLEAUS[cfg.method]
+        step_err, init_carry = make_default_step_err(
+            tableau, problem.rhs, cfg.rtol, cfg.atol)
+        err_order = tableau.err_order
 
     @jax.jit
     def one_interval(t, y, h, errp, status, tout):
@@ -206,7 +221,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         fc0 = init_carry(t, y, params)
         return integrate_interval(
             step_err, t, y, h, errp, tout, params,
-            err_order=tableau.err_order, max_steps=cfg.max_steps,
+            err_order=err_order, max_steps=cfg.max_steps,
             global_size=y.size, carry0=fc0, status0=status)
 
     @jax.jit
@@ -216,7 +231,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         f0 = problem.rhs(t0, y, params)
         return _initial_step(problem.rhs, t0, y, f0, params,
                              jnp.asarray(stops[0][0], dtype),
-                             cfg.rtol, cfg.atol, tableau.err_order,
+                             cfg.rtol, cfg.atol, err_order,
                              jnp.sum, y.size)
 
     t_start = time.perf_counter()
