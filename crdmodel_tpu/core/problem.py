@@ -186,10 +186,14 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
-                   dtype):
+                   dtype, max_reduce=None):
     """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
     integrator: static Gershgorin bound of the diffusion operator (variable
-    0 only) + the model's pointwise kinetics Jacobian bound over the grid."""
+    0 only) + the model's pointwise kinetics Jacobian bound over the grid.
+
+    max_reduce: optional scalar max-reduction applied to the kinetics bound
+    (under shard_map: lambda x: lax.pmax(x, axes) so every device agrees on
+    the stage count)."""
     coeffs = geometry.stencil_coeffs(jnp.float64)
     if geometry.kind == "torus":
         c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)
@@ -206,7 +210,10 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     def rho(t, y, params):
         r = jnp.asarray(rho_diff, dtype)
         if not just_diffusion:
-            r = r + model.jac_bound(y, params["b"]).astype(dtype)
+            jb = model.jac_bound(y, params["b"]).astype(dtype)
+            if max_reduce is not None:
+                jb = max_reduce(jb)
+            r = r + jb
         return r
 
     return rho

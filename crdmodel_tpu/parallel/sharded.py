@@ -102,12 +102,20 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh):
     def reduce_fn(x):
         return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
 
+    rho_fn = None
+    if cfg.method == "rkc2":
+        from crdmodel_tpu.core.problem import make_rho_bound
+        # pmax so every device picks the same stage count
+        rho_fn = make_rho_bound(
+            cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
+            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+
     def run_local(y0, params):
         return integrate_to_outputs(
             local_rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
-            reduce_fn=reduce_fn, global_size=global_size)
+            reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn)
 
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)

@@ -139,3 +139,18 @@ def test_sharded_simulation_with_breakpoint_freeze():
     np.testing.assert_allclose(np.asarray(res8.trajectory),
                                np.asarray(res1.trajectory),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rkc2_matches_single_device():
+    """RKC2 under shard_map: stage counts from pmax'd rho bounds must agree
+    across devices, matching the single-device run."""
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20, surface_length=40, beta=1.25,
+                    t_final=1.0, output_timestep=2, method="rkc2",
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    res1 = simulate(cfg)
+    res8 = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert res1.ok and res8.ok
+    np.testing.assert_allclose(np.asarray(res8.trajectory),
+                               np.asarray(res1.trajectory),
+                               rtol=1e-8, atol=1e-9)
