@@ -51,7 +51,7 @@ class SimConfig:
     """
 
     # --- model / surface selection (reference: which of 4 binaries) ---
-    model: str = "fhn"          # "fhn" | "goldbeter"
+    model: str = "fhn"          # "fhn" | "goldbeter" | "barkley"
     surface: str = "flat"       # "flat" | "torus"
 
     # --- [Parameters] ---
@@ -79,7 +79,9 @@ class SimConfig:
     rtol: float = 1.0e-5
     atol: float = 1.0e-10
     max_steps: int = 200_000       # max internal steps per output interval
-    method: str = "bs32"           # embedded ERK tableau: "bs32" | "zonneveld43" | "dopri54"
+    # integrator: embedded ERK tableaus "bs32" | "zonneveld43" | "dopri54",
+    # or "rkc2" (stabilized Chebyshev, for diffusion-CFL-limited fine grids)
+    method: str = "bs32"
 
     # --- framework knobs (no reference counterpart) ---
     dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
@@ -153,11 +155,12 @@ class SimConfig:
     @property
     def program_name(self) -> str:
         """Reference binary name for file-format parity (e.g. FHNmodel_torus)."""
-        base = {"fhn": "FHNmodel", "goldbeter": "GoldbeterModel"}[self.model]
+        base = {"fhn": "FHNmodel", "goldbeter": "GoldbeterModel",
+                "barkley": "BarkleyModel"}[self.model]
         return f"{base}_{self.surface}"
 
     def validate(self) -> "SimConfig":
-        if self.model not in ("fhn", "goldbeter"):
+        if self.model not in ("fhn", "goldbeter", "barkley"):
             raise ValueError(f"unknown model {self.model!r}")
         if self.surface not in ("flat", "torus"):
             raise ValueError(f"unknown surface {self.surface!r}")

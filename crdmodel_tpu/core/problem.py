@@ -137,6 +137,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
                     jax.random.uniform(k1, (ny, nx), dtype=jnp.float32), np.float64)
             else:
                 raise ValueError(f"icType must be 0/1/2, got {cfg.ic_type}")
+    elif cfg.model == "barkley":
+        # beyond-reference model: rest state (0,0); the wave segment excites
+        # u=1 with a refractory band (v=a/2) below it so the excitation
+        # front is broken on one side — the standard spiral-wave seed
+        from crdmodel_tpu.models.barkley import A as _A
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, 1.0, 0.0)
+        bg[1] = np.where(np.broadcast_to(Y < wave_len, seg.shape),
+                         _A / 2.0, 0.0)
     else:
         raise ValueError(cfg.model)
 

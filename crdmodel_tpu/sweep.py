@@ -45,13 +45,20 @@ class SweepResult:
         return bool(np.all(np.asarray(self.stats.status) == 0))
 
 
-def sweep_beta(cfg: SimConfig, betas: Sequence[float]) -> SweepResult:
+def sweep_beta(cfg: SimConfig, betas: Sequence[float],
+               mesh=None) -> SweepResult:
     """Run one simulation per beta value in a single vmapped program.
 
     cfg.vary_beta must be 0 (a spatial ramp already encodes a beta *range*;
     sweeping sweeps the constant). ICs are rebuilt per member because the
     background steady state depends on beta (src/FHNmodel_torus.cpp:240-244,
     src/GoldbeterModel_torus.cpp:253-261).
+
+    mesh: optional jax.sharding.Mesh — the pod-scale combination from
+    BASELINE.json: each sweep member's grid is spatially sharded over the
+    ('py','px') device mesh (ppermute halos, psum'd error control) while
+    vmap batches the members; per-member adaptive step control is preserved
+    (the batched while_loop runs members in masked lockstep).
     """
     if cfg.vary_beta:
         raise ValueError("sweep_beta needs vary_beta=0 (constant-beta runs)")
@@ -64,15 +71,24 @@ def sweep_beta(cfg: SimConfig, betas: Sequence[float]) -> SweepResult:
                          for p in problems])
     touts = output_times(cfg)
 
-    breakpoints = ()
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = (cfg.t_boundary,)
+    if mesh is not None:
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, sharded_params)
+        run_sharded, _ = make_sharded_simulation_fn(base, mesh)
+        params0, _ = sharded_params(base)
 
-    def run_one(y0, b):
-        return integrate_to_outputs(
-            base.rhs, y0, {"b": b}, 0.0, touts,
-            rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
-            max_steps=cfg.max_steps, breakpoints=breakpoints)
+        def run_one(y0, b):
+            return run_sharded(y0, {**params0, "b": b})
+    else:
+        breakpoints = ()
+        if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+            breakpoints = (cfg.t_boundary,)
+
+        def run_one(y0, b):
+            return integrate_to_outputs(
+                base.rhs, y0, {"b": b}, 0.0, touts,
+                rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
+                max_steps=cfg.max_steps, breakpoints=breakpoints)
 
     run = jax.jit(jax.vmap(run_one))
     t0 = time.perf_counter()

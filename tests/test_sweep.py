@@ -104,3 +104,20 @@ varyBeta = 0
     assert (outdir / "FHNmodel_flat_u.000.txt").exists()
     assert (outdir / "FHNmodel_flat_v.000.txt").exists()
     assert (outdir / "FHNmodel_flat.npz").exists()
+
+
+def test_pod_scale_sweep_sharded_mesh():
+    """BASELINE.json's pod-scale combination: vmapped parameter batch over a
+    spatially sharded mesh — must match the unsharded sweep."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    cfg = _cfg(x_mesh=16)
+    betas = [0.9, 1.25]
+    plain = sweep_beta(cfg, betas)
+    sharded = sweep_beta(cfg, betas, mesh=make_mesh(shape=(2, 4)))
+    assert plain.ok() and sharded.ok()
+    np.testing.assert_allclose(np.asarray(sharded.trajectories),
+                               np.asarray(plain.trajectories),
+                               rtol=1e-10, atol=1e-10)
