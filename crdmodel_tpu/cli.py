@@ -30,11 +30,16 @@ def _add_model_args(p):
     p.add_argument("--dtype", default=None,
                    help="float32 (default) or float64")
     p.add_argument("--method", default=None,
-                   help="bs32 | zonneveld43 | dopri54")
+                   help="bs32 | zonneveld43 | dopri54 | rkc2")
+    p.add_argument("--set", action="append", metavar="FIELD=VALUE",
+                   help="override any SimConfig field (repeatable), e.g. "
+                        "--set rtol=1e-4 --set speculative_k=4")
 
 
 def _cfg_from_args(args, **extra):
-    from crdmodel_tpu.config import config_from_ini
+    import dataclasses as _dc
+
+    from crdmodel_tpu.config import SimConfig, config_from_ini
     if not os.path.exists(args.ini):
         sys.exit(f"error: config file not found: {args.ini}")
     overrides = dict(extra)
@@ -42,6 +47,20 @@ def _cfg_from_args(args, **extra):
         overrides["dtype"] = args.dtype
     if getattr(args, "method", None):
         overrides["method"] = args.method
+    # generic --set field=value overrides for any SimConfig field
+    fields = {f.name: f.type for f in _dc.fields(SimConfig)}
+    for kv in getattr(args, "set", None) or []:
+        if "=" not in kv:
+            sys.exit(f"error: --set expects field=value, got {kv!r}")
+        key, val = kv.split("=", 1)
+        if key not in fields:
+            sys.exit(f"error: unknown config field {key!r} "
+                     f"(known: {', '.join(sorted(fields))})")
+        cur = getattr(SimConfig(), key)
+        typ = type(cur)
+        overrides[key] = (val if typ is str
+                          else typ(float(val)) if typ in (int, bool)
+                          else typ(val))
     return config_from_ini(args.ini, model=args.model, surface=args.surface,
                            **overrides)
 
