@@ -76,8 +76,12 @@ def cmd_run(args):
     os.makedirs(args.outdir, exist_ok=True)
 
     if args.devices and args.devices > 1:
-        from crdmodel_tpu.parallel.sharded import simulate_sharded
-        res = simulate_sharded(cfg, n_devices=args.devices, problem=problem)
+        # streaming variant: bounded device-time per dispatch (large
+        # single-dispatch runs can exceed runtime execution limits)
+        from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+        res = simulate_sharded_streaming(cfg, n_devices=args.devices,
+                                         problem=problem,
+                                         progress=not args.quiet)
     elif args.resume:
         from crdmodel_tpu.io.checkpoint import resume_streaming
         res = resume_streaming(cfg, args.resume, problem=problem,

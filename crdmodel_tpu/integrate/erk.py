@@ -27,7 +27,6 @@ behavioural parity), Dormand–Prince 5(4).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -142,8 +141,6 @@ def _initial_step(rhs, t0, y0, f0, params, tout, rtol, atol,
     """Hairer-style automatic initial step size (replaces ARKode's internal
     h0 estimation; exact parity is not required — any reasonable h0 is
     corrected by the controller within a few steps)."""
-    big = jnp.asarray(1e35, dtype=jnp.result_type(y0))
-
     def nrm(v, ref):
         return wrms_norm(v, ref, rtol, atol, reduce_fn, global_size)
 
@@ -438,6 +435,41 @@ def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
     return t, y, h, ep, (nstep + ns2, nacc + na2, nrej + nr2, status)
 
 
+def make_stepper(method, rhs, rtol, atol, rho_fn=None):
+    """Resolve a method name to (step_err, init_carry, err_order) — the
+    stepper protocol shared by erk tableaus and rkc2."""
+    if method == "rkc2":
+        from crdmodel_tpu.integrate import rkc
+        if rho_fn is None:
+            raise ValueError("method 'rkc2' needs rho_fn")
+        step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn, rtol, atol)
+        return step_err, init_carry, rkc.ERR_ORDER
+    tableau = TABLEAUS[method] if isinstance(method, str) else method
+    step_err, init_carry = make_default_step_err(tableau, rhs, rtol, atol)
+    return step_err, init_carry, tableau.err_order
+
+
+def merge_stops(touts, breakpoints, t0=0.0):
+    """Merge static breakpoint times into the output-time list.
+
+    Returns (stop_times (n,), is_output (n,) bool): integration halts exactly
+    at every stop; non-output stops are RHS-discontinuity breakpoints whose
+    sub-interval stats belong to the next real output interval.
+    """
+    touts_np = np.asarray(touts, dtype=np.float64)
+    stops = [(float(t), True) for t in touts_np]
+    for bp in breakpoints:
+        bp = float(bp)
+        if bp <= t0 or bp >= stops[-1][0]:
+            continue
+        if any(np.isclose(bp, t) for t, _ in stops):
+            continue
+        stops.append((bp, False))
+    stops.sort(key=lambda p: p[0])
+    return (np.array([t for t, _ in stops], dtype=np.float64),
+            np.array([o for _, o in stops], dtype=bool))
+
+
 def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          rtol, atol, method="bs32", max_steps=200_000,
                          reduce_fn=jnp.sum, global_size=None,
@@ -469,47 +501,28 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     dtype = y0.dtype
     if global_size is None:
         global_size = y0.size
-    if method == "rkc2":
-        # stabilized Chebyshev method: not a tableau (integrate/rkc.py)
-        from crdmodel_tpu.integrate import rkc
-        if rho_fn is None:
-            raise ValueError("method 'rkc2' needs rho_fn")
-        tableau = None
-        err_order = rkc.ERR_ORDER
-        if step_err is None:
-            step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn,
-                                                          rtol, atol)
+    if step_err is None:
+        step_err, init_carry, err_order = make_stepper(
+            method, rhs, rtol, atol, rho_fn)
     else:
-        tableau = TABLEAUS[method] if isinstance(method, str) else method
-        err_order = tableau.err_order
-        if step_err is None:
-            step_err, init_carry = make_default_step_err(tableau, rhs,
-                                                         rtol, atol)
-        elif init_carry is None:
+        err_order = (TABLEAUS[method].err_order if isinstance(method, str)
+                     and method in TABLEAUS else method.err_order
+                     if hasattr(method, "err_order") else 3)
+        if init_carry is None:
             init_carry = lambda t, y, params: ()
     if y_loop0 is None:
         y_loop0 = y0
     if capture is None:
         capture = lambda y: y
 
-    touts_np = np.asarray(touts, dtype=np.float64)
-    t0f = float(np.asarray(t0))
-    # merge breakpoints (static) into the stop list, tagging real outputs
-    stops = [(float(t), True) for t in touts_np]
-    for bp in breakpoints:
-        bp = float(bp)
-        if bp <= t0f or bp >= stops[-1][0]:
-            continue
-        if any(np.isclose(bp, t) for t, _ in stops):
-            continue
-        stops.append((bp, False))
-    stops.sort(key=lambda p: p[0])
-    stop_times = np.array([t for t, _ in stops], dtype=np.float64)
-    is_output = np.array([o for _, o in stops], dtype=bool)
+    stop_times, is_output = merge_stops(touts, breakpoints,
+                                        float(np.asarray(t0)))
     # each merged interval contributes its stats to the output interval it
     # falls inside (breakpoint segments belong to the *next* real output)
     seg_ids = np.cumsum(is_output) - is_output.astype(int)
     out_idx = np.nonzero(is_output)[0]
+    touts_np = np.asarray(touts, dtype=np.float64)
+    stops = list(zip(stop_times, is_output))
 
     def seg_params(tout):
         # Segment-aware RHS support: rhs may branch on which smooth piece it

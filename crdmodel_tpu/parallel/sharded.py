@@ -136,6 +136,150 @@ def _stats_struct():
     return SolveStats(steps=0, accepted=0, rejected=0, status=0)
 
 
+def make_sharded_interval_fn(problem: Problem, mesh: Mesh):
+    """Jitted sharded single-interval step: (t, y, h, errp, status, tout)
+    -> (t, y, h, errp, (nstep, nacc, nrej, status)) over global arrays.
+
+    The per-interval building block for streaming sharded runs — at
+    production scale a whole run in one dispatch is both unwieldy (tens of
+    seconds of device time) and brittle; one dispatch per output interval
+    keeps each execution bounded while everything still runs under
+    shard_map with psum'd control flow.
+    """
+    from crdmodel_tpu.integrate.erk import (
+        _initial_step, integrate_interval, make_stepper)
+
+    cfg = problem.cfg
+    model = problem.model
+    kind = problem.geometry.kind
+    local_rhs = make_local_rhs(cfg, model, kind)
+    global_size = model.nvars * cfg.ny * cfg.nx
+    dtype = jnp.dtype(cfg.dtype)
+
+    def reduce_fn(x):
+        return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
+
+    rho_fn = None
+    if cfg.method == "rkc2":
+        from crdmodel_tpu.core.problem import make_rho_bound
+        rho_fn = make_rho_bound(
+            cfg, model, problem.geometry, dtype,
+            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+
+    step_err, init_carry, err_order = make_stepper(
+        cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn)
+
+    _, param_specs = sharded_params(problem)
+    state_spec = P(None, AXIS_Y, AXIS_X)
+    scalar = P()
+    stats_spec = (scalar, scalar, scalar, scalar)
+
+    def one_interval_local(t, y, h, errp, status, tout, params):
+        p = {**params, "_seg_end": tout}
+        fc0 = init_carry(t, y, p)
+        return integrate_interval(
+            step_err, t, y, h, errp, tout, p,
+            err_order=err_order, max_steps=cfg.max_steps,
+            global_size=global_size, reduce_fn=reduce_fn, carry0=fc0,
+            status0=status)
+
+    one_interval = jax.jit(jax.shard_map(
+        one_interval_local, mesh=mesh,
+        in_specs=(scalar, state_spec, scalar, scalar, scalar, scalar,
+                  param_specs),
+        out_specs=(scalar, state_spec, scalar, scalar, stats_spec),
+    ))
+
+    def h0_local(y, params):
+        t0 = jnp.asarray(0.0, dtype)
+        tout0 = params["_h0_tout"]
+        p = {**{k: v for k, v in params.items() if k != "_h0_tout"},
+             "_seg_end": tout0}
+        f0 = local_rhs(t0, y, p)
+        return _initial_step(local_rhs, t0, y, f0, p, tout0,
+                             cfg.rtol, cfg.atol, err_order, reduce_fn,
+                             global_size)
+
+    h0_fn = jax.jit(jax.shard_map(
+        h0_local, mesh=mesh,
+        in_specs=(state_spec, {**param_specs, "_h0_tout": scalar}),
+        out_specs=scalar,
+    ))
+    return one_interval, h0_fn
+
+
+def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
+                               n_devices: Optional[int] = None,
+                               problem: Optional[Problem] = None,
+                               on_snapshot=None,
+                               progress: bool = False) -> SimResult:
+    """Streaming (per-interval dispatch) sharded run — the production-scale
+    driver: bounded device-time per dispatch, incremental snapshots."""
+    problem = problem if problem is not None else build_problem(cfg)
+    if mesh is None:
+        mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
+    dtype = jnp.dtype(cfg.dtype)
+    params, _ = sharded_params(problem)
+    one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
+    touts = output_times(cfg)
+
+    from crdmodel_tpu.integrate.erk import SolveStats, merge_stops
+    breakpoints = []
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        breakpoints = [cfg.t_boundary]
+    stop_times, is_output = merge_stops(touts, breakpoints)
+
+    t_start = time.perf_counter()
+    y = problem.y0
+    t = jnp.asarray(0.0, dtype)
+    h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
+    errp = jnp.asarray(1.0, dtype)
+    status = jnp.asarray(0, jnp.int32)
+    if on_snapshot is not None:
+        on_snapshot(0, np.asarray(y))
+
+    snaps = [y]
+    nt = len(touts)
+    acc = {k: np.zeros(nt, dtype=np.int64)
+           for k in ("steps", "accepted", "rejected", "status")}
+    k_out = 0
+    for stop, is_out in zip(stop_times, is_output):
+        t, y, h, errp, (ns, na, nr, status) = one_interval(
+            t, y, h, errp, status, jnp.asarray(stop, dtype), params)
+        acc["steps"][k_out] += int(ns)
+        acc["accepted"][k_out] += int(na)
+        acc["rejected"][k_out] += int(nr)
+        acc["status"][k_out] = max(acc["status"][k_out], int(status))
+        if not is_out:
+            continue
+        snaps.append(y)
+        if on_snapshot is not None:
+            on_snapshot(k_out + 1, np.asarray(y))
+        if progress:
+            elapsed = time.perf_counter() - t_start
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
+                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
+                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
+                  f"remaining", end="", flush=True)
+        if int(status) != 0:
+            print("\nSolver failure, stopping integration")
+            break
+        k_out += 1
+    if progress:
+        print("\n   ----------------------")
+
+    wall = time.perf_counter() - t_start
+    traj = jnp.stack(snaps)
+    stats = SolveStats(steps=jnp.asarray(acc["steps"]),
+                       accepted=jnp.asarray(acc["accepted"]),
+                       rejected=jnp.asarray(acc["rejected"]),
+                       status=jnp.asarray(acc["status"]))
+    return SimResult(cfg=cfg, problem=problem, trajectory=traj,
+                     touts=np.concatenate([[0.0], touts[:traj.shape[0] - 1]]),
+                     stats=stats, wall_time=wall)
+
+
 def simulate_sharded(cfg: SimConfig, mesh: Optional[Mesh] = None,
                      n_devices: Optional[int] = None,
                      problem: Optional[Problem] = None) -> SimResult:

@@ -47,11 +47,16 @@ class SimResult:
 
     def describe(self) -> str:
         s = self.stats
+        if self.ok:
+            status = "ok"
+        else:
+            worst = int(np.max(np.asarray(s.status)))
+            status = f"FAILED ({STATUS_NAMES.get(worst, worst)})"
         return (f"{self.cfg.program_name}: grid {self.cfg.ny}x{self.cfg.nx}, "
                 f"Tf={self.cfg.t_final}, steps={int(np.sum(np.asarray(s.steps)))} "
                 f"(acc {int(np.sum(np.asarray(s.accepted)))}, "
                 f"rej {int(np.sum(np.asarray(s.rejected)))}), "
-                f"status={'ok' if self.ok else 'FAILED'}, "
+                f"status={status}, "
                 f"wall={self.wall_time:.3f}s")
 
 
@@ -188,7 +193,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     """
     from crdmodel_tpu.integrate.erk import (
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
-        make_default_step_err, wrms_norm)
+        make_default_step_err)
 
     problem = problem if problem is not None else build_problem(cfg)
     touts = output_times(cfg)

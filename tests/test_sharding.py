@@ -154,3 +154,23 @@ def test_sharded_rkc2_matches_single_device():
     np.testing.assert_allclose(np.asarray(res8.trajectory),
                                np.asarray(res1.trajectory),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_streaming_matches_batch():
+    """Per-interval dispatch sharded driver == whole-run sharded driver."""
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20, surface_length=40, beta=1.25,
+                    t_final=1.0, output_timestep=2, t_boundary=0.4,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    batch = simulate_sharded(cfg, mesh=mesh)
+    seen = []
+    stream = simulate_sharded_streaming(
+        cfg, mesh=mesh, on_snapshot=lambda k, y: seen.append(k))
+    assert batch.ok and stream.ok
+    assert seen == [0, 1, 2]
+    np.testing.assert_allclose(np.asarray(stream.trajectory),
+                               np.asarray(batch.trajectory),
+                               rtol=1e-12, atol=1e-12)
+    assert stream.total_steps() == batch.total_steps()
