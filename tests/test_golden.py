@@ -1,0 +1,91 @@
+"""Golden regression fixtures.
+
+Small deterministic f64 CPU runs for each model x surface, frozen as npz in
+tests/golden/. Any change to stencils, kinetics, ICs, or the integrator that
+shifts results beyond integrator-level tolerance trips these — the guard
+against silent numerical drift across refactors/rounds.
+
+Regenerate deliberately (after verifying the change is intended) with:
+    python tests/test_golden.py regen
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.sim import simulate
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+CASES = {
+    "fhn_flat": dict(model="fhn", surface="flat", beta=1.25, t_boundary=0.4),
+    "fhn_torus": dict(model="fhn", surface="torus", beta=1.25, vary_beta=1,
+                      beta_min=0.7, beta_max=1.7, t_boundary=0.4),
+    "goldbeter_flat": dict(model="goldbeter", surface="flat", beta=0.85),
+    "goldbeter_torus": dict(model="goldbeter", surface="torus", beta=0.4,
+                            wave_inside=1),
+    "barkley_flat": dict(model="barkley", surface="flat", beta=0.05,
+                         diffusion=1.0),
+}
+BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
+            t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
+            dtype="float64", rtol=1e-7, atol=1e-11)
+
+
+def _run(case):
+    cfg = SimConfig(**{**BASE, **CASES[case]})
+    res = simulate(cfg)
+    assert res.ok, case
+    return np.asarray(res.trajectory)
+
+
+def _path(case):
+    return os.path.join(GOLDEN_DIR, f"{case}.npz")
+
+
+def regenerate():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for case in CASES:
+        np.savez_compressed(_path(case), trajectory=_run(case))
+        print("wrote", _path(case))
+
+
+def _check(case):
+    with np.load(_path(case)) as z:
+        want = z["trajectory"]
+    got = _run(case)
+    # integrator-tolerance agreement: controller/step-sequence changes are
+    # fine, physics changes are not
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_golden_fhn_flat():
+    _check("fhn_flat")
+
+
+def test_golden_fhn_torus():
+    _check("fhn_torus")
+
+
+def test_golden_goldbeter_flat():
+    _check("goldbeter_flat")
+
+
+def test_golden_goldbeter_torus():
+    _check("goldbeter_torus")
+
+
+def test_golden_barkley_flat():
+    _check("barkley_flat")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        regenerate()
+    else:
+        print(__doc__)
