@@ -26,6 +26,11 @@ from typing import Optional
 
 TWO_PI = 2.0 * math.pi
 
+# use_pallas=None auto-threshold: grid points above which the fused Pallas
+# step kernel beats XLA's step fusion (measured crossover between 0.64M and
+# 2.56M points on TPU v5e; docs/PERF_NOTES.md)
+PALLAS_AUTO_POINTS = 1_500_000
+
 
 def load_ini(path: str) -> dict:
     """Parse a reference-style ini file into {section: {key: str}}.
@@ -86,12 +91,14 @@ class SimConfig:
     # --- framework knobs (no reference counterpart) ---
     dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
     rng_seed: int = 0              # explicit PRNG for ic_type=2 (reference: unseeded rand())
-    # Fused Pallas step kernel (ops/pallas_step.py). Off by default: on the
-    # canonical 400x1600 grid XLA's own stage fusion (117us/step) currently
-    # beats the kernel (130us kernel + an unfusable accept/reject pass);
-    # measured 2026-08-16, see ops/pallas_step.py docstring. The kernel is
-    # numerics-validated and kept as an alternative backend.
-    use_pallas: bool = False
+    # Fused Pallas step kernel (ops/pallas_step.py). None = automatic:
+    # measured 2026-08-16 (docs/PERF_NOTES.md), XLA's whole-body fusion wins
+    # at canonical sizes (77 vs ~190 us/step at 400x1600) but collapses on
+    # large grids where stage intermediates spill (774 us/step at 800x3200);
+    # the kernel's single-pass traffic scales linearly (283 us/step there,
+    # 2.7x faster). Auto selects the kernel above PALLAS_AUTO_POINTS grid
+    # points; True/False force it.
+    use_pallas: Optional[bool] = None
     # Speculative K-step fused kernel (ops/pallas_multistep.py +
     # integrate/speculative.py): advance K steps per HBM pass with frozen h,
     # validate each step's WRMS error post-hoc. 0 = off. Requires TPU, f32,

@@ -342,9 +342,7 @@ def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
     """Speculative K-step batches in pure XLA: each while iteration takes K
     sub-steps with a FROZEN step size, then selects the longest accepted
     prefix — all K states stay inside one XLA fusion, so a mid-batch
-    rejection costs only the wasted tail compute (no replay), and HBM
-    traffic per accepted step drops by ~the batch length (measured ~1.9x
-    end-to-end on the canonical FHN torus grid vs the per-step loop).
+    rejection costs only the wasted tail compute (no replay).
 
     Each sub-step is still individually validated against the WRMS test, so
     the tolerance contract is identical to integrate_interval — only the h
@@ -352,11 +350,14 @@ def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
     overgrown h poisons a whole batch). Batches run while t + K*h stays
     inside the interval; the tail is finished by the per-step loop.
 
+    Opt-in (cfg.speculative_k): on the canonical travelling-wave problem the
+    per-step loop measured FASTER end to end — frozen-h batches reject more
+    where h wants agility (docs/PERF_NOTES.md); suited to long smooth runs.
+
     errs0 = (ep, epp) controller history. Returns like integrate_interval.
     """
     dtype = y0.dtype
     inv_q = 1.0 / float(err_order)
-    idxs = jnp.arange(K)
 
     def cond(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state

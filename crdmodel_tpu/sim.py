@@ -70,8 +70,11 @@ def output_times(cfg: SimConfig) -> np.ndarray:
 
 
 def _pallas_eligible(cfg) -> bool:
-    if not cfg.use_pallas:
+    from crdmodel_tpu.config import PALLAS_AUTO_POINTS
+    if cfg.use_pallas is False:
         return False
+    if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
+        return False  # XLA's step fusion wins at small/medium sizes
     try:
         if jax.default_backend() != "tpu":
             return False
@@ -207,6 +210,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                       if 0.0 < b < touts[-1]
                       and not any(np.isclose(b, t) for t in touts)})
 
+    pad = unpad = lambda y: y
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
         from crdmodel_tpu.integrate import rkc
@@ -216,9 +220,22 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         err_order = rkc.ERR_ORDER
     else:
         tableau = TABLEAUS[cfg.method]
-        step_err, init_carry = make_default_step_err(
-            tableau, problem.rhs, cfg.rtol, cfg.atol)
         err_order = tableau.err_order
+        fused = None
+        if _pallas_eligible(cfg):
+            from crdmodel_tpu.ops import pallas_step
+            if pallas_step.is_supported(problem, tableau, dtype):
+                fused = pallas_step.build_fused_step(problem, tableau, dtype)
+        if fused is not None:
+            pad, unpad = fused.pad, fused.unpad
+            step_err = lambda t, y, h, p, carry: (
+                *fused.step_err(t, y, h, p), ())
+            init_carry = lambda t, y, params: ()
+        else:
+            step_err, init_carry = make_default_step_err(
+                tableau, problem.rhs, cfg.rtol, cfg.atol)
+
+    global_size = problem.model.nvars * cfg.ny * cfg.nx
 
     @jax.jit
     def one_interval(t, y, h, errp, status, tout):
@@ -227,7 +244,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         return integrate_interval(
             step_err, t, y, h, errp, tout, params,
             err_order=err_order, max_steps=cfg.max_steps,
-            global_size=y.size, carry0=fc0, status0=status)
+            global_size=global_size, carry0=fc0, status0=status)
 
     @jax.jit
     def h0_fn(y):
@@ -241,9 +258,11 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
 
     t_start = time.perf_counter()
     nt = len(touts)
+    # checkpoints and snapshots always store the plain (unpadded)
+    # representation; the loop state may be the fused kernel's padded one
     if _resume is not None:
         k_start = int(_resume["k_out"])
-        y = jnp.asarray(_resume["y"], dtype)
+        y = pad(jnp.asarray(_resume["y"], dtype))
         t = jnp.asarray(float(_resume["t"]), dtype)
         h = jnp.asarray(float(_resume["h"]), dtype)
         errp = jnp.asarray(float(_resume["err_prev"]), dtype)
@@ -252,22 +271,23 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                      for k in ("steps", "accepted", "rejected", "status")}
     else:
         k_start = 0
-        y = problem.y0
+        h = h0_fn(problem.y0)
+        y = pad(problem.y0)
         t = jnp.asarray(0.0, dtype)
-        h = h0_fn(y)
         errp = jnp.asarray(1.0, dtype)
-        snaps = [y]
+        snaps = [problem.y0]
         stats_acc = {k: np.zeros(nt, dtype=np.int64)
                      for k in ("steps", "accepted", "rejected", "status")}
         if on_snapshot is not None:
-            on_snapshot(0, np.asarray(y))
+            on_snapshot(0, np.asarray(problem.y0))
     status = jnp.asarray(0, jnp.int32)
 
     def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_path and \
                 k_done % checkpoint_every == 0 and k_done < nt:
             from crdmodel_tpu.io.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_path, cfg, k_done, np.asarray(y),
+            save_checkpoint(checkpoint_path, cfg, k_done,
+                            np.asarray(unpad(y)),
                             float(t), float(h), float(errp),
                             np.stack([np.asarray(s) for s in snaps]),
                             stats_acc)
@@ -285,9 +305,9 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                                          int(status))
         if not is_out:
             continue
-        snaps.append(y)
+        snaps.append(unpad(y))
         if on_snapshot is not None:
-            on_snapshot(k_out + 1, np.asarray(y))
+            on_snapshot(k_out + 1, np.asarray(unpad(y)))
         maybe_checkpoint(k_out + 1)
         if progress:
             elapsed = time.perf_counter() - t_start
