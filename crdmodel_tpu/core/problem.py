@@ -42,6 +42,10 @@ class Problem:
     y0: jnp.ndarray        # (nvars, ny, nx)
     params: dict           # {"b": scalar or (ny, 1) field}
     steady_state: tuple    # background fixed point used in ICs
+    # compiled-driver cache: repeated simulate()/simulate_streaming() calls
+    # on the same Problem reuse their jitted closures instead of recompiling
+    cache: dict = dataclasses.field(default_factory=dict, repr=False,
+                                    compare=False)
 
     @property
     def grid(self) -> Grid:

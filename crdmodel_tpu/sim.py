@@ -86,10 +86,13 @@ def _pallas_eligible(cfg) -> bool:
 def make_simulation_fn(problem: Problem):
     """Build the jitted end-to-end integration fn(y0, params) -> (traj, stats).
 
-    On TPU with float32 the fused Pallas step kernel (ops/pallas_step.py) is
-    used automatically; anything else takes the XLA roll-based path. Both are
-    the same numerics (validated bitwise on y_new in tests/tpu/)."""
+    On TPU the fused Pallas step kernel (ops/pallas_step.py) is selected
+    automatically for large grids; anything else takes the XLA roll-based
+    path (same numerics, validated bitwise on y_new in tests_tpu/). Compiled
+    closures are cached on the Problem, so repeated calls don't recompile."""
     cfg = problem.cfg
+    if "batch_fn" in problem.cache:
+        return problem.cache["batch_fn"]
     touts = output_times(cfg)
 
     # the absorbing-boundary turn-off is a known RHS discontinuity in t;
@@ -131,7 +134,8 @@ def make_simulation_fn(problem: Problem):
             max_steps=cfg.max_steps, breakpoints=breakpoints,
             spec_k=spec_k, rho_fn=rho_fn, **kw)
 
-    return jax.jit(run), touts
+    problem.cache["batch_fn"] = (jax.jit(run), touts)
+    return problem.cache["batch_fn"]
 
 
 def simulate(cfg: SimConfig, problem: Optional[Problem] = None,
@@ -210,6 +214,12 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                       if 0.0 < b < touts[-1]
                       and not any(np.isclose(b, t) for t in touts)})
 
+    if "stream_fns" in problem.cache:
+        one_interval, h0_fn, pad, unpad = problem.cache["stream_fns"]
+        return _run_streaming_loop(
+            cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
+            on_snapshot, progress, checkpoint_every, checkpoint_path, _resume)
+
     pad = unpad = lambda y: y
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
@@ -256,6 +266,18 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                              cfg.rtol, cfg.atol, err_order,
                              jnp.sum, y.size)
 
+    problem.cache["stream_fns"] = (one_interval, h0_fn, pad, unpad)
+    return _run_streaming_loop(
+        cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
+        on_snapshot, progress, checkpoint_every, checkpoint_path, _resume)
+
+
+def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
+                        pad, unpad, on_snapshot, progress,
+                        checkpoint_every, checkpoint_path, _resume):
+    from crdmodel_tpu.integrate.erk import SolveStats
+
+    dtype = jnp.dtype(cfg.dtype)
     t_start = time.perf_counter()
     nt = len(touts)
     # checkpoints and snapshots always store the plain (unpadded)
