@@ -6,8 +6,9 @@ A checkpoint freezes the integration at an output boundary: solver state
 (y, t, h, err_prev), accumulated snapshots, per-interval stats, and a config
 fingerprint so resuming with a different physical setup is refused.
 
-Formats: npz (default, dependency-free) or an orbax-backed directory when
-available (for async/multi-host checkpointing of sharded runs).
+Format: compressed npz (dependency-free). An orbax-backed variant for
+async/multi-host checkpointing of sharded runs is future work — the state is
+a single host-gatherable array at current scales.
 """
 
 from __future__ import annotations

@@ -159,25 +159,43 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
                y_hbm, ynew_ref, ss_ref, yv, sems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
-        # three wrapped-row DMAs: top halo | body | bottom halo (full width).
-        # All offsets are multiples of 8 (S, P, ny are), hinted for Mosaic.
-        top_start = pl.multiple_of((row0 - P) % ny, 8)
-        bot_start = pl.multiple_of((row0 + S) % ny, 8)
-        top = pltpu.make_async_copy(
-            y_hbm.at[:, pl.ds(top_start, P), :],
-            yv.at[:, pl.ds(0, P), :], sems.at[0])
-        body = pltpu.make_async_copy(
-            y_hbm.at[:, pl.ds(row0, S), :],
-            yv.at[:, pl.ds(P, S), :], sems.at[1])
-        bot = pltpu.make_async_copy(
-            y_hbm.at[:, pl.ds(bot_start, P), :],
-            yv.at[:, pl.ds(P + S, P), :], sems.at[2])
-        top.start()
-        body.start()
-        bot.start()
-        top.wait()
-        body.wait()
-        bot.wait()
+
+        # Double-buffered input: scratch yv holds two strip slots; program i
+        # prefetches strip i+1 into the other slot while computing strip i
+        # (scratch persists across the sequential grid programs). Three
+        # wrapped-row DMAs per strip: top halo | body | bottom halo (full
+        # width). All offsets are multiples of 8 (S, P, ny are), hinted.
+        def strip_dmas(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            tops = pl.multiple_of((r0 - P) % ny, 8)
+            bots = pl.multiple_of((r0 + S) % ny, 8)
+            return (
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(tops, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(r0, S), :],
+                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bots, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _():
+            for dma in strip_dmas(0, 0):
+                dma.start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            for dma in strip_dmas(i + 1, nslot):
+                dma.start()
+
+        for dma in strip_dmas(i, slot):
+            dma.wait()
 
         h = h_ref[0, 0]
         if b_is_field:
@@ -215,7 +233,7 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
                 ydot = ydot * live_rows
             return ydot
 
-        y0 = yv[:, :, :]
+        y0 = yv[slot]
         ks = []
         for s in range(n_stages):
             yi = y0
@@ -267,8 +285,8 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_strips, 1), whole
         ],
         scratch_shapes=[
-            pltpu.VMEM((nvars, R, nxp), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 

@@ -79,3 +79,14 @@ def test_load_ini_sections():
     d = load_ini(FHN_INI)
     assert "Parameters" in d and "System" in d
     assert d["Parameters"]["surfaceWidth"] == "20"
+
+
+def test_temp_ini_end_to_end():
+    """The reference's temp.ini variant (thetaMesh spelling, L=40 strong
+    curvature, symmetricIC key accepted-and-ignored) runs end to end."""
+    from crdmodel_tpu.sim import simulate
+    cfg = config_from_ini(TEMP_INI, model="fhn", surface="torus",
+                          dtype="float64", t_final=0.5, output_timestep=1,
+                          x_mesh=16, rtol=1e-6, atol=1e-10)
+    res = simulate(cfg)
+    assert res.ok
