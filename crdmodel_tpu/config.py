@@ -56,7 +56,7 @@ class SimConfig:
     """
 
     # --- model / surface selection (reference: which of 4 binaries) ---
-    model: str = "fhn"          # "fhn" | "goldbeter" | "barkley"
+    model: str = "fhn"          # fhn | goldbeter | barkley | grayscott
     surface: str = "flat"       # "flat" | "torus"
 
     # --- [Parameters] ---
@@ -163,11 +163,12 @@ class SimConfig:
     def program_name(self) -> str:
         """Reference binary name for file-format parity (e.g. FHNmodel_torus)."""
         base = {"fhn": "FHNmodel", "goldbeter": "GoldbeterModel",
-                "barkley": "BarkleyModel"}[self.model]
+                "barkley": "BarkleyModel",
+                "grayscott": "GrayScottModel"}[self.model]
         return f"{base}_{self.surface}"
 
     def validate(self) -> "SimConfig":
-        if self.model not in ("fhn", "goldbeter", "barkley"):
+        if self.model not in ("fhn", "goldbeter", "barkley", "grayscott"):
             raise ValueError(f"unknown model {self.model!r}")
         if self.surface not in ("flat", "torus"):
             raise ValueError(f"unknown surface {self.surface!r}")

@@ -141,6 +141,13 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
                     jax.random.uniform(k1, (ny, nx), dtype=jnp.float32), np.float64)
             else:
                 raise ValueError(f"icType must be 0/1/2, got {cfg.ic_type}")
+    elif cfg.model == "grayscott":
+        # beyond-reference model: trivial state (1, 0) everywhere; the wave
+        # segment seeds a patch of (0.5, 0.25) from which patterns grow
+        # (Pearson 1993's standard seeding)
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, 0.5, 1.0)
+        bg[1] = np.where(seg, 0.25, 0.0)
     elif cfg.model == "barkley":
         # beyond-reference model: rest state (0,0); the wave segment excites
         # u=1 with a refractory band (v=a/2) below it so the excitation
@@ -171,13 +178,27 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
     edge[-1, 0] = False
     interior_rows = jnp.asarray(edge)
 
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+
+    def diffusion_terms(state):
+        """Per-variable diffusion: lap(var)*ratio for diffusive vars, 0
+        otherwise, stacked to state shape."""
+        out = []
+        for v in range(model.nvars):
+            if v in dvars:
+                r = ratios[dvars.index(v)]
+                term = lap(state[v], coeffs)
+                out.append(term if r == 1.0 else r * term)
+            else:
+                out.append(jnp.zeros_like(state[v]))
+        return jnp.stack(out)
+
     def rhs(t, state, params):
-        diff = lap(state[0], coeffs)
+        diff = diffusion_terms(state)
         if just_diffusion:
-            ydot = jnp.stack([diff] + [jnp.zeros_like(diff)] * (model.nvars - 1))
-            return ydot
-        ydot = model.kinetics(state, params["b"])
-        ydot = ydot.at[0].add(diff)
+            return diff
+        ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
             # The freeze releases at t==tBoundary, a discontinuity the
             # integrator handles by segmenting at tBoundary (sim.py passes it
@@ -215,6 +236,7 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     else:
         cu1, cu2, _ = (float(np.asarray(c)) for c in coeffs)
         rho_diff = 4.0 * cu1 + 4.0 * cu2
+    rho_diff *= max(model.diffusion_ratios)
     just_diffusion = bool(cfg.just_diffusion)
     if model.jac_bound is None and not just_diffusion:
         raise ValueError(f"model {model.name} has no jac_bound; "

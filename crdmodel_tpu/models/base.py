@@ -25,7 +25,12 @@ class ReactionModel:
     var_names: Tuple[str, ...]     # output file suffixes: ("u","v") / ("Z","Y")
     kinetics: KineticsFn
     steady_state: SteadyStateFn
-    diffusive_vars: Tuple[int, ...] = (0,)  # reference diffuses variable 0 only
+    # which variables diffuse, and their diffusion coefficient as a multiple
+    # of cfg.diffusion. The reference models diffuse variable 0 only
+    # (SURVEY.md C5/C6); multi-species diffusion (e.g. Gray-Scott) is a
+    # framework generalisation.
+    diffusive_vars: Tuple[int, ...] = (0,)
+    diffusion_ratios: Tuple[float, ...] = (1.0,)
     # jac_bound(state, b) -> scalar Gershgorin bound on the kinetics
     # Jacobian's spectral radius over the grid (used by the RKC2 stabilized
     # integrator's stage selection); None disables rkc2 for the model

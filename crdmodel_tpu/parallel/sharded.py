@@ -48,14 +48,25 @@ def make_local_rhs(cfg: SimConfig, model, kind: str):
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
     has_freeze = (t_boundary > 0.0) and not just_diffusion
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+
+    def diffusion_terms(state, coeffs):
+        out = []
+        for v in range(model.nvars):
+            if v in dvars:
+                r = ratios[dvars.index(v)]
+                term = laplacian_from_padded(halo_pad(state[v]), coeffs, kind)
+                out.append(term if r == 1.0 else r * term)
+            else:
+                out.append(jnp.zeros_like(state[v]))
+        return jnp.stack(out)
 
     def rhs(t, state, params):
-        up = halo_pad(state[0])
-        diff = laplacian_from_padded(up, params["coeffs"], kind)
+        diff = diffusion_terms(state, params["coeffs"])
         if just_diffusion:
-            return jnp.stack([diff] + [jnp.zeros_like(diff)] * (model.nvars - 1))
-        ydot = model.kinetics(state, params["b"])
-        ydot = ydot.at[0].add(diff)
+            return diff
+        ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
             seg_end = params.get("_seg_end")
             if seg_end is not None:
