@@ -23,9 +23,16 @@ import sys
 import numpy as np
 
 
+def _model_choices():
+    from crdmodel_tpu.models.base import _REGISTRY
+
+    import crdmodel_tpu.models  # noqa: F401  (populates the registry)
+    return sorted(_REGISTRY)
+
+
 def _add_model_args(p):
     p.add_argument("ini", help="reference-format ini file")
-    p.add_argument("--model", choices=["fhn", "goldbeter"], required=True)
+    p.add_argument("--model", choices=_model_choices(), required=True)
     p.add_argument("--surface", choices=["flat", "torus"], required=True)
     p.add_argument("--dtype", default=None,
                    help="float32 (default) or float64")
@@ -235,7 +242,7 @@ def main(argv=None):
                        help="print a model's fixed point: `[Zs] [Ys]`")
     p.add_argument("beta", type=float)
     p.add_argument("--model", default="goldbeter",
-                   choices=["fhn", "goldbeter"])
+                   choices=_model_choices())
     p.add_argument("--plot", default=None, metavar="PNG",
                    help="also render the 0-D trajectory figure")
     p.set_defaults(fn=cmd_steadystate)
