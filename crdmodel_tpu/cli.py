@@ -43,8 +43,43 @@ def _add_model_args(p):
                         "--set rtol=1e-4 --set speculative_k=4")
 
 
+_BOOL_WORDS = {"true": True, "yes": True, "on": True,
+               "false": False, "no": False, "off": False,
+               "none": None, "null": None}
+
+
+def _coerce_override(key: str, ann, val: str):
+    """Cast a --set string to the SimConfig field's ANNOTATED type (the
+    default value's type is useless for Optional fields whose default is
+    None, e.g. use_pallas). Accepts true/false words for bools and `none`
+    for Optionals."""
+    import typing
+    word = val.strip().lower()
+    optional = False
+    if typing.get_origin(ann) is typing.Union:
+        args = [a for a in typing.get_args(ann) if a is not type(None)]
+        optional = len(args) < len(typing.get_args(ann))
+        ann = args[0] if args else str
+    if optional and word in ("none", "null", ""):
+        return None
+    if ann is bool:
+        if word in _BOOL_WORDS and _BOOL_WORDS[word] is not None:
+            return _BOOL_WORDS[word]
+        try:
+            return bool(int(float(val)))
+        except ValueError:
+            raise ValueError(
+                f"--set {key}: expected a bool (true/false/1/0), got {val!r}")
+    if ann is int:
+        return int(float(val))
+    if ann is float:
+        return float(val)
+    return val
+
+
 def _cfg_from_args(args, **extra):
     import dataclasses as _dc
+    import typing
 
     from crdmodel_tpu.config import SimConfig, config_from_ini
     if not os.path.exists(args.ini):
@@ -55,7 +90,8 @@ def _cfg_from_args(args, **extra):
     if getattr(args, "method", None):
         overrides["method"] = args.method
     # generic --set field=value overrides for any SimConfig field
-    fields = {f.name: f.type for f in _dc.fields(SimConfig)}
+    hints = typing.get_type_hints(SimConfig)
+    fields = {f.name for f in _dc.fields(SimConfig)}
     for kv in getattr(args, "set", None) or []:
         if "=" not in kv:
             sys.exit(f"error: --set expects field=value, got {kv!r}")
@@ -63,11 +99,10 @@ def _cfg_from_args(args, **extra):
         if key not in fields:
             sys.exit(f"error: unknown config field {key!r} "
                      f"(known: {', '.join(sorted(fields))})")
-        cur = getattr(SimConfig(), key)
-        typ = type(cur)
-        overrides[key] = (val if typ is str
-                          else typ(float(val)) if typ in (int, bool)
-                          else typ(val))
+        try:
+            overrides[key] = _coerce_override(key, hints[key], val)
+        except ValueError as e:
+            sys.exit(f"error: {e}")
     return config_from_ini(args.ini, model=args.model, surface=args.surface,
                            **overrides)
 

@@ -99,10 +99,12 @@ class SimConfig:
     # 2.7x faster). Auto selects the kernel above PALLAS_AUTO_POINTS grid
     # points; True/False force it.
     use_pallas: Optional[bool] = None
-    # Speculative K-step fused kernel (ops/pallas_multistep.py +
-    # integrate/speculative.py): advance K steps per HBM pass with frozen h,
-    # validate each step's WRMS error post-hoc. 0 = off. Requires TPU, f32,
-    # an FSAL tableau. K=8 amortises the memory traffic ~8x.
+    # Speculative K-step batching (integrate/erk.py::
+    # integrate_interval_batched): each while iteration takes K sub-steps
+    # with a frozen step size and commits the longest accepted prefix, so
+    # all K states stay inside one XLA fusion. 0 = off (per-step loop,
+    # measured faster on the canonical travelling-wave problems —
+    # docs/PERF_NOTES.md); suited to long smooth runs.
     speculative_k: int = 0
 
     # ------------------------------------------------------------------

@@ -161,24 +161,30 @@ def _initial_step(rhs, t0, y0, f0, params, tout, rtol, atol,
 
 
 def make_erk_step(tableau: Tableau, rhs: Callable):
-    """Return step(t, y, h, params) -> (y_new, err_vec, f0).
+    """Return step(t, y, h, params) -> (y_new, err_vec).
 
-    Stages are unrolled in Python (static, <=7) so XLA fuses the whole step;
-    no FSAL reuse in v1 (one extra rhs eval/step for fsal tables — revisit).
+    Stages are unrolled in Python (static, <=7) so XLA fuses the whole step.
+    This is the simple standalone stepper (used by the driver compile check);
+    the integration loops use make_default_step_err below, which adds FSAL
+    stage reuse for BS3(2)/DOPRI5(4).
+
+    Coefficients are baked in as Python floats (weakly typed) so an f32
+    state stays f32 even under jax_enable_x64 — np.float64 scalars would
+    promote every stage combination to f64.
     """
     s = tableau.stages
-    a = tableau.a
-    b = tableau.b
-    d = tableau.b - tableau.bhat
-    c = tableau.c
+    a = tableau.a.tolist()
+    b = tableau.b.tolist()
+    d = (tableau.b - tableau.bhat).tolist()
+    c = tableau.c.tolist()
 
     def step(t, y, h, params):
         ks = []
         for i in range(s):
             yi = y
             for j in range(i):
-                if a[i, j] != 0.0:
-                    yi = yi + (h * a[i, j]) * ks[j]
+                if a[i][j] != 0.0:
+                    yi = yi + (h * a[i][j]) * ks[j]
             ks.append(rhs(t + c[i] * h, yi, params))
         y_new = y
         err = jnp.zeros_like(y)
@@ -207,8 +213,9 @@ def make_default_step_err(tableau: Tableau, rhs: Callable, rtol, atol):
     uses an empty carry.
     """
     s = tableau.stages
-    a, b, c = tableau.a, tableau.b, tableau.c
-    d = tableau.b - tableau.bhat
+    # Python floats (weak types): keep f32 state f32 under jax_enable_x64
+    a, b, c = tableau.a.tolist(), tableau.b.tolist(), tableau.c.tolist()
+    d = (tableau.b - tableau.bhat).tolist()
     fsal = tableau.fsal
 
     def _stages(t, y, h, params, k1):
@@ -216,8 +223,8 @@ def make_default_step_err(tableau: Tableau, rhs: Callable, rtol, atol):
         for i in range(1, s):
             yi = y
             for j in range(i):
-                if a[i, j] != 0.0:
-                    yi = yi + (h * a[i, j]) * ks[j]
+                if a[i][j] != 0.0:
+                    yi = yi + (h * a[i][j]) * ks[j]
             ks.append(rhs(t + c[i] * h, yi, params))
         y_new = y
         err = jnp.zeros_like(y)
@@ -268,10 +275,19 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     agrees. A nonzero incoming status0 makes the interval a no-op (sticky
     failure: the reference breaks its output loop on solver failure,
     src/FHNmodel_torus.cpp:430-435).
+
+    first_interval: True (or a traced bool) on the run's FIRST interval —
+    relaxes the growth cap to ETA_MAX_FIRST for the very first accepted
+    step's h-update (ARKode's etamx1=10000: the automatic h0 estimate is
+    deliberately conservative and the first update is allowed to correct it
+    in one jump). May be a traced scalar so jitted callers can thread it
+    through scan without a second while_loop compile.
     """
     dtype = y0.dtype
     inv_q = 1.0 / float(err_order)
     eps = float(jnp.finfo(dtype).eps)
+    first_flag = (None if first_interval is False or first_interval is None
+                  else jnp.asarray(first_interval))
 
     def cond(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
@@ -294,7 +310,12 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
                * (ERR_BIAS * err_c) ** (-PID_K1 * inv_q)
                * (ERR_BIAS * ep) ** (PID_K2 * inv_q)
                * (ERR_BIAS * epp) ** (-PID_K3 * inv_q))
-        eta_max = ETA_MAX_FIRST if first_interval else ETA_MAX
+        if first_flag is None:
+            eta_max = ETA_MAX
+        else:
+            # etamx1 applies to the first accepted step's update only
+            eta_max = jnp.where(first_flag & (nacc == 0),
+                                ETA_MAX_FIRST, ETA_MAX).astype(dtype)
         eta_acc = jnp.clip(eta, ETA_MIN, eta_max)
         eta_rej = jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX)
         # when the step was clamped only to land on tout (`last`), the tiny hs
@@ -541,7 +562,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
                        rtol, atol, err_order, reduce_fn, global_size)
 
-    def scan_body(carry, tout):
+    def scan_body(carry, inp):
+        tout, is_first = inp
         t, y, h, errp, status = carry
         p = seg_params(tout)
         # fresh stepper cache per segment: the RHS may differ across a
@@ -559,13 +581,16 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                 step_err, t, y, h, errp, tout, p,
                 err_order=err_order, carry0=fc0,
                 max_steps=max_steps, reduce_fn=reduce_fn,
-                global_size=global_size, status0=status)
+                global_size=global_size, status0=status,
+                first_interval=is_first)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)
 
     errp0 = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0, jnp.int32)
+    is_first = jnp.arange(len(stop_times)) == 0  # etamx1 on the run's start
     (_, _, _, _, _), (traj, nstep, nacc, nrej, status) = jax.lax.scan(
-        scan_body, (t0, y_loop0, h0, errp0, zero), jnp.asarray(stop_times, dtype))
+        scan_body, (t0, y_loop0, h0, errp0, zero),
+        (jnp.asarray(stop_times, dtype), is_first))
 
     if len(stops) != len(touts_np):
         nseg = len(touts_np)

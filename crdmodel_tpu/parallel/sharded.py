@@ -185,19 +185,19 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh):
     scalar = P()
     stats_spec = (scalar, scalar, scalar, scalar)
 
-    def one_interval_local(t, y, h, errp, status, tout, params):
+    def one_interval_local(t, y, h, errp, status, tout, first, params):
         p = {**params, "_seg_end": tout}
         fc0 = init_carry(t, y, p)
         return integrate_interval(
             step_err, t, y, h, errp, tout, p,
             err_order=err_order, max_steps=cfg.max_steps,
             global_size=global_size, reduce_fn=reduce_fn, carry0=fc0,
-            status0=status)
+            status0=status, first_interval=first)
 
     one_interval = jax.jit(jax.shard_map(
         one_interval_local, mesh=mesh,
         in_specs=(scalar, state_spec, scalar, scalar, scalar, scalar,
-                  param_specs),
+                  scalar, param_specs),
         out_specs=(scalar, state_spec, scalar, scalar, stats_spec),
     ))
 
@@ -254,13 +254,21 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     acc = {k: np.zeros(nt, dtype=np.int64)
            for k in ("steps", "accepted", "rejected", "status")}
     k_out = 0
+    first = True
     for stop, is_out in zip(stop_times, is_output):
         t, y, h, errp, (ns, na, nr, status) = one_interval(
-            t, y, h, errp, status, jnp.asarray(stop, dtype), params)
+            t, y, h, errp, status, jnp.asarray(stop, dtype),
+            jnp.asarray(first), params)
+        first = False
         acc["steps"][k_out] += int(ns)
         acc["accepted"][k_out] += int(na)
         acc["rejected"][k_out] += int(nr)
         acc["status"][k_out] = max(acc["status"][k_out], int(status))
+        if int(status) != 0:
+            # a failed interval emits no output row — the reference breaks
+            # before writing (src/FHNmodel_torus.cpp:430-435)
+            print("\nSolver failure, stopping integration")
+            break
         if not is_out:
             continue
         snaps.append(y)
@@ -273,9 +281,6 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                   f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
                   f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
                   f"remaining", end="", flush=True)
-        if int(status) != 0:
-            print("\nSolver failure, stopping integration")
-            break
         k_out += 1
     if progress:
         print("\n   ----------------------")

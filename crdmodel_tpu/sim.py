@@ -248,13 +248,14 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     global_size = problem.model.nvars * cfg.ny * cfg.nx
 
     @jax.jit
-    def one_interval(t, y, h, errp, status, tout):
+    def one_interval(t, y, h, errp, status, tout, first):
         params = {**problem.params, "_seg_end": tout}
         fc0 = init_carry(t, y, params)
         return integrate_interval(
             step_err, t, y, h, errp, tout, params,
             err_order=err_order, max_steps=cfg.max_steps,
-            global_size=global_size, carry0=fc0, status0=status)
+            global_size=global_size, carry0=fc0, status0=status,
+            first_interval=first)
 
     @jax.jit
     def h0_fn(y):
@@ -315,16 +316,35 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                             stats_acc)
 
     k_out = k_start
+    outs_skipped = 0
+    first = _resume is None  # etamx1 applies to the run's true start only
     for stop, is_out in stops:
-        if float(stop) <= float(t):
+        # Resume skips deterministically by COUNT, not by comparing times:
+        # the checkpointed t is rounded to the run dtype, so a float64 stop
+        # like 1.4 can compare > the f32 t of the same instant and re-run a
+        # completed interval (duplicating its snapshot). Skip the k_start
+        # output stops already in the checkpoint, and breakpoints at or
+        # before the checkpointed t compared in the run dtype.
+        if is_out:
+            if outs_skipped < k_start:
+                outs_skipped += 1
+                continue
+        elif float(jnp.asarray(stop, dtype)) <= float(t):
             continue
         t, y, h, errp, (ns, na, nr, status) = one_interval(
-            t, y, h, errp, status, jnp.asarray(stop, dtype))
+            t, y, h, errp, status, jnp.asarray(stop, dtype),
+            jnp.asarray(first))
+        first = False
         stats_acc["steps"][k_out] += int(ns)
         stats_acc["accepted"][k_out] += int(na)
         stats_acc["rejected"][k_out] += int(nr)
         stats_acc["status"][k_out] = max(stats_acc["status"][k_out],
                                          int(status))
+        if int(status) != 0:
+            # a failed interval emits no output row — the reference breaks
+            # before writing (src/FHNmodel_torus.cpp:430-435)
+            print("\nSolver failure, stopping integration")
+            break
         if not is_out:
             continue
         snaps.append(unpad(y))
@@ -338,9 +358,6 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                   f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
                   f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
                   f"remaining", end="", flush=True)
-        if int(status) != 0:
-            print("\nSolver failure, stopping integration")
-            break
         k_out += 1
     if progress:
         print("\n   ----------------------")

@@ -37,6 +37,20 @@ STEP_PREFIX = {"fhn": "FHNstep", "goldbeter": "GBstep"}
 PVD_NAME = {"fhn": "FHNtimeSteps.pvd", "goldbeter": "GBtimeSteps.pvd"}
 
 
+def _model_naming(model_name: str):
+    """(array_names, step_prefix, pvd_name) — reference spellings for the
+    reference's models, var_names-derived fallbacks for framework additions
+    (barkley, grayscott) that have no reference naming to match."""
+    if model_name in ARRAY_NAMES:
+        return (ARRAY_NAMES[model_name], STEP_PREFIX[model_name],
+                PVD_NAME[model_name])
+    from crdmodel_tpu.models import get_model
+    model = get_model(model_name)
+    prefix = f"{model_name.capitalize()}step"
+    return (tuple(model.var_names), prefix,
+            f"{model_name.capitalize()}timeSteps.pvd")
+
+
 def map_output_to_torus(result, outdir: str = ".",
                         mesh_nx: Optional[int] = None) -> str:
     """result: SimResult of a torus run. Writes step vtps + pvd; returns the
@@ -53,8 +67,9 @@ def map_output_to_torus(result, outdir: str = ".",
     rows = np.minimum((cell_rc[:, 0] * cfg.ny) // mesh_ny, cfg.ny - 1)
     cols = np.minimum((cell_rc[:, 1] * cfg.nx) // mesh_nx, cfg.nx - 1)
 
-    main_name, second_name = ARRAY_NAMES[cfg.model]
-    prefix = STEP_PREFIX[cfg.model]
+    names, prefix, pvd_name = _model_naming(cfg.model)
+    main_name = names[0]
+    second_name = names[1] if len(names) > 1 else None
     stepdir = os.path.join(outdir, prefix)
     os.makedirs(stepdir, exist_ok=True)
 
@@ -70,7 +85,7 @@ def map_output_to_torus(result, outdir: str = ".",
     files = {}
     for k in range(nt):
         cell_data = {main_name: traj[k, 0][rows, cols]}
-        if cfg.include_all_vars:
+        if cfg.include_all_vars and second_name is not None:
             cell_data[second_name] = traj[k, 1][rows, cols]
         if hopf_arr is not None:
             cell_data["Hopf Bifurcations"] = hopf_arr
@@ -78,4 +93,4 @@ def map_output_to_torus(result, outdir: str = ".",
         write_vtp(os.path.join(outdir, rel), pts, tris, cell_data=cell_data)
         time = (k / nt) * cfg.t_final
         files[time] = rel
-    return write_pvd(os.path.join(outdir, PVD_NAME[cfg.model]), files)
+    return write_pvd(os.path.join(outdir, pvd_name), files)

@@ -41,6 +41,13 @@ def hopf_positions(cfg) -> list:
     return out
 
 
+def default_frame_prefix(cfg) -> str:
+    """Reference frame-name convention (plot_FHNmodel_torus.py:118-124)."""
+    if cfg.vary_beta:
+        return f"{cfg.program_name}_Z.varyBeta_linear"
+    return f"{cfg.program_name}_Z.beta{cfg.beta:g}."
+
+
 def render_frames(field: np.ndarray, cfg, outdir: str,
                   var_label: Optional[str] = None,
                   frame_prefix: Optional[str] = None) -> list:
@@ -58,10 +65,7 @@ def render_frames(field: np.ndarray, cfg, outdir: str,
     vmin = 0.9 * field.min() if pad else field.min()
 
     if frame_prefix is None:
-        if cfg.vary_beta:
-            frame_prefix = f"{cfg.program_name}_Z.varyBeta_linear"
-        else:
-            frame_prefix = f"{cfg.program_name}_Z.beta{cfg.beta:g}."
+        frame_prefix = default_frame_prefix(cfg)
     var_label = var_label or ("u" if cfg.model == "fhn" else "Z")
     xlabel, ylabel = (("theta", "phi") if cfg.surface == "torus"
                       else ("x", "y"))
@@ -113,8 +117,8 @@ def plot_movie(source, cfg, outdir: str = ".", var: int = 0) -> dict:
         field, _ = read_reference_files(source, cfg.program_name, name)
     else:
         field = source.field(var)
-    frames = render_frames(field, cfg, outdir)
-    prefix = frames[0][:-7]  # strip NNN.png
-    mp4 = os.path.join(outdir, os.path.basename(prefix).rstrip(".") + ".mp4")
-    ok = frames_to_mp4(prefix + "%03d.png", mp4)
+    prefix = default_frame_prefix(cfg)
+    frames = render_frames(field, cfg, outdir, frame_prefix=prefix)
+    mp4 = os.path.join(outdir, prefix.rstrip(".") + ".mp4")
+    ok = frames_to_mp4(os.path.join(outdir, "png", prefix + "%03d.png"), mp4)
     return {"frames": frames, "mp4": mp4 if ok else None}

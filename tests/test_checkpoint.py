@@ -57,3 +57,39 @@ def test_resume_refuses_wrong_config(tmp_path):
     simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
     with pytest.raises(ValueError, match="different problem"):
         resume_streaming(_cfg(beta=0.5), ck)
+
+
+def test_resume_non_representable_times(tmp_path):
+    """Resume skips completed intervals by COUNT: with f32 and touts not
+    exactly representable (t_final=2.1, nt=3 -> 0.7, 1.4, 2.1) a time
+    comparison re-runs the checkpointed interval and duplicates its snapshot
+    (ADVICE r1 medium)."""
+    cfg = _cfg(t_final=2.1, output_timestep=3, t_boundary=0.0,
+               dtype="float32", rtol=1e-4, atol=1e-7)
+    full = simulate_streaming(cfg)
+    assert full.ok
+
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=1, checkpoint_path=ck)
+    data = load_checkpoint(ck, cfg)
+    assert int(data["k_out"]) == 2  # last mid-run checkpoint (k<nt)
+
+    res = resume_streaming(cfg, ck)
+    assert res.ok
+    assert res.trajectory.shape[0] == full.trajectory.shape[0]
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory), rtol=0, atol=0)
+
+
+def test_resume_with_breakpoint_after_checkpoint(tmp_path):
+    """A tBoundary breakpoint between the resume point and the next output
+    must still be honored (and one at/before the checkpoint skipped)."""
+    cfg = _cfg(t_final=1.0, output_timestep=4, t_boundary=0.6)
+    full = simulate_streaming(cfg)
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+    res = resume_streaming(cfg, ck)
+    assert res.ok
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory),
+                               rtol=1e-12, atol=1e-12)

@@ -90,3 +90,31 @@ def test_temp_ini_end_to_end():
                           x_mesh=16, rtol=1e-6, atol=1e-10)
     res = simulate(cfg)
     assert res.ok
+
+
+def test_cli_set_overrides():
+    """--set type coercion comes from the field ANNOTATION, so
+    Optional[bool] fields with a None default (use_pallas) work, and bools
+    accept true/false words (ADVICE r1)."""
+    from argparse import Namespace
+
+    from crdmodel_tpu.cli import _cfg_from_args
+
+    def args(*sets):
+        return Namespace(ini=FHN_INI, model="fhn", surface="flat",
+                         dtype=None, method=None, set=list(sets))
+
+    cfg = _cfg_from_args(args("use_pallas=1", "speculative_k=4", "rtol=1e-4"))
+    assert cfg.use_pallas is True
+    assert cfg.speculative_k == 4
+    assert cfg.rtol == 1e-4
+    assert _cfg_from_args(args("use_pallas=false")).use_pallas is False
+    assert _cfg_from_args(args("use_pallas=true")).use_pallas is True
+    assert _cfg_from_args(args("use_pallas=none")).use_pallas is None
+    assert _cfg_from_args(args("dtype=float64")).dtype == "float64"
+    with pytest.raises(SystemExit):
+        _cfg_from_args(args("use_pallas=maybe"))   # bad bool word
+    with pytest.raises(SystemExit):
+        _cfg_from_args(args("no_such_field=1"))    # unknown field
+    with pytest.raises(SystemExit):
+        _cfg_from_args(args("rtol"))               # missing '='

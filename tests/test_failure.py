@@ -40,8 +40,9 @@ def test_streaming_stops_on_failure(capsys):
     assert not res.ok
     out = capsys.readouterr().out
     assert "Solver failure" in out
-    # trajectory truncated at the failure point
-    assert res.trajectory.shape[0] <= 2
+    # a failed interval emits NO output row — the reference breaks before
+    # writing (src/FHNmodel_torus.cpp:430-435), so only the IC remains
+    assert res.trajectory.shape[0] == 1
 
 
 def test_cli_exit_code_on_failure(tmp_path):

@@ -128,3 +128,21 @@ def test_curvature_profile_plot(tmp_path):
     from crdmodel_tpu.viz import plot_curvature_profiles
     p = plot_curvature_profiles(str(tmp_path / "profiles.png"))
     assert os.path.exists(p)
+
+
+def test_map_output_generic_model(tmp_path):
+    """Models without reference VTK naming (barkley, grayscott) fall back to
+    var_names-derived arrays instead of KeyError (ADVICE r1)."""
+    from crdmodel_tpu.config import SimConfig
+    cfg = SimConfig(model="barkley", surface="torus", x_mesh=12,
+                    surface_width=20, surface_length=40, beta=0.05,
+                    diffusion=1.0, t_final=0.2, output_timestep=2,
+                    include_all_vars=1, dtype="float64",
+                    rtol=1e-6, atol=1e-9)
+    res = simulate(cfg)
+    assert res.ok
+    pvd = map_output_to_torus(res, str(tmp_path))
+    assert os.path.basename(pvd) == "BarkleytimeSteps.pvd"
+    step0 = os.path.join(str(tmp_path), "Barkleystep", "Barkleystep_000.vtp")
+    pts, tris, cd = read_vtp(step0)
+    assert set(cd) == {"u", "v"}
