@@ -1,0 +1,338 @@
+"""Fused embedded-ERK step for one shard of a 2D device mesh.
+
+The multi-chip hot path. Under shard_map, the XLA stepper exchanges width-1
+halos before EVERY RK stage and XLA's whole-body fusion breaks at each
+collective boundary, materialising stage tensors in HBM — the same
+exchange-then-stencil structure as the reference's per-RHS-call Exchange
+(src/FHNmodel_torus.cpp:521-615), with the same latency-per-stage cost.
+
+This kernel hoists communication out of the stage loop: ONE width-P halo
+exchange per step (P=8 >= stage count; parallel/halo.py::halo_pad) builds a
+padded local block, and a single Pallas kernel then computes every stage,
+the solution update, and the WRMS error partial sums in one pass over the
+shard. Stage s values are valid on a region that shrinks one ring per RHS
+evaluation — starting from a P-deep halo the physical block stays valid
+through the last stage (the same temporal-blocking argument as the
+single-chip kernel, ops/pallas_step.py).
+
+Traffic per step per shard: read the padded block + write the new local
+block (vs the XLA path's per-stage passes), and the one deep exchange
+replaces 3-4 width-1 exchanges' latency.
+
+Layout: the integration-loop state is the lane-padded local block
+(nvars, nyl, nxp), nxp = round128(nxl + 2P), physical columns at
+[P, P+nxl). Each step assembles (in XLA, fused with the ppermutes) the
+fully-padded input block (nvars, nyl+2P, nxp) whose halo rows/columns hold
+true neighbour values; the kernel writes the stepped lane-padded block.
+Fill lanes are rebuilt from zero each step and never contaminate the
+physical region (roll pollution travels 1 lane per stage < P).
+
+Error control: the kernel emits per-strip sums of squared WRMS-scaled
+errors over the PHYSICAL block only; the caller psums them across the mesh,
+so every device takes identical accept/reject decisions — the same
+distributed-control contract as parallel/sharded.py.
+
+float32 only (TPU f64 is emulated); interpret=True runs the kernel in the
+Pallas interpreter for CPU-mesh correctness tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate.erk import Tableau
+from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
+from crdmodel_tpu.parallel.halo import halo_pad_cols, halo_pad_rows
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+VMEM_BUDGET = 10 * 1024 * 1024  # stage working set budget per strip (bytes)
+
+
+def _strip_target(nxl: int, nvars: int, n_stages: int) -> int:
+    """Largest strip row count whose in-kernel working set (double-buffered
+    input scratch + all live stage arrays) stays under VMEM_BUDGET — huge
+    shards otherwise blow the 16MB VMEM stack (observed at 6400x1600)."""
+    nxp = ((nxl + 2 * HALO + 127) // 128) * 128
+    # per resident row: 2 scratch slots x nvars + ~(stages+4) live stage-sized
+    # arrays (ks, yi, ynew, err, weights) x nvars, f32
+    bytes_per_row = 4 * nxp * nvars * (2 + n_stages + 4)
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+
+
+def is_shard_supported(problem, tableau: Tableau, dtype,
+                       nyl: int, nxl: int) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if tableau.stages > HALO:
+        return False
+    if nyl < HALO or nxl < HALO:
+        return False  # halo deeper than a neighbour's block
+    nvars = problem.model.nvars
+    if _pick_strip(nyl, target=_strip_target(nxl, nvars, tableau.stages)) is None:
+        return False
+    if tuple(problem.model.diffusive_vars) != (0,):
+        return False
+    return True
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedShardStep:
+    step_err: Callable      # (t, yp, h, params) -> (ynew_p, err_ss)
+    pad: Callable           # local (nvars, nyl, nxl) -> (nvars, nyl, nxp)
+    unpad: Callable         # (nvars, nyl, nxp) -> (nvars, nyl, nxl)
+    prepare_params: Callable  # params -> params + halo-padded constants
+    nxp: int
+
+
+def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
+                           dtype=jnp.float32, interpret: bool = False,
+                           axis_y: str = AXIS_Y,
+                           axis_x: str = AXIS_X) -> FusedShardStep:
+    """Build the fused step for (nyl, nxl) local blocks of problem's grid.
+
+    Must be called so that step_err runs INSIDE shard_map over
+    (axis_y, axis_x); prepare_params must also run inside shard_map (it
+    ppermutes the static coefficient/beta/mask shards once per dispatch,
+    outside the integration loop).
+    """
+    cfg = problem.cfg
+    model = problem.model
+    nvars = model.nvars
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = problem.geometry.kind
+
+    a = tableau.a.tolist()
+    bw = tableau.b.tolist()
+    d = (tableau.b - tableau.bhat).tolist()
+    n_stages = tableau.stages
+    P = HALO
+    assert n_stages <= P
+    S = _pick_strip(nyl, target=_strip_target(nxl, nvars, n_stages))
+    if S is None:
+        raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor in [8,256]")
+    n_strips = nyl // S
+    R = S + 2 * P                               # rows resident per strip
+    nxp = ((nxl + 2 * P + 127) // 128) * 128    # padded lane width
+    fill = nxp - (nxl + 2 * P)
+
+    b_is_field = cfg.vary_beta == 1
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    def pad(y_local):
+        """(nvars, nyl, nxl) -> lane-padded loop state (halo lanes zero;
+        they are refreshed from neighbours at the top of every step)."""
+        return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
+
+    def unpad(yp):
+        return yp[..., P:P + nxl]
+
+    def assemble(yp):
+        """Lane-padded state -> fully halo-padded input block
+        (nvars, nyl+2P, nxp): one width-P two-phase exchange (columns then
+        rows so corners carry true diagonal-neighbour values)."""
+        phys = yp[..., P:P + nxl]
+        xpad = halo_pad_cols(phys, axis_x, P)            # (nvars, nyl, nxl+2P)
+        block = halo_pad_rows(xpad, axis_y, P)           # (nvars, nyl+2P, ...)
+        if fill:
+            block = jnp.pad(block, ((0, 0), (0, 0), (0, fill)))
+        return block
+
+    def prepare_params(params):
+        """Halo-pad the static per-shard arrays once per dispatch."""
+        out = dict(params)
+        coeffs = params["coeffs"]
+        if kind == "torus":
+            cs = []
+            for c in coeffs:
+                prof = jnp.asarray(c, dtype).reshape(1, nxl)
+                prof = halo_pad_cols(prof, axis_x, P)
+                if fill:
+                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
+                cs.append(prof)
+            out["_fused_coeffs"] = tuple(cs)
+        else:
+            out["_fused_coeffs"] = tuple(
+                jnp.reshape(jnp.asarray(c, dtype), (1, 1)) for c in coeffs)
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nxl] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        # Double-buffered input strips: rows [i*S, i*S+R) of the padded
+        # block are CONTIGUOUS (halos live in the block), so one DMA per
+        # strip; program i prefetches strip i+1 while computing strip i.
+        def strip_dma(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            return pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(r0, R), :], yv.at[slot], sems.at[slot])
+
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+        @pl.when(i == 0)
+        def _():
+            strip_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            strip_dma(i + 1, nslot).start()
+
+        strip_dma(i, slot).wait()
+
+        h = h_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        if kind == "torus":
+            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
+        else:
+            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+
+        def rhs_block(yb):
+            u = yb[0]
+            ue = jnp.roll(u, -1, axis=-1)
+            uw = jnp.roll(u, 1, axis=-1)
+            un = jnp.roll(u, -1, axis=-2)
+            us = jnp.roll(u, 1, axis=-2)
+            if kind == "torus":
+                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                       + cphi * (un - 2.0 * u + us))
+            else:
+                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            if just_diffusion:
+                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+            react = model.kinetics(yb, b_rows)
+            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]], axis=0)
+            if has_freeze:
+                ydot = ydot * live_rows
+            return ydot
+
+        y0 = yv[slot]
+        ks = []
+        for s in range(n_stages):
+            yi = y0
+            for j in range(s):
+                if a[s][j] != 0.0:
+                    yi = yi + (h * a[s][j]) * ks[j]
+            ks.append(rhs_block(yi))
+
+        ynew = y0
+        err = jnp.zeros_like(y0)
+        for s in range(n_stages):
+            if bw[s] != 0.0:
+                ynew = ynew + (h * bw[s]) * ks[s]
+            if d[s] != 0.0:
+                err = err + (h * d[s]) * ks[s]
+
+        # centre rows only; lane halos go stale and are refreshed from
+        # neighbours by the next step's assemble()
+        ynew_ref[:, :, :] = ynew[:, P:P + S, :]
+
+        yc = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+        scaled = err[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+    if kind == "torus":
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    b_shape = (nyl + 2 * P, 1) if b_is_field else (1, 1)
+    m_shape = (nyl + 2 * P, 1) if has_freeze else (1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # padded block stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_strips, 1)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    # outputs vary across both mesh axes (each device steps its own block);
+    # shard_map's check_vma needs this declared on pallas out_shapes
+    vma = frozenset({axis_y, axis_x})
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, nyl, nxp), dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype, vma=vma),
+        ],
+        interpret=interpret,
+    )
+
+    ones = jnp.ones((1, 1), dtype)
+
+    def step_err(t, yp, h, params):
+        del t  # stage times only matter through the per-segment freeze flag
+        if has_freeze:
+            seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+            if seg_end is None:
+                fz = jnp.asarray(0.0, dtype)
+            else:
+                fz = (seg_end <= t_boundary).astype(dtype)
+        else:
+            fz = jnp.asarray(0.0, dtype)
+        block = assemble(yp)
+        c0, c1, c2 = params["_fused_coeffs"]
+        b = params["_fused_b"]
+        m = params.get("_fused_live", ones)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, col_mask, block)
+        return ynew, ss
+
+    return FusedShardStep(step_err=step_err, pad=pad, unpad=unpad,
+                          prepare_params=prepare_params, nxp=nxp)

@@ -97,7 +97,43 @@ def sharded_params(problem: Problem):
     return params, specs
 
 
-def make_sharded_simulation_fn(problem: Problem, mesh: Mesh):
+def _local_block_shape(cfg, mesh: Mesh) -> tuple:
+    """(nyl, nxl) of one shard on the mesh."""
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return cfg.ny // shape[AXIS_Y], cfg.nx // shape[AXIS_X]
+
+
+def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
+                           interpret: bool = False):
+    """The fused multi-stage shard kernel (ops/pallas_shard_step.py) when the
+    configuration supports it, else None (XLA per-stage path).
+
+    Selection mirrors the single-chip policy (_pallas_eligible): explicit
+    use_pallas wins; auto selects the kernel above the measured crossover.
+    interpret=True forces the Pallas interpreter (CPU-mesh tests).
+    """
+    from crdmodel_tpu.sim import _pallas_eligible
+    cfg = problem.cfg
+    if cfg.method == "rkc2":
+        return None
+    if not interpret and not _pallas_eligible(cfg):
+        return None
+    if interpret and cfg.use_pallas is not True:
+        return None
+    from crdmodel_tpu.integrate.erk import TABLEAUS
+    from crdmodel_tpu.ops import pallas_shard_step
+    tableau = TABLEAUS[cfg.method]
+    nyl, nxl = _local_block_shape(cfg, mesh)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_step.is_shard_supported(problem, tableau, dtype,
+                                                nyl, nxl):
+        return None
+    return pallas_shard_step.build_fused_shard_step(
+        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+
+
+def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
+                               interpret_pallas: bool = False):
     """Jitted (y0, params) -> (traj, stats) with everything under shard_map."""
     cfg = problem.cfg
     model = problem.model
@@ -121,12 +157,25 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh):
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
 
+    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
+
     def run_local(y0, params):
+        kw = {}
+        if fused is not None:
+            fparams = fused.prepare_params(params)
+            kw = dict(
+                step_err=lambda t, y, h, p, carry:
+                    (*fused.step_err(t, y, h, p), ()),
+                y_loop0=fused.pad(y0), capture=fused.unpad)
+            params_run = fparams
+        else:
+            params_run = params
         return integrate_to_outputs(
-            local_rhs, y0, params, 0.0, touts,
+            local_rhs, y0, params_run, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
-            reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn)
+            reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
+            **kw)
 
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)
@@ -138,6 +187,9 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh):
         mesh=mesh,
         in_specs=(state_spec, param_specs),
         out_specs=(traj_spec, stats_spec),
+        # the Pallas interpreter's internal slices trip shard_map's vma
+        # checker (real TPU lowering declares vma on out_shapes and passes)
+        check_vma=not interpret_pallas,
     )
     return jax.jit(fn), touts
 
@@ -147,7 +199,8 @@ def _stats_struct():
     return SolveStats(steps=0, accepted=0, rejected=0, status=0)
 
 
-def make_sharded_interval_fn(problem: Problem, mesh: Mesh):
+def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
+                             interpret_pallas: bool = False):
     """Jitted sharded single-interval step: (t, y, h, errp, status, tout)
     -> (t, y, h, errp, (nstep, nacc, nrej, status)) over global arrays.
 
@@ -177,8 +230,15 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh):
             cfg, model, problem.geometry, dtype,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
 
-    step_err, init_carry, err_order = make_stepper(
-        cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn)
+    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
+    if fused is not None:
+        from crdmodel_tpu.integrate.erk import TABLEAUS
+        step_err = lambda t, y, h, p, carry: (*fused.step_err(t, y, h, p), ())
+        init_carry = lambda t, y, params: ()
+        err_order = TABLEAUS[cfg.method].err_order
+    else:
+        step_err, init_carry, err_order = make_stepper(
+            cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn)
 
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)
@@ -187,18 +247,25 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh):
 
     def one_interval_local(t, y, h, errp, status, tout, first, params):
         p = {**params, "_seg_end": tout}
+        if fused is not None:
+            p = fused.prepare_params(p)
+            y = fused.pad(y)
         fc0 = init_carry(t, y, p)
-        return integrate_interval(
+        t, y, h, errp, stats = integrate_interval(
             step_err, t, y, h, errp, tout, p,
             err_order=err_order, max_steps=cfg.max_steps,
             global_size=global_size, reduce_fn=reduce_fn, carry0=fc0,
             status0=status, first_interval=first)
+        if fused is not None:
+            y = fused.unpad(y)
+        return t, y, h, errp, stats
 
     one_interval = jax.jit(jax.shard_map(
         one_interval_local, mesh=mesh,
         in_specs=(scalar, state_spec, scalar, scalar, scalar, scalar,
                   scalar, param_specs),
         out_specs=(scalar, state_spec, scalar, scalar, stats_spec),
+        check_vma=not interpret_pallas,  # see make_sharded_simulation_fn
     ))
 
     def h0_local(y, params):

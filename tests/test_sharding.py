@@ -174,3 +174,108 @@ def test_sharded_streaming_matches_batch():
                                np.asarray(batch.trajectory),
                                rtol=1e-12, atol=1e-12)
     assert stream.total_steps() == batch.total_steps()
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-stage shard kernel (ops/pallas_shard_step.py), run through the
+# Pallas interpreter on the virtual CPU mesh. One width-8 halo exchange per
+# step feeds all RK stages in a single kernel; results must match the XLA
+# per-stage path exactly (FHN measured bitwise; GB to f32 round-off).
+# ---------------------------------------------------------------------------
+
+def _fused_cfg(**kw):
+    base = dict(model="fhn", surface="flat", x_mesh=64, surface_width=10.0,
+                surface_length=20.0, t_final=0.2, output_timestep=2,
+                beta=1.25, dtype="float32", rtol=1e-4, atol=1e-6,
+                use_pallas=True)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _run_pair(cfg, mesh_shape=(2, 4)):
+    import dataclasses
+    mesh = make_mesh(shape=mesh_shape)
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh,
+                                          interpret_pallas=True)
+    traj_f, stats_f = run_f(problem.y0, params)
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+    return (np.asarray(traj_f), stats_f), (np.asarray(traj_x), stats_x)
+
+
+def test_fused_shard_kernel_flat_bitwise():
+    (tf, sf), (tx, sx) = _run_pair(_fused_cfg(t_boundary=0.1))
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_array_equal(tf, tx)
+
+
+def test_fused_shard_kernel_torus_varybeta_freeze():
+    cfg = _fused_cfg(surface="torus", surface_width=20.0, surface_length=40.0,
+                     vary_beta=1, beta_min=0.7, beta_max=1.7, t_boundary=0.1)
+    (tf, sf), (tx, sx) = _run_pair(cfg)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_array_equal(tf, tx)
+
+
+def test_fused_shard_kernel_goldbeter():
+    cfg = _fused_cfg(model="goldbeter", surface="torus", beta=0.4,
+                     surface_width=20.0, surface_length=40.0)
+    (tf, _), (tx, _) = _run_pair(cfg)
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-5)
+
+
+def test_fused_shard_kernel_matches_single_device():
+    """Fused sharded result vs the plain single-device simulate()."""
+    cfg = _fused_cfg(t_boundary=0.1)
+    import dataclasses
+    single = simulate(dataclasses.replace(cfg, use_pallas=False))
+    (tf, sf), _ = _run_pair(cfg)
+    full = np.concatenate([np.asarray(single.problem.y0)[None], tf], axis=0)
+    np.testing.assert_allclose(full, np.asarray(single.trajectory),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (8, 1), (4, 2)])
+def test_fused_shard_kernel_mesh_shapes(mesh_shape):
+    """Degenerate and skewed meshes: 1-device axes must reduce to wrap.
+
+    Tolerance is a few f32 ulps: at some shard widths XLA reassociates the
+    error-norm partial sums, nudging h by an ulp (a halo bug would show up
+    orders of magnitude larger — step counts must still agree exactly)."""
+    cfg = _fused_cfg(x_mesh=64, surface_width=10.0,
+                     surface_length=10.0 * max(2, mesh_shape[0]))
+    if cfg.ny % mesh_shape[0] or cfg.nx % mesh_shape[1]:
+        pytest.skip("grid does not factor over this mesh")
+    (tf, sf), (tx, sx) = _run_pair(cfg, mesh_shape)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-6)
+
+
+def test_fused_shard_interval_streaming_path():
+    """make_sharded_interval_fn with the fused kernel: one output interval,
+    identical to the XLA interval step."""
+    import dataclasses
+    from crdmodel_tpu.parallel.sharded import make_sharded_interval_fn
+    cfg = _fused_cfg(t_boundary=0.1)
+    mesh = make_mesh(shape=(2, 4))
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    dtype = jnp.float32
+
+    def run_one(p, interp):
+        one, h0f = make_sharded_interval_fn(p, mesh, interpret_pallas=interp)
+        prm, _ = sharded_params(p)
+        h = h0f(p.y0, {**prm, "_h0_tout": jnp.asarray(0.1, dtype)})
+        return one(jnp.asarray(0.0, dtype), p.y0, h, jnp.asarray(1.0, dtype),
+                   jnp.asarray(0, jnp.int32), jnp.asarray(0.1, dtype),
+                   jnp.asarray(True), prm)
+
+    t_f, y_f, h_f, _, st_f = run_one(problem, True)
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    t_x, y_x, h_x, _, st_x = run_one(p2, False)
+    assert int(st_f[3]) == 0 and int(st_x[3]) == 0
+    np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_x))
+    assert float(h_f) == float(h_x)
