@@ -119,11 +119,16 @@ def cmd_run(args):
 
     if args.devices and args.devices > 1:
         # streaming variant: bounded device-time per dispatch (large
-        # single-dispatch runs can exceed runtime execution limits)
+        # single-dispatch runs can exceed runtime execution limits).
+        # --checkpoint/--resume refer to a per-shard checkpoint DIRECTORY
+        # here (io/checkpoint.py::save_sharded_checkpoint)
         from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
         res = simulate_sharded_streaming(cfg, n_devices=args.devices,
                                          problem=problem,
-                                         progress=not args.quiet)
+                                         progress=not args.quiet,
+                                         checkpoint_every=args.checkpoint_every,
+                                         checkpoint_dir=args.checkpoint,
+                                         resume_dir=args.resume)
     elif args.resume:
         from crdmodel_tpu.io.checkpoint import resume_streaming
         res = resume_streaming(cfg, args.resume, problem=problem,

@@ -81,3 +81,105 @@ def resume_streaming(cfg: SimConfig, path: str, problem=None,
         cfg, problem=problem, on_snapshot=on_snapshot, progress=progress,
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
         _resume=data)
+
+
+# ---------------------------------------------------------------------------
+# Sharded checkpoints: per-shard files + JSON manifest, no host gather.
+#
+# The npz checkpoint above gathers the full state to one host — fine on one
+# chip, unscalable on a pod. Here every process writes exactly the shards it
+# addresses (the analogue of the reference's per-rank output files,
+# src/FHNmodel_torus.cpp:376-410), and resume reassembles a global jax.Array
+# with jax.make_array_from_callback, reading only locally-needed shards.
+#
+# Scope: the SOLVER STATE (y, t, h, err_prev, stats), not the accumulated
+# snapshots — at pod scale trajectory rows belong in the streamed per-rank
+# output files, not in checkpoints. A resumed run's SimResult therefore
+# contains only post-resume snapshots.
+# ---------------------------------------------------------------------------
+
+
+def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
+                            y, t: float, h: float, err_prev: float,
+                            stats: dict) -> str:
+    """Per-shard checkpoint of the solver state after output interval k_out.
+
+    y: a sharded jax.Array (nvars, ny, nx). Every process writes its
+    addressable shards; process 0 writes the manifest.
+    """
+    import jax
+
+    os.makedirs(dirpath, exist_ok=True)
+    pid = jax.process_index()
+    for n, shard in enumerate(y.addressable_shards):
+        starts = [s.start or 0 for s in shard.index]
+        np.savez_compressed(
+            os.path.join(dirpath, f"y.p{pid:03d}.s{n:03d}.npz"),
+            data=np.asarray(shard.data), starts=np.asarray(starts))
+    if pid == 0:
+        manifest = {
+            "fingerprint": config_fingerprint(cfg),
+            "k_out": int(k_out),
+            "t": float(t), "h": float(h), "err_prev": float(err_prev),
+            "mesh_shape": [int(s) for s in mesh.devices.shape],
+            "global_shape": [int(s) for s in y.shape],
+            "stats": {k: np.asarray(v).tolist() for k, v in stats.items()},
+        }
+        with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+    return dirpath
+
+
+def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
+    """Reassemble the solver state on (the same shape of) mesh.
+
+    Returns {k_out, t, h, err_prev, stats, y} with y a global sharded
+    jax.Array. Refuses fingerprint or mesh-shape mismatches.
+    """
+    import glob
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+    with open(os.path.join(dirpath, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    want = config_fingerprint(cfg)
+    if manifest["fingerprint"] != want:
+        raise ValueError(
+            f"checkpoint {dirpath} was written for a different problem "
+            f"(fingerprint {manifest['fingerprint']} != {want}); "
+            "refusing to resume")
+    if list(manifest["mesh_shape"]) != [int(s) for s in mesh.devices.shape]:
+        raise ValueError(
+            f"checkpoint {dirpath} was written on mesh "
+            f"{manifest['mesh_shape']}, resuming on "
+            f"{list(mesh.devices.shape)} is not supported")
+
+    shards = {}
+    for f in glob.glob(os.path.join(dirpath, "y.p*.s*.npz")):
+        with np.load(f) as z:
+            shards[tuple(int(v) for v in z["starts"])] = z["data"]
+
+    shape = tuple(manifest["global_shape"])
+    sharding = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+
+    def shard_for(index):
+        key = tuple((s.start or 0) for s in index)
+        if key not in shards:
+            raise ValueError(
+                f"checkpoint {dirpath} is missing the shard at {key} "
+                "(written by another process? copy all per-process files "
+                "to shared storage)")
+        return shards[key]
+
+    y = jax.make_array_from_callback(shape, sharding, shard_for)
+    return {
+        "k_out": int(manifest["k_out"]),
+        "t": manifest["t"], "h": manifest["h"],
+        "err_prev": manifest["err_prev"],
+        "stats": {k: np.asarray(v, dtype=np.int64)
+                  for k, v in manifest["stats"].items()},
+        "y": y,
+    }

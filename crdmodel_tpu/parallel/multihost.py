@@ -1,0 +1,180 @@
+"""Multi-host (multi-process) execution over DCN.
+
+The reference's MPI world spans nodes transparently (mpirun launches ranks
+anywhere, src/FHNmodel_torus.cpp:217-220); the JAX equivalent is
+jax.distributed: every process calls `initialize()`, after which
+`jax.devices()` lists the devices of ALL processes and a Mesh built over
+them spans hosts — shard_map collectives then ride ICI within a slice and
+DCN across slices with no further code changes (the halo ppermutes and
+error-control psums in parallel/sharded.py are topology-agnostic).
+
+What this module adds on top of parallel/mesh.py:
+  - initialize(): jax.distributed bootstrap (TPU pods auto-detect all
+    arguments from the environment; explicit args support CPU testing and
+    manual clusters).
+  - distribute(): build a global jax.Array for a host-computed array (ICs,
+    parameter fields are deterministic functions of the config, so every
+    process computes them and contributes its addressable shards — no
+    cross-host transfer of initial data).
+  - simulate_sharded_multihost(): the sharded streaming driver wired for
+    multi-process meshes, with per-process trajectory gathering optional
+    (per-rank output files map naturally: each process writes its own).
+
+Tested by tests/test_multihost.py: two coordinated CPU processes x 4
+virtual devices each run the 2x4-spanning mesh and must reproduce the
+single-process result exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, balanced_dims
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed bootstrap. On TPU pods all arguments are inferred
+    from the environment; pass them explicitly for CPU clusters/tests."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_global_mesh(grid_shape: tuple, shape: Optional[tuple] = None) -> Mesh:
+    """('py','px') mesh over ALL devices of all processes."""
+    devs = jax.devices()
+    if shape is None:
+        shape = balanced_dims(len(devs), *grid_shape)
+    arr = np.asarray(devs[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(arr, (AXIS_Y, AXIS_X))
+
+
+def distribute(mesh: Mesh, spec: P, host_array) -> jax.Array:
+    """Global jax.Array from an array every process has computed in full
+    (deterministic ICs/params): each process contributes the shards it can
+    address; nothing crosses the network."""
+    host_array = np.asarray(host_array)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
+def distribute_params(mesh: Mesh, params: dict, specs: dict) -> dict:
+    out = {}
+    for k, v in params.items():
+        s = specs[k]
+        if isinstance(v, tuple):
+            out[k] = tuple(distribute(mesh, si, vi) for vi, si in zip(v, s))
+        else:
+            out[k] = distribute(mesh, s, v)
+    return out
+
+
+def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
+                               problem=None, on_snapshot=None,
+                               progress: bool = False, gather: bool = True):
+    """Streaming sharded run on a (possibly) process-spanning mesh.
+
+    Every process executes the same program; on_snapshot/progress fire on
+    process 0 only. gather=True allgathers each snapshot to every host
+    (fine for output-sized fields); gather=False leaves the trajectory
+    sharded (use io.trajectory per-rank writers on local shards).
+    """
+    import time
+
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.integrate.erk import SolveStats, merge_stops
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_interval_fn, sharded_params)
+    from crdmodel_tpu.sim import SimResult, output_times
+
+    problem = problem if problem is not None else build_problem(cfg)
+    if mesh is None:
+        mesh = make_global_mesh((cfg.ny, cfg.nx))
+    dtype = jnp.dtype(cfg.dtype)
+    is_lead = jax.process_index() == 0
+
+    params_host, specs = sharded_params(problem)
+    params = distribute_params(mesh, params_host, specs)
+    y = distribute(mesh, P(None, AXIS_Y, AXIS_X), np.asarray(problem.y0))
+
+    one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
+    touts = output_times(cfg)
+    breakpoints = []
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        breakpoints = [cfg.t_boundary]
+    stop_times, is_output = merge_stops(touts, breakpoints)
+
+    def snap(arr):
+        if not gather:
+            return arr
+        from jax.experimental import multihost_utils
+        return jnp.asarray(multihost_utils.process_allgather(
+            arr, tiled=True))
+
+    t_start = time.perf_counter()
+    t = jnp.asarray(0.0, dtype)
+    h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
+    errp = jnp.asarray(1.0, dtype)
+    status = jnp.asarray(0, jnp.int32)
+    snaps = [snap(y)]
+    if on_snapshot is not None and is_lead:
+        on_snapshot(0, np.asarray(snaps[0]))
+
+    nt = len(touts)
+    acc = {k: np.zeros(nt, dtype=np.int64)
+           for k in ("steps", "accepted", "rejected", "status")}
+    k_out = 0
+    first = True
+    for stop, is_out in zip(stop_times, is_output):
+        t, y, h, errp, (ns, na, nr, status) = one_interval(
+            t, y, h, errp, status, jnp.asarray(stop, dtype),
+            jnp.asarray(first), params)
+        first = False
+        acc["steps"][k_out] += int(ns)
+        acc["accepted"][k_out] += int(na)
+        acc["rejected"][k_out] += int(nr)
+        acc["status"][k_out] = max(acc["status"][k_out], int(status))
+        if int(status) != 0:
+            if is_lead:
+                print("\nSolver failure, stopping integration")
+            break
+        if not is_out:
+            continue
+        snaps.append(snap(y))
+        if on_snapshot is not None and is_lead:
+            on_snapshot(k_out + 1, np.asarray(snaps[-1]))
+        if progress and is_lead:
+            elapsed = time.perf_counter() - t_start
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
+                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
+                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
+                  f"remaining", end="", flush=True)
+        k_out += 1
+    if progress and is_lead:
+        print("\n   ----------------------")
+
+    wall = time.perf_counter() - t_start
+    traj = jnp.stack(snaps) if gather else snaps
+    stats = SolveStats(steps=jnp.asarray(acc["steps"]),
+                       accepted=jnp.asarray(acc["accepted"]),
+                       rejected=jnp.asarray(acc["rejected"]),
+                       status=jnp.asarray(acc["status"]))
+    return SimResult(cfg=cfg, problem=problem,
+                     trajectory=traj,
+                     touts=np.concatenate(
+                         [[0.0], touts[:len(snaps) - 1]]),
+                     stats=stats, wall_time=wall)

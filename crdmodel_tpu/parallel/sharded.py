@@ -290,9 +290,19 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                                n_devices: Optional[int] = None,
                                problem: Optional[Problem] = None,
                                on_snapshot=None,
-                               progress: bool = False) -> SimResult:
+                               progress: bool = False,
+                               checkpoint_every: Optional[int] = None,
+                               checkpoint_dir: Optional[str] = None,
+                               resume_dir: Optional[str] = None) -> SimResult:
     """Streaming (per-interval dispatch) sharded run — the production-scale
-    driver: bounded device-time per dispatch, incremental snapshots."""
+    driver: bounded device-time per dispatch, incremental snapshots.
+
+    checkpoint_every=N + checkpoint_dir write a per-shard checkpoint
+    (io/checkpoint.py::save_sharded_checkpoint — no host gather) after every
+    N output intervals; resume_dir resumes from one. A resumed run's
+    SimResult holds only the POST-resume snapshots (touts aligned
+    accordingly): at scale, prior rows live in the streamed output files.
+    """
     problem = problem if problem is not None else build_problem(cfg)
     if mesh is None:
         mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
@@ -307,22 +317,52 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         breakpoints = [cfg.t_boundary]
     stop_times, is_output = merge_stops(touts, breakpoints)
 
-    t_start = time.perf_counter()
-    y = problem.y0
-    t = jnp.asarray(0.0, dtype)
-    h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
-    errp = jnp.asarray(1.0, dtype)
-    status = jnp.asarray(0, jnp.int32)
-    if on_snapshot is not None:
-        on_snapshot(0, np.asarray(y))
-
-    snaps = [y]
     nt = len(touts)
-    acc = {k: np.zeros(nt, dtype=np.int64)
-           for k in ("steps", "accepted", "rejected", "status")}
-    k_out = 0
-    first = True
+    t_start = time.perf_counter()
+    if resume_dir is not None:
+        from crdmodel_tpu.io.checkpoint import load_sharded_checkpoint
+        ck = load_sharded_checkpoint(resume_dir, cfg, mesh)
+        k_start = int(ck["k_out"])
+        y = jnp.asarray(ck["y"], dtype)
+        t = jnp.asarray(ck["t"], dtype)
+        h = jnp.asarray(ck["h"], dtype)
+        errp = jnp.asarray(ck["err_prev"], dtype)
+        acc = {k: np.array(ck["stats"][k], dtype=np.int64)
+               for k in ("steps", "accepted", "rejected", "status")}
+        snaps = []
+    else:
+        k_start = 0
+        y = problem.y0
+        t = jnp.asarray(0.0, dtype)
+        h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
+        errp = jnp.asarray(1.0, dtype)
+        acc = {k: np.zeros(nt, dtype=np.int64)
+               for k in ("steps", "accepted", "rejected", "status")}
+        snaps = [y]
+        if on_snapshot is not None:
+            on_snapshot(0, np.asarray(y))
+    status = jnp.asarray(0, jnp.int32)
+
+    def maybe_checkpoint(k_done, y_now):
+        if checkpoint_every and checkpoint_dir and \
+                k_done % checkpoint_every == 0 and k_done < nt:
+            from crdmodel_tpu.io.checkpoint import save_sharded_checkpoint
+            save_sharded_checkpoint(checkpoint_dir, cfg, mesh, k_done,
+                                    y_now, float(t), float(h), float(errp),
+                                    acc)
+
+    k_out = k_start
+    outs_skipped = 0
+    first = resume_dir is None
     for stop, is_out in zip(stop_times, is_output):
+        # resume skips deterministically by count (see sim.py); breakpoints
+        # at/before the checkpointed t compare in the run dtype
+        if is_out:
+            if outs_skipped < k_start:
+                outs_skipped += 1
+                continue
+        elif float(jnp.asarray(stop, dtype)) <= float(t):
+            continue
         t, y, h, errp, (ns, na, nr, status) = one_interval(
             t, y, h, errp, status, jnp.asarray(stop, dtype),
             jnp.asarray(first), params)
@@ -341,6 +381,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         snaps.append(y)
         if on_snapshot is not None:
             on_snapshot(k_out + 1, np.asarray(y))
+        maybe_checkpoint(k_out + 1, y)
         if progress:
             elapsed = time.perf_counter() - t_start
             eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
@@ -358,9 +399,12 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
                        status=jnp.asarray(acc["status"]))
+    if resume_dir is not None:
+        touts_out = touts[k_start:k_start + traj.shape[0]]
+    else:
+        touts_out = np.concatenate([[0.0], touts[:traj.shape[0] - 1]])
     return SimResult(cfg=cfg, problem=problem, trajectory=traj,
-                     touts=np.concatenate([[0.0], touts[:traj.shape[0] - 1]]),
-                     stats=stats, wall_time=wall)
+                     touts=touts_out, stats=stats, wall_time=wall)
 
 
 def simulate_sharded(cfg: SimConfig, mesh: Optional[Mesh] = None,

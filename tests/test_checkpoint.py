@@ -93,3 +93,58 @@ def test_resume_with_breakpoint_after_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(res.trajectory),
                                np.asarray(full.trajectory),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Per-shard checkpoint on the 8-device virtual mesh: every device's
+    shard is written separately (no host gather) and resume reproduces the
+    uninterrupted run's solver state and remaining snapshots exactly."""
+    import glob
+
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.3, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    full = simulate_sharded_streaming(cfg, mesh=mesh)
+    assert full.ok
+
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir)
+    assert len(glob.glob(ckdir + "/y.p*.s*.npz")) == 8  # one per device
+
+    res = simulate_sharded_streaming(cfg, mesh=mesh, resume_dir=ckdir)
+    assert res.ok
+    # post-resume snapshots = outputs 3 and 4
+    assert res.trajectory.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory[3:]),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(res.touts, full.touts[3:])
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
+
+
+def test_sharded_checkpoint_refuses_mismatches(tmp_path):
+    from crdmodel_tpu.io.checkpoint import load_sharded_checkpoint
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir)
+    with pytest.raises(ValueError, match="different problem"):
+        load_sharded_checkpoint(ckdir, dataclasses.replace(cfg, beta=0.5),
+                                mesh)
+    with pytest.raises(ValueError, match="mesh"):
+        load_sharded_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))

@@ -1,0 +1,88 @@
+"""Multi-host execution: 2 coordinated processes must match 1 process.
+
+Spawns two real Python processes, each with 4 virtual CPU devices, that
+jax.distributed-coordinate into one 8-device mesh spanning both — the JAX
+equivalent of the reference's multi-node MPI world
+(src/FHNmodel_torus.cpp:217-220) — and runs the sharded streaming driver.
+Process 0's gathered trajectory must match the plain single-process
+sharded run to f64 round-off.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+from crdmodel_tpu.config import SimConfig
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=2,
+                vary_beta=1, beta_min=0.7, beta_max=1.7, t_boundary=0.2,
+                dtype="float64", rtol=1e-6, atol=1e-10)
+mesh = multihost.make_global_mesh((cfg.ny, cfg.nx), shape=(2, 4))
+res = multihost.simulate_sharded_multihost(cfg, mesh=mesh)
+assert res.ok, np.asarray(res.stats.status)
+if jax.process_index() == 0:
+    np.savez(out, trajectory=np.asarray(res.trajectory),
+             steps=np.asarray(res.stats.steps))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process(tmp_path):
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    out = str(tmp_path / "mh.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD, str(pid), "2", port, out],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+    with np.load(out) as z:
+        traj_mh = z["trajectory"]
+        steps_mh = z["steps"]
+
+    # single-process sharded reference on the same 2x4 mesh (8 local devices
+    # forced by conftest)
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=2, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.2, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    res = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert res.ok
+    np.testing.assert_array_equal(steps_mh, np.asarray(res.stats.steps))
+    np.testing.assert_allclose(traj_mh, np.asarray(res.trajectory),
+                               rtol=1e-13, atol=1e-13)
