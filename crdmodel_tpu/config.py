@@ -27,9 +27,11 @@ from typing import Optional
 TWO_PI = 2.0 * math.pi
 
 # use_pallas=None auto-threshold: grid points above which the fused Pallas
-# step kernel beats XLA's step fusion (measured crossover between 0.64M and
-# 2.56M points on TPU v5e; docs/PERF_NOTES.md)
-PALLAS_AUTO_POINTS = 1_500_000
+# step kernel beats XLA's step fusion. Re-measured 2026-08-16 (round 2): the
+# kernel now wins from ~0.16M points (86 vs 92 us/step) through 2.56M
+# (153 vs 662, 4.3x) — docs/PERF_NOTES.md "Round-2 re-measurement". Only
+# tiny grids, where kernel launch overhead dominates, stay on XLA.
+PALLAS_AUTO_POINTS = 150_000
 
 
 def load_ini(path: str) -> dict:
@@ -92,12 +94,10 @@ class SimConfig:
     dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
     rng_seed: int = 0              # explicit PRNG for ic_type=2 (reference: unseeded rand())
     # Fused Pallas step kernel (ops/pallas_step.py). None = automatic:
-    # measured 2026-08-16 (docs/PERF_NOTES.md), XLA's whole-body fusion wins
-    # at canonical sizes (77 vs ~190 us/step at 400x1600) but collapses on
-    # large grids where stage intermediates spill (774 us/step at 800x3200);
-    # the kernel's single-pass traffic scales linearly (283 us/step there,
-    # 2.7x faster). Auto selects the kernel above PALLAS_AUTO_POINTS grid
-    # points; True/False force it.
+    # round-2 measurements (docs/PERF_NOTES.md) show the kernel beating
+    # XLA's step fusion from ~0.16M grid points (canonical 400x1600:
+    # 49 vs 70 us/step; 800x3200: 153 vs 662, 4.3x). Auto selects the
+    # kernel above PALLAS_AUTO_POINTS grid points; True/False force it.
     use_pallas: Optional[bool] = None
     # Speculative K-step batching (integrate/erk.py::
     # integrate_interval_batched): each while iteration takes K sub-steps
