@@ -457,6 +457,90 @@ def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
     return t, y, h, ep, (nstep + ns2, nacc + na2, nrej + nr2, status)
 
 
+def integrate_interval_kernel_batched(kcall, K, t0, y0, h_init, errs0, tout,
+                                      params, *, err_order, max_steps,
+                                      global_size, reduce_fn=jnp.sum,
+                                      status0=None, tail_step_err=None,
+                                      tail_carry0=()):
+    """integrate_interval_batched semantics with the K-step mega-kernel
+    (ops/pallas_kstep.py): one kernel call takes K frozen-h sub-steps in a
+    single HBM pass and returns (y_K, per-sub-step error sums). Each
+    sub-step is validated against the WRMS test; on a mid-batch rejection a
+    recovery call re-invokes the kernel with n_commit=prefix (deterministic
+    recompute — a few % of batches). Controller logic identical to
+    integrate_interval_batched. The interval tail (t + K*h past tout) runs
+    the per-step loop with tail_step_err (the single-step fused kernel,
+    same padded state representation).
+    """
+    dtype = y0.dtype
+    inv_q = 1.0 / float(err_order)
+
+    def cond(state):
+        t, y, h, errs, nstep, nacc, nrej, status = state
+        return ((t + K * h <= tout) & (t < tout) & (status == 0)
+                & (nstep < max_steps))
+
+    def body(state):
+        t, y, h, errs, nstep, nacc, nrej, status = state
+        ep, epp = errs
+        yK, sss = kcall(t, y, h, K, params)
+        es = []
+        for j in range(K):
+            e = jnp.sqrt(reduce_fn(sss[:, j]) / global_size).astype(dtype)
+            es.append(jnp.where(jnp.isfinite(e), e,
+                                jnp.asarray(jnp.inf, dtype)))
+        evec = jnp.stack(es)
+        acc = jnp.cumprod((evec <= 1.0).astype(jnp.int32))
+        prefix = jnp.sum(acc, dtype=jnp.int32)
+        all_ok = prefix == K
+
+        y_next = jax.lax.cond(
+            all_ok, lambda: yK,
+            lambda: kcall(t, y, h, prefix, params)[0])
+        t_next = t + prefix.astype(dtype) * h
+
+        # controller: same structure/constants as integrate_interval_batched
+        e_last = jnp.maximum(evec[jnp.maximum(prefix - 1, 0)], 1e-10)
+        e_prev = jnp.where(prefix > 1, evec[jnp.maximum(prefix - 2, 0)], ep)
+        e_rej = jnp.maximum(evec[jnp.minimum(prefix, K - 1)], 1e-10)
+        e_ctl = jnp.where(all_ok, e_last, e_rej)
+        e1 = jnp.where(all_ok, e_prev, e_last)
+        eta = (SAFETY * (ERR_BIAS * e_ctl) ** (-PID_K1 * inv_q)
+               * (ERR_BIAS * jnp.maximum(e1, 1e-10)) ** (PID_K2 * inv_q)
+               * (ERR_BIAS * jnp.maximum(ep, 1e-10)) ** (-PID_K3 * inv_q))
+        grow_cap = jnp.where(e_ctl < 0.1, ETA_MAX, 1.4).astype(dtype)
+        eta_acc = jnp.clip(0.95 * eta, ETA_MIN, grow_cap)
+        eta_rej = jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX)
+        h_next = h * jnp.where(all_ok, eta_acc, eta_rej)
+
+        ep_next = jnp.where(prefix > 0, e_last, ep)
+        epp_next = jnp.where(prefix > 0, jnp.where(prefix > 1, e_prev, ep),
+                             epp)
+
+        eps = jnp.finfo(dtype).eps
+        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
+        status_next = jnp.where((~all_ok) & (h_next < hmin),
+                                jnp.asarray(2, jnp.int32), status)
+        attempted = prefix + (~all_ok).astype(jnp.int32)
+        return (t_next, y_next, h_next, (ep_next, epp_next),
+                nstep + attempted, nacc + prefix,
+                nrej + (~all_ok).astype(jnp.int32), status_next)
+
+    zero = jnp.asarray(0, jnp.int32)
+    s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
+    state0 = (t0.astype(dtype), y0, h_init.astype(dtype), errs0,
+              zero, zero, zero, s0)
+    t, y, h, errs, nstep, nacc, nrej, status = jax.lax.while_loop(
+        cond, body, state0)
+
+    # tail: land exactly on tout with the per-step fused kernel
+    t, y, h, ep, (ns2, na2, nr2, status) = integrate_interval(
+        tail_step_err, t, y, h, errs[0], tout, params,
+        err_order=err_order, max_steps=max_steps, global_size=global_size,
+        reduce_fn=reduce_fn, carry0=tail_carry0, status0=status)
+    return t, y, h, ep, (nstep + ns2, nacc + na2, nrej + nr2, status)
+
+
 def make_stepper(method, rhs, rtol, atol, rho_fn=None):
     """Resolve a method name to (step_err, init_carry, err_order) — the
     stepper protocol shared by erk tableaus and rkc2."""
@@ -496,7 +580,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          rtol, atol, method="bs32", max_steps=200_000,
                          reduce_fn=jnp.sum, global_size=None,
                          breakpoints=(), step_err=None, init_carry=None,
-                         y_loop0=None, capture=None, spec_k=0, rho_fn=None):
+                         y_loop0=None, capture=None, spec_k=0, rho_fn=None,
+                         kstep_call=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -569,7 +654,14 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         # fresh stepper cache per segment: the RHS may differ across a
         # breakpoint (freeze release), invalidating a cached FSAL stage
         fc0 = init_carry(t, y, p)
-        if spec_k and spec_k > 1:
+        if kstep_call is not None and spec_k and spec_k > 1:
+            t, y, h, errp, stats = integrate_interval_kernel_batched(
+                kstep_call, int(spec_k), t, y, h,
+                (errp, jnp.asarray(1.0, dtype)), tout, p,
+                err_order=err_order, max_steps=max_steps,
+                reduce_fn=reduce_fn, global_size=global_size,
+                status0=status, tail_step_err=step_err, tail_carry0=fc0)
+        elif spec_k and spec_k > 1:
             t, y, h, errp, stats = integrate_interval_batched(
                 step_err, int(spec_k), t, y, h,
                 (errp, jnp.asarray(1.0, dtype)), tout, p,

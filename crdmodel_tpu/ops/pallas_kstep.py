@@ -1,0 +1,327 @@
+"""Speculative K-step fused kernel: K embedded ERK steps per HBM pass.
+
+The single-step fused kernel (ops/pallas_step.py) is memory-bound: one read
++ one write of the state per step. This kernel amortises that traffic over
+K steps taken with a FROZEN step size h, entirely in VMEM per row strip:
+
+  read y -> [step 1 stages ... step K stages, FSAL-chained] -> write ONE
+  committed state + the K per-step WRMS error partial sums.
+
+Each sub-step is individually validated by the caller against the WRMS
+test (the tolerance contract is identical to the per-step loop — only the
+h *sequence* differs, h updating once per batch), and the batch commits the
+longest accepted prefix: the kernel takes a scalar `n_commit` selecting
+which sub-step's state to write (K on the speculative first call; on a
+mid-batch rejection the caller re-invokes with n_commit=prefix, a
+deterministic recompute — measured rejection rates are a few % of batches,
+so the recovery invocation amortises to noise).
+
+FSAL chaining across sub-steps (BS3(2)/DOPRI5(4): last stage of an accepted
+step is the first of the next) gives 1 + (stages-1)*K RHS evaluations per
+batch. Halo depth must cover them all: evals <= HALO rings (P=8 supports
+BS32 up to K=2; the builder checks). Round-1 history: an earlier K-step
+kernel measured 52 us/step raw at K=8 but lost end-to-end to the old
+~110 us invocation overhead economics; at round-2 overheads the tradeoff
+inverts (docs/PERF_NOTES.md).
+
+Layout, strips, double-buffered DMAs, lane-padded persistent state: same as
+ops/pallas_step.py (see its module docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate.erk import Tableau
+from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
+
+
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _strip_target(nx: int, nvars: int, n_stages: int, k: int) -> int:
+    """Strip row cap keeping the K-step working set under VMEM_BUDGET
+    (2 scratch slots + ~(stages+3) live stage arrays per sub-step)."""
+    nxp = ((nx + 2 * HALO + 127) // 128) * 128
+    live = 2 + k * (n_stages + 3)
+    bytes_per_row = 4 * nxp * nvars * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+
+
+def max_k(tableau: Tableau) -> int:
+    """Largest K whose 1+(s-1)K RHS evaluations fit in the halo depth."""
+    if not tableau.fsal:
+        return HALO // tableau.stages
+    return (HALO - 1) // (tableau.stages - 1)
+
+
+def is_kstep_supported(problem, tableau: Tableau, dtype, k: int) -> bool:
+    from crdmodel_tpu.ops.pallas_step import is_supported
+    if not is_supported(problem, tableau, dtype):
+        return False
+    if not tableau.fsal:
+        return False
+    if _pick_strip(problem.cfg.ny,
+                   target=_strip_target(problem.cfg.nx, problem.model.nvars,
+                                        tableau.stages, k)) is None:
+        return False
+    return 1 <= k <= max_k(tableau)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedKStep:
+    call: Callable     # (t, yp, h, n_commit, params) -> (ynew_p, sss (n_strips, K))
+    pad: Callable
+    unpad: Callable
+    k: int
+    nxp: int
+
+
+def build_fused_kstep(problem, tableau: Tableau, k: int,
+                      dtype=jnp.float32) -> FusedKStep:
+    cfg = problem.cfg
+    model = problem.model
+    geometry = problem.geometry
+    nvars = model.nvars
+    ny, nx = cfg.ny, cfg.nx
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = geometry.kind
+
+    assert tableau.fsal and 1 <= k <= max_k(tableau)
+    a = tableau.a.tolist()
+    bw = tableau.b.tolist()
+    d = (tableau.b - tableau.bhat).tolist()
+    n_stages = tableau.stages
+    P = HALO
+    S = _pick_strip(ny, target=_strip_target(nx, nvars, n_stages, k))
+    if S is None:
+        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
+    n_strips = ny // S
+    R = S + 2 * P
+    nxp = ((nx + 2 * P + 127) // 128) * 128
+
+    def pad_cols(arr):
+        out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
+        fill = nxp - (nx + 2 * P)
+        if fill:
+            padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
+            out = jnp.pad(out, padw)
+        return out
+
+    def unpad_cols(arr):
+        return arr[..., P:P + nx]
+
+    coeffs = geometry.stencil_coeffs(dtype)
+    if kind == "torus":
+        c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
+        c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
+        c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
+        c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
+        c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
+    from crdmodel_tpu.core.problem import beta_field
+    b_arr = beta_field(cfg, dtype)
+    b_is_field = getattr(b_arr, "ndim", 0) == 2
+    if b_is_field:
+        b_np = np.asarray(b_arr)
+        b_pad = jnp.asarray(
+            np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
+    else:
+        b_pad = jnp.full((1, 1), float(b_arr), dtype)
+
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+    interior = np.ones((ny, 1), dtype=np.float32)
+    interior[0, 0] = 0.0
+    interior[-1, 0] = 0.0
+    m_pad = jnp.asarray(
+        np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
+        dtype)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nx] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, nc_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref,
+               cm_ref, y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        def strip_dmas(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            tops = pl.multiple_of((r0 - P) % ny, 8)
+            bots = pl.multiple_of((r0 + S) % ny, 8)
+            return (
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(tops, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(r0, S), :],
+                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bots, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
+            )
+
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+        @pl.when(i == 0)
+        def _():
+            for dma in strip_dmas(0, 0):
+                dma.start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            for dma in strip_dmas(i + 1, nslot):
+                dma.start()
+
+        for dma in strip_dmas(i, slot):
+            dma.wait()
+
+        h = h_ref[0, 0]
+        n_commit = nc_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        if kind == "torus":
+            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
+        else:
+            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+
+        def rhs_block(yb):
+            u = yb[0]
+            ue = jnp.roll(u, -1, axis=-1)
+            uw = jnp.roll(u, 1, axis=-1)
+            un = jnp.roll(u, -1, axis=-2)
+            us = jnp.roll(u, 1, axis=-2)
+            if kind == "torus":
+                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                       + cphi * (un - 2.0 * u + us))
+            else:
+                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            if just_diffusion:
+                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+            react = model.kinetics(yb, b_rows)
+            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]],
+                                   axis=0)
+            if has_freeze:
+                ydot = ydot * live_rows
+            return ydot
+
+        y = yv[slot]
+        y0_center = y[:, P:P + S, :]
+        k1 = rhs_block(y)                    # eval 1; FSAL-chained below
+        committed = y0_center                # n_commit == 0 -> identity
+        for step in range(k):
+            ks = [k1]
+            for s in range(1, n_stages):
+                yi = y
+                for j in range(s):
+                    if a[s][j] != 0.0:
+                        yi = yi + (h * a[s][j]) * ks[j]
+                ks.append(rhs_block(yi))
+            ynew = y
+            err = jnp.zeros_like(y)
+            for s in range(n_stages):
+                if bw[s] != 0.0:
+                    ynew = ynew + (h * bw[s]) * ks[s]
+                if d[s] != 0.0:
+                    err = err + (h * d[s]) * ks[s]
+            # per-sub-step WRMS partial sum over the physical center region,
+            # weights from the state BEFORE this sub-step (SUNDIALS ewt)
+            w = cm_ref[:, :] / (rtol * jnp.abs(y[:, P:P + S, :]) + atol)
+            scaled = err[:, P:P + S, :] * w
+            ss_ref[i, step] = jnp.sum(scaled * scaled)
+            committed = jnp.where(n_commit >= step + 1,
+                                  ynew[:, P:P + S, :], committed)
+            # FSAL: the last stage of this step is eval 1 of the next
+            y, k1 = ynew, ks[-1]
+
+        # refresh wrapped column halos so the padded state stays closed
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
+        zl = jnp.roll(committed, -nx, axis=-1)
+        zr = jnp.roll(committed, nx, axis=-1)
+        committed = jnp.where(jcol < P, zl,
+                              jnp.where(jcol >= P + nx, zr, committed))
+        ynew_ref[:, :, :] = committed
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # (n_strips, K)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    pallas = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
+            jax.ShapeDtypeStruct((n_strips, k), dtype),
+        ],
+    )
+
+    def call(t, yp, h, n_commit, params):
+        del t
+        if has_freeze:
+            seg_end = params.get("_seg_end") if isinstance(params, dict) \
+                else None
+            if seg_end is None:
+                fz = jnp.asarray(0.0, dtype)
+            else:
+                fz = (seg_end <= t_boundary).astype(dtype)
+        else:
+            fz = jnp.asarray(0.0, dtype)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        nc_s = jnp.reshape(jnp.asarray(n_commit, jnp.int32), (1, 1))
+        ynew, sss = pallas(h_s, fz_s, nc_s, c0, c1, c2, b_pad, m_pad,
+                           col_mask, yp)
+        return ynew, sss
+
+    return FusedKStep(call=call, pad=pad_cols, unpad=unpad_cols, k=k,
+                      nxp=nxp)

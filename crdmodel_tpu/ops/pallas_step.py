@@ -55,6 +55,19 @@ from crdmodel_tpu.integrate.erk import Tableau
 
 HALO = 8  # >= stages for every supported tableau; multiple of 8 for alignment
 
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _step_strip_target(nx: int, nvars: int, n_stages: int) -> int:
+    """Strip row cap keeping the working set (2 scratch slots + live stage
+    arrays) under VMEM_BUDGET — at wide grids the default 256-row strips
+    brush the 16MB VMEM stack limit."""
+    nxp = ((nx + 2 * HALO + 127) // 128) * 128
+    live = 2 + n_stages + 3
+    bytes_per_row = 4 * nxp * nvars * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+
 
 def _pick_strip(ny: int, target: int = 256) -> int | None:
     """Largest divisor of ny <= target that is a multiple of 8 (Mosaic
@@ -71,7 +84,10 @@ def is_supported(problem, tableau: Tableau, dtype) -> bool:
         return False
     if tableau.stages > HALO:
         return False
-    if _pick_strip(problem.cfg.ny) is None:
+    if _pick_strip(problem.cfg.ny,
+                   target=_step_strip_target(problem.cfg.nx,
+                                             problem.model.nvars,
+                                             tableau.stages)) is None:
         return False
     # kernel implements the reference models' var-0-only diffusion; XLA path
     # handles multi-species diffusion (e.g. Gray-Scott)
@@ -105,7 +121,7 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
     n_stages = tableau.stages
     P = HALO
     assert n_stages <= P
-    S = _pick_strip(ny)
+    S = _pick_strip(ny, target=_step_strip_target(nx, nvars, n_stages))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S

@@ -108,18 +108,25 @@ def make_simulation_fn(problem: Problem):
                                 jnp.dtype(cfg.dtype))
 
     fused = None
+    kstep = None
     if cfg.method != "rkc2" and _pallas_eligible(cfg):
         from crdmodel_tpu.integrate.erk import TABLEAUS
-        from crdmodel_tpu.ops import pallas_step
+        from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
         if pallas_step.is_supported(problem, tableau, jnp.dtype(cfg.dtype)):
             fused = pallas_step.build_fused_step(problem, tableau,
                                                  jnp.dtype(cfg.dtype))
+            # speculative K-step mega-kernel: K frozen-h sub-steps per HBM
+            # pass (opt-in via cfg.speculative_k; ops/pallas_kstep.py)
+            k = int(cfg.speculative_k)
+            if k > 1 and pallas_kstep.is_kstep_supported(
+                    problem, tableau, jnp.dtype(cfg.dtype), k):
+                kstep = pallas_kstep.build_fused_kstep(
+                    problem, tableau, k, jnp.dtype(cfg.dtype))
 
-    # XLA-side speculation: batches of K sub-steps per while iteration; the
-    # fused Pallas step path keeps per-step control (its kernel invocation
-    # boundary would defeat the batching fusion)
-    spec_k = 0 if fused is not None else int(cfg.speculative_k)
+    # XLA-side speculation is the fallback when the kernels are unavailable
+    spec_k = (int(cfg.speculative_k) if (fused is None or kstep is not None)
+              else 0)
 
     def run(y0, params):
         kw = {}
@@ -128,6 +135,8 @@ def make_simulation_fn(problem: Problem):
                 step_err=lambda t, y, h, p, carry:
                     (*fused.step_err(t, y, h, p), ()),
                 y_loop0=fused.pad(y0), capture=fused.unpad)
+            if kstep is not None:
+                kw["kstep_call"] = kstep.call
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
