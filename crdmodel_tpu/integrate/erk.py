@@ -261,7 +261,8 @@ def make_default_step_err(tableau: Tableau, rhs: Callable, rtol, atol):
 def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
                        *, err_order, max_steps, global_size,
                        reduce_fn=jnp.sum, carry0=(),
-                       first_interval=False, status0=None):
+                       first_interval=False, status0=None,
+                       h_limit_fn=None):
     """Integrate from (t0, y0) to tout with adaptive steps.
 
     step_err(t, y, h, params, carry) -> (y_new, err_ss, new_carry) where
@@ -282,6 +283,12 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     deliberately conservative and the first update is allowed to correct it
     in one jump). May be a traced scalar so jitted callers can thread it
     through scan without a second while_loop compile.
+
+    h_limit_fn(t, y, params) -> scalar: optional hard cap on the attempted
+    step (e.g. the fused RKC kernel's stability coverage for its static
+    stage budget, ops/pallas_rkc.py). The controller may propose larger h;
+    every attempt is clamped before stepping, so t advances by the clamped
+    amount and the error test sees the step actually taken.
     """
     dtype = y0.dtype
     inv_q = 1.0 / float(err_order)
@@ -296,8 +303,10 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     def body(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
         ep, epp = errs
-        last = t + h >= tout
-        hs = jnp.where(last, tout - t, h)
+        hs = jnp.where(t + h >= tout, tout - t, h)
+        if h_limit_fn is not None:
+            hs = jnp.minimum(hs, h_limit_fn(t, y, params).astype(dtype))
+        last = hs >= tout - t
 
         y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
         err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
@@ -581,7 +590,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          reduce_fn=jnp.sum, global_size=None,
                          breakpoints=(), step_err=None, init_carry=None,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
-                         kstep_call=None):
+                         kstep_call=None, h_limit_fn=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -646,6 +655,9 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     f0 = rhs(t0, y0, seg_params(tout0))
     h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
                        rtol, atol, err_order, reduce_fn, global_size)
+    if h_limit_fn is not None:
+        h0 = jnp.minimum(h0, h_limit_fn(t0, y_loop0,
+                                        seg_params(tout0)).astype(dtype))
 
     def scan_body(carry, inp):
         tout, is_first = inp
@@ -674,7 +686,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                 err_order=err_order, carry0=fc0,
                 max_steps=max_steps, reduce_fn=reduce_fn,
                 global_size=global_size, status0=status,
-                first_interval=is_first)
+                first_interval=is_first, h_limit_fn=h_limit_fn)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)
 
     errp0 = jnp.asarray(1.0, dtype)

@@ -1,0 +1,368 @@
+"""Fused RKC2 step kernel: every Chebyshev stage in one pass over HBM.
+
+RKC2 (integrate/rkc.py) is the algorithmic answer to diffusion-CFL-limited
+fine grids — s first-order-cost stages buy a ~0.65*s^2 stability interval,
+so evaluations per unit time scale like sqrt(rho) instead of rho. But on
+the XLA path each stage is a separate halo'd RHS pass, and at large grids
+XLA's fusion collapse makes every evaluation cost a full memory sweep.
+
+This kernel runs the ENTIRE stage recurrence in VMEM per row strip: the
+three-term Chebyshev recurrence keeps only (Y_{j-1}, Y_{j-2}, y0, F0) live
+— constant in s, unlike an RK tableau's per-stage arrays — so one read of
+the state supports an arbitrary stage count up to the halo depth. Stage j
+consumes one validity ring; with halo P=24 the kernel supports s <= 23
+(s stage evaluations + the error estimate's F(y_new)), i.e. stability
+coverage h*rho <= 0.65*23^2 ~ 345 in a single fused pass. The adaptive
+driver caps h to that coverage (integrate_interval's h_limit_fn): a finer
+grid then costs more *steps*, each still one HBM pass.
+
+Per step the caller (step_err wrapper) computes the spectral radius bound,
+the stage count s = ceil(sqrt(h*rho/0.65))+1, and the per-stage recurrence
+coefficients (mu, nu, mut, gt — scalar Chebyshev recurrences, done in XLA)
+and passes them as small arrays; the kernel's fori_loop runs 2..s with
+dynamic bound, indexing the coefficient table per stage.
+
+Stage times only matter through the per-segment freeze flag (as in
+ops/pallas_step.py); the error estimate is RKC's order-2
+est = 0.8(y - y_new) + 0.4h(F0 + F(y_new)), WRMS-scaled per strip.
+
+float32, single-chip periodic wrap (the lane-halo refresh trick of
+ops/pallas_step.py). Sharded RKC keeps the XLA path for now.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate import rkc
+from crdmodel_tpu.ops.pallas_step import _pick_strip
+
+P_RKC = 24                  # halo depth: s + 1 evaluation rings, s <= 23
+S_MAX_KERNEL = P_RKC - 1    # max stage count the halo supports
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _strip_target(nx: int, nvars: int) -> int:
+    nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
+    live = 2 + 7   # 2 scratch slots + (y0, f0, yjm1, yjm2, fy, yj, est)
+    bytes_per_row = 4 * nxp * nvars * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * P_RKC) // 8 * 8))
+
+
+def is_rkc_supported(problem, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    cfg = problem.cfg
+    if _pick_strip(cfg.ny,
+                   target=_strip_target(cfg.nx, problem.model.nvars)) is None:
+        return False
+    if tuple(problem.model.diffusive_vars) != (0,):
+        return False
+    if problem.model.jac_bound is None and not cfg.just_diffusion:
+        return False
+    return True
+
+
+def rkc_stage_coeffs(s, dtype):
+    """Per-stage recurrence coefficient table for traced s (static length
+    S_MAX_KERNEL+1, rows beyond s unused). Returns (mu1, coeffs) with
+    coeffs[j] = (mu_j, nu_j, mut_j, gt_j) for j in [2, s]."""
+    one = jnp.asarray(1.0, dtype)
+    sf = s.astype(dtype)
+    w0 = one + rkc.EPS_DAMP / (sf * sf)
+    ts, dts, d2ts = rkc._cheb_scalars(s, w0)
+    w1 = dts / d2ts
+
+    dt2 = 4 * w0
+    b2 = jnp.asarray(4.0, dtype) / (dt2 * dt2)
+    mu1 = b2 * w1
+
+    def body(j, st):
+        tab, tjm1, tjm2, djm1, djm2, d2jm1, d2jm2, bjm1, bjm2 = st
+        tj = 2 * w0 * tjm1 - tjm2
+        dj = 2 * w0 * djm1 - djm2 + 2 * tjm1
+        d2j = 2 * w0 * d2jm1 - d2jm2 + 4 * djm1
+        bj = d2j / (dj * dj)
+        mu = 2 * bj * w0 / bjm1
+        nu = -bj / bjm2
+        mut = 2 * bj * w1 / bjm1
+        gt = -(one - bjm1 * tjm1) * mut
+        tab = tab.at[j].set(jnp.stack([mu, nu, mut, gt]))
+        return (tab, tj, tjm1, dj, djm1, d2j, d2jm1, bj, bjm1)
+
+    tab0 = jnp.zeros((S_MAX_KERNEL + 1, 4), dtype)
+    st0 = (tab0,
+           w0, one,                         # T_1, T_0
+           one, jnp.zeros_like(w0),         # T'_1, T'_0
+           jnp.zeros_like(w0), jnp.zeros_like(w0),   # T''_1, T''_0
+           b2, b2)                          # b_1, b_0
+    st = jax.lax.fori_loop(2, s + 1, body, st0)
+    return mu1, st[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedRKCStep:
+    step_err: Callable      # (t, yp, h, params, carry=()) protocol via wrapper
+    h_limit: Callable       # (t, yp, params) -> stability-capped max h
+    pad: Callable
+    unpad: Callable
+    nxp: int
+
+
+def build_fused_rkc_step(problem, dtype=jnp.float32,
+                         rho_fn=None) -> FusedRKCStep:
+    cfg = problem.cfg
+    model = problem.model
+    geometry = problem.geometry
+    nvars = model.nvars
+    ny, nx = cfg.ny, cfg.nx
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = geometry.kind
+
+    if rho_fn is None:
+        from crdmodel_tpu.core.problem import make_rho_bound
+        rho_fn = make_rho_bound(cfg, model, geometry, dtype)
+
+    P = P_RKC
+    S = _pick_strip(ny, target=_strip_target(nx, nvars))
+    if S is None:
+        raise ValueError(f"ny={ny} has no usable strip divisor")
+    n_strips = ny // S
+    R = S + 2 * P
+    nxp = ((nx + 2 * P + 127) // 128) * 128
+
+    def pad_cols(arr):
+        out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
+        fill = nxp - (nx + 2 * P)
+        if fill:
+            padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
+            out = jnp.pad(out, padw)
+        return out
+
+    def unpad_cols(arr):
+        return arr[..., P:P + nx]
+
+    coeffs = geometry.stencil_coeffs(dtype)
+    if kind == "torus":
+        c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
+        c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
+        c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
+        c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
+        c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
+    from crdmodel_tpu.core.problem import beta_field
+    b_arr = beta_field(cfg, dtype)
+    b_is_field = getattr(b_arr, "ndim", 0) == 2
+    if b_is_field:
+        b_np = np.asarray(b_arr)
+        b_pad = jnp.asarray(
+            np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
+    else:
+        b_pad = jnp.full((1, 1), float(b_arr), dtype)
+
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+    interior = np.ones((ny, 1), dtype=np.float32)
+    interior[0, 0] = 0.0
+    interior[-1, 0] = 0.0
+    m_pad = jnp.asarray(
+        np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
+        dtype)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nx] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        def strip_dmas(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            tops = pl.multiple_of((r0 - P) % ny, 8)
+            bots = pl.multiple_of((r0 + S) % ny, 8)
+            return (
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(tops, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(r0, S), :],
+                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bots, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
+            )
+
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+        @pl.when(i == 0)
+        def _():
+            for dma in strip_dmas(0, 0):
+                dma.start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            for dma in strip_dmas(i + 1, nslot):
+                dma.start()
+
+        for dma in strip_dmas(i, slot):
+            dma.wait()
+
+        h = h_ref[0, 0]
+        s = s_ref[0, 0]
+        mu1 = mu1_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        if kind == "torus":
+            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
+        else:
+            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+
+        def rhs_block(yb):
+            u = yb[0]
+            ue = jnp.roll(u, -1, axis=-1)
+            uw = jnp.roll(u, 1, axis=-1)
+            un = jnp.roll(u, -1, axis=-2)
+            us = jnp.roll(u, 1, axis=-2)
+            if kind == "torus":
+                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                       + cphi * (un - 2.0 * u + us))
+            else:
+                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            if just_diffusion:
+                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+            react = model.kinetics(yb, b_rows)
+            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]],
+                                   axis=0)
+            if has_freeze:
+                ydot = ydot * live_rows
+            return ydot
+
+        y0 = yv[slot]
+        f0 = rhs_block(y0)                       # ring 1
+        y_jm1 = y0 + (h * mu1) * f0              # stage 1
+        y_jm2 = y0
+
+        def stage(j, carry):
+            yjm1, yjm2 = carry
+            mu = ctab_ref[j, 0]
+            nu = ctab_ref[j, 1]
+            mut = ctab_ref[j, 2]
+            gt = ctab_ref[j, 3]
+            fy = rhs_block(yjm1)                 # ring j
+            yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
+                  + (h * mut) * fy + (h * gt) * f0)
+            return (yj, yjm1)
+
+        y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
+
+        f1 = rhs_block(y_new)                    # ring s+1
+        est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
+
+        z = y_new[:, P:P + S, :]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
+        zl = jnp.roll(z, -nx, axis=-1)
+        zr = jnp.roll(z, nx, axis=-1)
+        z = jnp.where(jcol < P, zl, jnp.where(jcol >= P + nx, zr, z))
+        ynew_ref[:, :, :] = z
+
+        yc = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+        scaled = est[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype),
+        ],
+    )
+
+    def _freeze_scalar(params):
+        if not has_freeze:
+            return jnp.asarray(0.0, dtype)
+        seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+        if seg_end is None:
+            return jnp.asarray(0.0, dtype)
+        return (seg_end <= t_boundary).astype(dtype)
+
+    def step_err(t, yp, h, params, carry=()):
+        rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
+        s = jnp.minimum(rkc.choose_stages(h, rho),
+                        jnp.asarray(S_MAX_KERNEL, jnp.int32))
+        mu1, ctab = rkc_stage_coeffs(s, dtype)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
+        s_s = jnp.reshape(s, (1, 1))
+        mu1_s = jnp.reshape(mu1, (1, 1))
+        ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                        c0, c1, c2, b_pad, m_pad, col_mask, yp)
+        return ynew, jnp.sum(ss), ()
+
+    def h_limit(t, yp, params):
+        """Largest h the kernel's stage budget can stabilize."""
+        rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
+        return (rkc.STAB_FACTOR * (S_MAX_KERNEL - 1) ** 2
+                / jnp.maximum(rho, 1e-30)).astype(dtype)
+
+    return FusedRKCStep(step_err=step_err, h_limit=h_limit,
+                        pad=pad_cols, unpad=unpad_cols, nxp=nxp)

@@ -102,10 +102,16 @@ def make_simulation_fn(problem: Problem):
         breakpoints = (cfg.t_boundary,)
 
     rho_fn = None
+    frkc = None
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype))
+        if _pallas_eligible(cfg):
+            from crdmodel_tpu.ops import pallas_rkc
+            if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
+                frkc = pallas_rkc.build_fused_rkc_step(
+                    problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn)
 
     fused = None
     kstep = None
@@ -124,9 +130,13 @@ def make_simulation_fn(problem: Problem):
                 kstep = pallas_kstep.build_fused_kstep(
                     problem, tableau, k, jnp.dtype(cfg.dtype))
 
-    # XLA-side speculation is the fallback when the kernels are unavailable
-    spec_k = (int(cfg.speculative_k) if (fused is None or kstep is not None)
-              else 0)
+    # XLA-side speculation is the fallback when the kernels are unavailable;
+    # rkc2 never batches (its stability cap needs per-step h control)
+    if cfg.method == "rkc2":
+        spec_k = 0
+    else:
+        spec_k = (int(cfg.speculative_k)
+                  if (fused is None or kstep is not None) else 0)
 
     def run(y0, params):
         kw = {}
@@ -137,6 +147,12 @@ def make_simulation_fn(problem: Problem):
                 y_loop0=fused.pad(y0), capture=fused.unpad)
             if kstep is not None:
                 kw["kstep_call"] = kstep.call
+        elif frkc is not None:
+            # fused RKC2: all Chebyshev stages in one pass; h hard-capped to
+            # the kernel's stage budget (ops/pallas_rkc.py)
+            kw = dict(step_err=frkc.step_err,
+                      y_loop0=frkc.pad(y0), capture=frkc.unpad,
+                      h_limit_fn=lambda t, y, p: frkc.h_limit(t, y, p))
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
@@ -230,13 +246,26 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             on_snapshot, progress, checkpoint_every, checkpoint_path, _resume)
 
     pad = unpad = lambda y: y
+    h_limit_fn = None
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
         from crdmodel_tpu.integrate import rkc
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype)
-        step_err, init_carry = rkc.make_rkc2_step_err(
-            problem.rhs, rho_fn, cfg.rtol, cfg.atol)
         err_order = rkc.ERR_ORDER
+        frkc = None
+        if _pallas_eligible(cfg):
+            from crdmodel_tpu.ops import pallas_rkc
+            if pallas_rkc.is_rkc_supported(problem, dtype):
+                frkc = pallas_rkc.build_fused_rkc_step(problem, dtype,
+                                                       rho_fn=rho_fn)
+        if frkc is not None:
+            pad, unpad = frkc.pad, frkc.unpad
+            step_err = frkc.step_err
+            init_carry = lambda t, y, params: ()
+            h_limit_fn = frkc.h_limit
+        else:
+            step_err, init_carry = rkc.make_rkc2_step_err(
+                problem.rhs, rho_fn, cfg.rtol, cfg.atol)
     else:
         tableau = TABLEAUS[cfg.method]
         err_order = tableau.err_order
@@ -264,17 +293,20 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             step_err, t, y, h, errp, tout, params,
             err_order=err_order, max_steps=cfg.max_steps,
             global_size=global_size, carry0=fc0, status0=status,
-            first_interval=first)
+            first_interval=first, h_limit_fn=h_limit_fn)
 
     @jax.jit
     def h0_fn(y):
         t0 = jnp.asarray(0.0, dtype)
         params = {**problem.params, "_seg_end": jnp.asarray(stops[0][0], dtype)}
         f0 = problem.rhs(t0, y, params)
-        return _initial_step(problem.rhs, t0, y, f0, params,
-                             jnp.asarray(stops[0][0], dtype),
-                             cfg.rtol, cfg.atol, err_order,
-                             jnp.sum, y.size)
+        h0 = _initial_step(problem.rhs, t0, y, f0, params,
+                           jnp.asarray(stops[0][0], dtype),
+                           cfg.rtol, cfg.atol, err_order,
+                           jnp.sum, y.size)
+        if h_limit_fn is not None:
+            h0 = jnp.minimum(h0, h_limit_fn(t0, pad(y), params).astype(dtype))
+        return h0
 
     problem.cache["stream_fns"] = (one_interval, h0_fn, pad, unpad)
     return _run_streaming_loop(
