@@ -1,0 +1,319 @@
+"""Fused RKC2 step for one shard of a 2D device mesh.
+
+Combines the two round-2 kernels: the deep-halo shard step
+(ops/pallas_shard_step.py — ONE width-P halo exchange per step feeds every
+stage of a single-pass per-shard kernel) and the RKC2 stage recurrence
+(ops/pallas_rkc.py — constant VMEM live-set for any stage count, stability
+coverage ~0.65 s^2). Together they make the production multi-chip
+configuration for diffusion-limited large grids: per step, one width-24
+two-phase ppermute exchange, then up to 23 Chebyshev stages entirely in
+VMEM per strip, then one psum of the error partial sums.
+
+The spectral-radius bound is pmax'd across the mesh (make_rho_bound's
+max_reduce), so every device computes the same stage count and coefficient
+table; all accept/reject decisions derive from psum'd scalars as in
+parallel/sharded.py. The driver caps h at the kernel's stage budget
+(h_limit, psum-consistent for the same reason).
+
+float32; interpret=True runs through the Pallas interpreter for CPU-mesh
+correctness tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate import rkc
+from crdmodel_tpu.ops.pallas_rkc import (
+    S_MAX_KERNEL, P_RKC, rkc_stage_coeffs)
+from crdmodel_tpu.ops.pallas_step import _pick_strip
+from crdmodel_tpu.parallel.halo import halo_pad_cols, halo_pad_rows
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _strip_target(nxl: int, nvars: int) -> int:
+    nxp = ((nxl + 2 * P_RKC + 127) // 128) * 128
+    live = 2 + 7
+    bytes_per_row = 4 * nxp * nvars * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * P_RKC) // 8 * 8))
+
+
+def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if nyl < P_RKC or nxl < P_RKC:
+        return False  # halo deeper than a neighbour's block
+    if _pick_strip(nyl, target=_strip_target(nxl, problem.model.nvars)) is None:
+        return False
+    if tuple(problem.model.diffusive_vars) != (0,):
+        return False
+    if problem.model.jac_bound is None and not problem.cfg.just_diffusion:
+        return False
+    return True
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedShardRKC:
+    step_err: Callable
+    h_limit: Callable
+    pad: Callable
+    unpad: Callable
+    prepare_params: Callable
+    nxp: int
+
+
+def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
+                          rho_fn=None, interpret: bool = False,
+                          axis_y: str = AXIS_Y,
+                          axis_x: str = AXIS_X) -> FusedShardRKC:
+    """step_err/prepare_params/h_limit must run INSIDE shard_map over
+    (axis_y, axis_x); rho_fn must pmax across the mesh."""
+    cfg = problem.cfg
+    model = problem.model
+    nvars = model.nvars
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = problem.geometry.kind
+
+    if rho_fn is None:
+        raise ValueError("sharded fused RKC needs a pmax'd rho_fn")
+
+    P = P_RKC
+    S = _pick_strip(nyl, target=_strip_target(nxl, nvars))
+    if S is None:
+        raise ValueError(f"nyl={nyl} has no usable strip divisor")
+    n_strips = nyl // S
+    R = S + 2 * P
+    nxp = ((nxl + 2 * P + 127) // 128) * 128
+    fill = nxp - (nxl + 2 * P)
+
+    b_is_field = cfg.vary_beta == 1
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    def pad(y_local):
+        return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
+
+    def unpad(yp):
+        return yp[..., P:P + nxl]
+
+    def assemble(yp):
+        phys = yp[..., P:P + nxl]
+        xpad = halo_pad_cols(phys, axis_x, P)
+        block = halo_pad_rows(xpad, axis_y, P)
+        if fill:
+            block = jnp.pad(block, ((0, 0), (0, 0), (0, fill)))
+        return block
+
+    def prepare_params(params):
+        out = dict(params)
+        coeffs = params["coeffs"]
+        if kind == "torus":
+            cs = []
+            for c in coeffs:
+                prof = jnp.asarray(c, dtype).reshape(1, nxl)
+                prof = halo_pad_cols(prof, axis_x, P)
+                if fill:
+                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
+                cs.append(prof)
+            out["_fused_coeffs"] = tuple(cs)
+        else:
+            out["_fused_coeffs"] = tuple(
+                jnp.reshape(jnp.asarray(c, dtype), (1, 1)) for c in coeffs)
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nxl] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        def strip_dma(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            return pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(r0, R), :], yv.at[slot], sems.at[slot])
+
+        two = jnp.asarray(2, i.dtype)
+        slot = jax.lax.rem(i, two)
+        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+        @pl.when(i == 0)
+        def _():
+            strip_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            strip_dma(i + 1, nslot).start()
+
+        strip_dma(i, slot).wait()
+
+        h = h_ref[0, 0]
+        s = s_ref[0, 0]
+        mu1 = mu1_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        if kind == "torus":
+            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
+        else:
+            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+
+        def rhs_block(yb):
+            u = yb[0]
+            ue = jnp.roll(u, -1, axis=-1)
+            uw = jnp.roll(u, 1, axis=-1)
+            un = jnp.roll(u, -1, axis=-2)
+            us = jnp.roll(u, 1, axis=-2)
+            if kind == "torus":
+                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                       + cphi * (un - 2.0 * u + us))
+            else:
+                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            if just_diffusion:
+                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+            react = model.kinetics(yb, b_rows)
+            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]],
+                                   axis=0)
+            if has_freeze:
+                ydot = ydot * live_rows
+            return ydot
+
+        y0 = yv[slot]
+        f0 = rhs_block(y0)
+        y_jm1 = y0 + (h * mu1) * f0
+        y_jm2 = y0
+
+        def stage(j, carry):
+            yjm1, yjm2 = carry
+            mu = ctab_ref[j, 0]
+            nu = ctab_ref[j, 1]
+            mut = ctab_ref[j, 2]
+            gt = ctab_ref[j, 3]
+            fy = rhs_block(yjm1)
+            yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
+                  + (h * mut) * fy + (h * gt) * f0)
+            return (yj, yjm1)
+
+        y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
+
+        f1 = rhs_block(y_new)
+        est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
+
+        ynew_ref[:, :, :] = y_new[:, P:P + S, :]
+
+        yc = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+        scaled = est[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+    if kind == "torus":
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+    b_shape = (nyl + 2 * P, 1) if b_is_field else (1, 1)
+    m_shape = (nyl + 2 * P, 1) if has_freeze else (1, 1)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            smem11, smem11, smem11, smem11,
+            pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            coeff_spec, coeff_spec, coeff_spec,
+            pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    vma = frozenset({axis_y, axis_x})
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, nyl, nxp), dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype, vma=vma),
+        ],
+        interpret=interpret,
+    )
+
+    ones = jnp.ones((1, 1), dtype)
+
+    def _freeze_scalar(params):
+        if not has_freeze:
+            return jnp.asarray(0.0, dtype)
+        seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+        if seg_end is None:
+            return jnp.asarray(0.0, dtype)
+        return (seg_end <= t_boundary).astype(dtype)
+
+    def step_err(t, yp, h, params, carry=()):
+        rho = rho_fn(t, unpad(yp), params).astype(dtype)   # pmax'd
+        s = jnp.minimum(rkc.choose_stages(h, rho),
+                        jnp.asarray(S_MAX_KERNEL, jnp.int32))
+        mu1, ctab = rkc_stage_coeffs(s, dtype)
+        block = assemble(yp)
+        c0, c1, c2 = params["_fused_coeffs"]
+        b = params["_fused_b"]
+        m = params.get("_fused_live", ones)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
+        s_s = jnp.reshape(s, (1, 1))
+        mu1_s = jnp.reshape(mu1, (1, 1))
+        ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                        c0, c1, c2, b, m, col_mask, block)
+        return ynew, ss, ()
+
+    def h_limit(t, yp, params):
+        rho = rho_fn(t, unpad(yp), params).astype(dtype)
+        return (rkc.STAB_FACTOR * (S_MAX_KERNEL - 1) ** 2
+                / jnp.maximum(rho, 1e-30)).astype(dtype)
+
+    return FusedShardRKC(step_err=step_err, h_limit=h_limit, pad=pad,
+                         unpad=unpad, prepare_params=prepare_params,
+                         nxp=nxp)

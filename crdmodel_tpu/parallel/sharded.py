@@ -132,6 +132,27 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
         problem, tableau, nyl, nxl, dtype, interpret=interpret)
 
 
+def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
+                          interpret: bool = False):
+    """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
+    production configuration for diffusion-limited large grids on a mesh."""
+    from crdmodel_tpu.sim import _pallas_eligible
+    cfg = problem.cfg
+    if cfg.method != "rkc2":
+        return None
+    if not interpret and not _pallas_eligible(cfg):
+        return None
+    if interpret and cfg.use_pallas is not True:
+        return None
+    from crdmodel_tpu.ops import pallas_shard_rkc
+    nyl, nxl = _local_block_shape(cfg, mesh)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_rkc.is_shard_rkc_supported(problem, dtype, nyl, nxl):
+        return None
+    return pallas_shard_rkc.build_fused_shard_rkc(
+        problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret)
+
+
 def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                                interpret_pallas: bool = False):
     """Jitted (y0, params) -> (traj, stats) with everything under shard_map."""
@@ -158,18 +179,23 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
 
     fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
+    frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
+                                 interpret=interpret_pallas)
 
     def run_local(y0, params):
         kw = {}
+        params_run = params
         if fused is not None:
-            fparams = fused.prepare_params(params)
+            params_run = fused.prepare_params(params)
             kw = dict(
                 step_err=lambda t, y, h, p, carry:
                     (*fused.step_err(t, y, h, p), ()),
                 y_loop0=fused.pad(y0), capture=fused.unpad)
-            params_run = fparams
-        else:
-            params_run = params
+        elif frkc is not None:
+            params_run = frkc.prepare_params(params)
+            kw = dict(step_err=frkc.step_err,
+                      y_loop0=frkc.pad(y0), capture=frkc.unpad,
+                      h_limit_fn=frkc.h_limit)
         return integrate_to_outputs(
             local_rhs, y0, params_run, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
@@ -231,15 +257,25 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
 
     fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
+    frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
+                                 interpret=interpret_pallas)
+    h_limit_fn = None
     if fused is not None:
         from crdmodel_tpu.integrate.erk import TABLEAUS
         step_err = lambda t, y, h, p, carry: (*fused.step_err(t, y, h, p), ())
         init_carry = lambda t, y, params: ()
         err_order = TABLEAUS[cfg.method].err_order
+    elif frkc is not None:
+        from crdmodel_tpu.integrate import rkc as _rkc
+        step_err = frkc.step_err
+        init_carry = lambda t, y, params: ()
+        err_order = _rkc.ERR_ORDER
+        h_limit_fn = frkc.h_limit
     else:
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn)
 
+    kernel = fused if fused is not None else frkc
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)
     scalar = P()
@@ -247,17 +283,17 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
 
     def one_interval_local(t, y, h, errp, status, tout, first, params):
         p = {**params, "_seg_end": tout}
-        if fused is not None:
-            p = fused.prepare_params(p)
-            y = fused.pad(y)
+        if kernel is not None:
+            p = kernel.prepare_params(p)
+            y = kernel.pad(y)
         fc0 = init_carry(t, y, p)
         t, y, h, errp, stats = integrate_interval(
             step_err, t, y, h, errp, tout, p,
             err_order=err_order, max_steps=cfg.max_steps,
             global_size=global_size, reduce_fn=reduce_fn, carry0=fc0,
-            status0=status, first_interval=first)
-        if fused is not None:
-            y = fused.unpad(y)
+            status0=status, first_interval=first, h_limit_fn=h_limit_fn)
+        if kernel is not None:
+            y = kernel.unpad(y)
         return t, y, h, errp, stats
 
     one_interval = jax.jit(jax.shard_map(

@@ -279,3 +279,28 @@ def test_fused_shard_interval_streaming_path():
     assert int(st_f[3]) == 0 and int(st_x[3]) == 0
     np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_x))
     assert float(h_f) == float(h_x)
+
+
+def test_fused_shard_rkc2_matches_xla():
+    """Sharded fused RKC2 (one width-24 exchange feeding all Chebyshev
+    stages) vs the XLA per-stage rkc2 path: same stage selection, same step
+    counts, f32-tolerance trajectories."""
+    import dataclasses
+    cfg = _fused_cfg(surface="torus", surface_width=20.0,
+                     surface_length=40.0, vary_beta=1, beta_min=0.7,
+                     beta_max=1.7, t_boundary=0.2, t_final=0.4,
+                     method="rkc2")
+    mesh = make_mesh(shape=(2, 2))  # nyl=64, nxl=32 >= 24-deep halo
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh,
+                                          interpret_pallas=True)
+    traj_f, stats_f = run_f(problem.y0, params)
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+    assert np.all(np.asarray(stats_f.status) == 0)
+    assert int(np.sum(np.asarray(stats_f.steps))) == \
+        int(np.sum(np.asarray(stats_x.steps)))
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=0, atol=1e-4)

@@ -68,3 +68,26 @@ def test_fused_rkc2_heat_decay():
     amp = [np.abs(np.asarray(p.y0)[0] - mean).max()] + \
           [np.abs(traj[k, 0] - mean).max() for k in range(traj.shape[0])]
     assert all(a2 < a1 + 1e-6 for a1, a2 in zip(amp, amp[1:])), amp
+
+
+def test_sharded_fused_rkc2_on_device():
+    """Real Mosaic lowering of the sharded fused RKC2 on a 1x1 mesh:
+    step counts must match the sharded XLA rkc2 path."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_rkc, sharded_params)
+    cfg = _cfg(use_pallas=True)
+    mesh = make_mesh(shape=(1, 1))
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh)
+    traj_f, stats_f = run_f(problem.y0, params)
+    assert np.all(np.asarray(stats_f.status) == 0)
+
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+    assert int(np.sum(np.asarray(stats_f.steps))) == \
+        int(np.sum(np.asarray(stats_x.steps)))
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=1e-3, atol=2e-3)
