@@ -74,8 +74,12 @@ def sweep_beta(cfg: SimConfig, betas: Sequence[float],
     if mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
             make_sharded_simulation_fn, sharded_params)
-        run_sharded, _ = make_sharded_simulation_fn(base, mesh)
-        params0, _ = sharded_params(base)
+        # force the XLA stepper: vmap-of-pallas_call batching semantics are
+        # not validated, and sweeps batch the whole sharded program
+        base_xla = build_problem(dataclasses.replace(
+            cfg, beta=float(betas[0]), use_pallas=False))
+        run_sharded, _ = make_sharded_simulation_fn(base_xla, mesh)
+        params0, _ = sharded_params(base_xla)
 
         def run_one(y0, b):
             return run_sharded(y0, {**params0, "b": b})
