@@ -1,0 +1,160 @@
+"""Shared pieces of the fused Pallas kernels.
+
+Five kernels (ops/pallas_step.py, pallas_kstep.py, pallas_rkc.py,
+pallas_shard_step.py, pallas_shard_rkc.py) share the same per-strip RHS
+body, constant-array preparation (stencil coefficient profiles, beta field,
+freeze mask, error column mask), lane padding arithmetic, and the
+per-segment freeze scalar. This module is that common core; each kernel
+keeps only its integration scheme and DMA schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def lane_pad_width(n_phys: int, p: int) -> int:
+    """Padded lane width: [p halo | n_phys | p halo | fill to 128-multiple]."""
+    return ((n_phys + 2 * p + 127) // 128) * 128
+
+
+def make_rhs_block(kind: str, model, just_diffusion: bool):
+    """Per-strip RHS: rhs_block(yb, stencil, b_rows, live_rows) -> ydot.
+
+    yb: (nvars, R, nxp) resident strip. stencil: the three coefficient
+    values/rows already read from refs (torus: (1, nxp) profiles; flat:
+    scalars). live_rows: None or a (R, 1) row mask applying the absorbing
+    boundary freeze. Identical math to the XLA path (ops/stencil.py),
+    var-0-only diffusion (SURVEY.md C5/C6).
+    """
+    nvars = model.nvars
+
+    def rhs_block(yb, stencil, b_rows, live_rows):
+        u = yb[0]
+        ue = jnp.roll(u, -1, axis=-1)
+        uw = jnp.roll(u, 1, axis=-1)
+        un = jnp.roll(u, -1, axis=-2)
+        us = jnp.roll(u, 1, axis=-2)
+        if kind == "torus":
+            ca, ct, cphi = stencil
+            lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                   + cphi * (un - 2.0 * u + us))
+        else:
+            cu1, cu2, cu3 = stencil
+            lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+        if just_diffusion:
+            return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
+        react = model.kinetics(yb, b_rows)
+        # scatter-free var-0 update (Mosaic has no scatter-add)
+        ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]], axis=0)
+        if live_rows is not None:
+            ydot = ydot * live_rows
+        return ydot
+
+    return rhs_block
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConstants:
+    """Trace-time constant kernel inputs + their BlockSpecs (single-chip:
+    built once from the problem; sharded kernels build the equivalents per
+    dispatch from sharded params instead — see prepare_params there)."""
+    c0: jnp.ndarray
+    c1: jnp.ndarray
+    c2: jnp.ndarray
+    coeff_spec: pl.BlockSpec
+    b_pad: jnp.ndarray
+    m_pad: jnp.ndarray
+    col_mask: jnp.ndarray
+    b_is_field: bool
+    has_freeze: bool
+
+
+def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
+    """Stencil coefficient profiles (lane-padded for the torus metric),
+    the beta field and interior mask (row-padded by p with periodic wrap),
+    and the physical-lane error mask."""
+    cfg = problem.cfg
+    geometry = problem.geometry
+    kind = geometry.kind
+    ny, nx = cfg.ny, cfg.nx
+    nxp = lane_pad_width(nx, p)
+
+    coeffs = geometry.stencil_coeffs(dtype)
+    if kind == "torus":
+        c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
+        c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
+        c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
+        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
+        c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
+        c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
+        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
+    from crdmodel_tpu.core.problem import beta_field
+    b_arr = beta_field(cfg, dtype)
+    b_is_field = getattr(b_arr, "ndim", 0) == 2
+    if b_is_field:
+        b_np = np.asarray(b_arr)
+        b_pad = jnp.asarray(
+            np.concatenate([b_np[-p:], b_np, b_np[:p]], axis=0), dtype)
+    else:
+        b_pad = jnp.full((1, 1), float(b_arr), dtype)
+
+    has_freeze = (float(cfg.t_boundary) > 0.0) and not cfg.just_diffusion
+    interior = np.ones((ny, 1), dtype=np.float32)
+    interior[0, 0] = 0.0
+    interior[-1, 0] = 0.0
+    m_pad = jnp.asarray(
+        np.concatenate([interior[-p:], interior, interior[:p]], axis=0),
+        dtype)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, p:p + nx] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    return KernelConstants(c0=c0, c1=c1, c2=c2, coeff_spec=coeff_spec,
+                           b_pad=b_pad, m_pad=m_pad, col_mask=col_mask,
+                           b_is_field=b_is_field, has_freeze=has_freeze)
+
+
+def freeze_scalar(params, has_freeze: bool, t_boundary: float, dtype):
+    """1.0 while the integration segment lies in the frozen piece
+    (t < tBoundary), derived from params['_seg_end'] — segments never
+    straddle the discontinuity (integrate/erk.py breakpoints)."""
+    if not has_freeze:
+        return jnp.asarray(0.0, dtype)
+    seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+    if seg_end is None:
+        return jnp.asarray(0.0, dtype)
+    return (seg_end <= t_boundary).astype(dtype)
+
+
+def read_strip_constants(kind, b_is_field, has_freeze,
+                         c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref,
+                         row0, rows):
+    """Read the per-strip slices of the constant inputs inside the kernel:
+    (stencil, b_rows, live_rows)."""
+    if b_is_field:
+        b_rows = b_ref[pl.ds(row0, rows), :]
+    else:
+        b_rows = b_ref[0, 0]
+    if has_freeze:
+        fz = fz_ref[0, 0]
+        live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, rows), :])
+    else:
+        live_rows = None
+    if kind == "torus":
+        stencil = (c0_ref[:, :], c1_ref[:, :], c2_ref[:, :])
+    else:
+        stencil = (c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0])
+    return stencil, b_rows, live_rows

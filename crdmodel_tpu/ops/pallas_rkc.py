@@ -43,6 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.pallas_step import _pick_strip
+from crdmodel_tpu.ops.kernel_common import (
+    freeze_scalar, make_rhs_block, prepare_constants,
+    read_strip_constants)
 
 P_RKC = 24                  # halo depth: s + 1 evaluation rings, s <= 23
 S_MAX_KERNEL = P_RKC - 1    # max stage count the halo supports
@@ -152,41 +155,9 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     def unpad_cols(arr):
         return arr[..., P:P + nx]
 
-    coeffs = geometry.stencil_coeffs(dtype)
-    if kind == "torus":
-        c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
-        c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
-        c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
-        coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM)
-    else:
-        c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
-        c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
-        c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
-        coeff_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                  memory_space=pltpu.SMEM)
-
-    from crdmodel_tpu.core.problem import beta_field
-    b_arr = beta_field(cfg, dtype)
-    b_is_field = getattr(b_arr, "ndim", 0) == 2
-    if b_is_field:
-        b_np = np.asarray(b_arr)
-        b_pad = jnp.asarray(
-            np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
-    else:
-        b_pad = jnp.full((1, 1), float(b_arr), dtype)
-
-    has_freeze = (t_boundary > 0.0) and not just_diffusion
-    interior = np.ones((ny, 1), dtype=np.float32)
-    interior[0, 0] = 0.0
-    interior[-1, 0] = 0.0
-    m_pad = jnp.asarray(
-        np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
-        dtype)
-
-    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
-    col_mask_np[0, P:P + nx] = 1.0
-    col_mask = jnp.asarray(col_mask_np, dtype)
+    kc = prepare_constants(problem, dtype, P, pad_cols)
+    b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
+    rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
     def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
                c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
@@ -230,40 +201,12 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         h = h_ref[0, 0]
         s = s_ref[0, 0]
         mu1 = mu1_ref[0, 0]
-        if b_is_field:
-            b_rows = b_ref[pl.ds(row0, R), :]
-        else:
-            b_rows = b_ref[0, 0]
-        if has_freeze:
-            fz = fz_ref[0, 0]
-            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
-        else:
-            live_rows = None
-
-        if kind == "torus":
-            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
-        else:
-            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+        stencil, b_rows, live_rows = read_strip_constants(
+            kind, b_is_field, has_freeze,
+            c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
         def rhs_block(yb):
-            u = yb[0]
-            ue = jnp.roll(u, -1, axis=-1)
-            uw = jnp.roll(u, 1, axis=-1)
-            un = jnp.roll(u, -1, axis=-2)
-            us = jnp.roll(u, 1, axis=-2)
-            if kind == "torus":
-                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
-                       + cphi * (un - 2.0 * u + us))
-            else:
-                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
-            if just_diffusion:
-                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
-            react = model.kinetics(yb, b_rows)
-            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]],
-                                   axis=0)
-            if has_freeze:
-                ydot = ydot * live_rows
-            return ydot
+            return rhs_block_of(yb, stencil, b_rows, live_rows)
 
         y0 = yv[slot]
         f0 = rhs_block(y0)                       # ring 1
@@ -308,10 +251,10 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            coeff_spec, coeff_spec, coeff_spec,
-            pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
+            kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
+            pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
+            pl.BlockSpec(kc.m_pad.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -338,12 +281,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     )
 
     def _freeze_scalar(params):
-        if not has_freeze:
-            return jnp.asarray(0.0, dtype)
-        seg_end = params.get("_seg_end") if isinstance(params, dict) else None
-        if seg_end is None:
-            return jnp.asarray(0.0, dtype)
-        return (seg_end <= t_boundary).astype(dtype)
+        return freeze_scalar(params, has_freeze, t_boundary, dtype)
 
     def step_err(t, yp, h, params, carry=()):
         rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
@@ -355,7 +293,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
         ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
-                        c0, c1, c2, b_pad, m_pad, col_mask, yp)
+                        kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
+                        kc.col_mask, yp)
         return ynew, jnp.sum(ss), ()
 
     def h_limit(t, yp, params):

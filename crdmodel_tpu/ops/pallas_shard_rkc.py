@@ -34,6 +34,8 @@ from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.pallas_rkc import (
     S_MAX_KERNEL, P_RKC, rkc_stage_coeffs)
 from crdmodel_tpu.ops.pallas_step import _pick_strip
+from crdmodel_tpu.ops.kernel_common import (
+    freeze_scalar, make_rhs_block, read_strip_constants)
 from crdmodel_tpu.parallel.halo import halo_pad_cols, halo_pad_rows
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
@@ -100,6 +102,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
     b_is_field = cfg.vary_beta == 1
     has_freeze = (t_boundary > 0.0) and not just_diffusion
+    rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
     def pad(y_local):
         return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
@@ -173,40 +176,12 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         h = h_ref[0, 0]
         s = s_ref[0, 0]
         mu1 = mu1_ref[0, 0]
-        if b_is_field:
-            b_rows = b_ref[pl.ds(row0, R), :]
-        else:
-            b_rows = b_ref[0, 0]
-        if has_freeze:
-            fz = fz_ref[0, 0]
-            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
-        else:
-            live_rows = None
-
-        if kind == "torus":
-            ca, ct, cphi = c0_ref[:, :], c1_ref[:, :], c2_ref[:, :]
-        else:
-            cu1, cu2, cu3 = c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0]
+        stencil, b_rows, live_rows = read_strip_constants(
+            kind, b_is_field, has_freeze,
+            c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
         def rhs_block(yb):
-            u = yb[0]
-            ue = jnp.roll(u, -1, axis=-1)
-            uw = jnp.roll(u, 1, axis=-1)
-            un = jnp.roll(u, -1, axis=-2)
-            us = jnp.roll(u, 1, axis=-2)
-            if kind == "torus":
-                lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
-                       + cphi * (un - 2.0 * u + us))
-            else:
-                lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
-            if just_diffusion:
-                return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
-            react = model.kinetics(yb, b_rows)
-            ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]],
-                                   axis=0)
-            if has_freeze:
-                ydot = ydot * live_rows
-            return ydot
+            return rhs_block_of(yb, stencil, b_rows, live_rows)
 
         y0 = yv[slot]
         f0 = rhs_block(y0)
@@ -285,12 +260,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     ones = jnp.ones((1, 1), dtype)
 
     def _freeze_scalar(params):
-        if not has_freeze:
-            return jnp.asarray(0.0, dtype)
-        seg_end = params.get("_seg_end") if isinstance(params, dict) else None
-        if seg_end is None:
-            return jnp.asarray(0.0, dtype)
-        return (seg_end <= t_boundary).astype(dtype)
+        return freeze_scalar(params, has_freeze, t_boundary, dtype)
 
     def step_err(t, yp, h, params, carry=()):
         rho = rho_fn(t, unpad(yp), params).astype(dtype)   # pmax'd
