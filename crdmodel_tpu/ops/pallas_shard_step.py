@@ -39,7 +39,6 @@ Pallas interpreter for CPU-mesh correctness tests.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax
@@ -293,14 +292,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
 
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
-        if has_freeze:
-            seg_end = params.get("_seg_end") if isinstance(params, dict) else None
-            if seg_end is None:
-                fz = jnp.asarray(0.0, dtype)
-            else:
-                fz = (seg_end <= t_boundary).astype(dtype)
-        else:
-            fz = jnp.asarray(0.0, dtype)
+        fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         block = assemble(yp)
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]

@@ -53,8 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.kernel_common import (
-    freeze_scalar, lane_pad_width, make_rhs_block, prepare_constants,
-    read_strip_constants)
+    freeze_scalar, make_rhs_block, prepare_constants, read_strip_constants)
 
 HALO = 8  # >= stages for every supported tableau; multiple of 8 for alignment
 
