@@ -163,15 +163,20 @@ class SimConfig:
 
     @property
     def program_name(self) -> str:
-        """Reference binary name for file-format parity (e.g. FHNmodel_torus)."""
+        """Reference binary name for file-format parity (e.g. FHNmodel_torus);
+        framework models fall back to <Name>Model_<surface>."""
         base = {"fhn": "FHNmodel", "goldbeter": "GoldbeterModel",
-                "barkley": "BarkleyModel",
-                "grayscott": "GrayScottModel"}[self.model]
-        return f"{base}_{self.surface}"
+                "barkley": "BarkleyModel", "grayscott": "GrayScottModel"}
+        name = base.get(self.model, f"{self.model.capitalize()}Model")
+        return f"{name}_{self.surface}"
 
     def validate(self) -> "SimConfig":
-        if self.model not in ("fhn", "goldbeter", "barkley", "grayscott"):
-            raise ValueError(f"unknown model {self.model!r}")
+        from crdmodel_tpu.models.base import _REGISTRY
+
+        import crdmodel_tpu.models  # noqa: F401  (populates the registry)
+        if self.model not in _REGISTRY:
+            raise ValueError(f"unknown model {self.model!r}; "
+                             f"registered: {sorted(_REGISTRY)}")
         if self.surface not in ("flat", "torus"):
             raise ValueError(f"unknown surface {self.surface!r}")
         if self.wave_inside not in (0, 1):

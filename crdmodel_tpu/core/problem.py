@@ -148,6 +148,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
         seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
         bg[0] = np.where(seg, 0.5, 1.0)
         bg[1] = np.where(seg, 0.25, 0.0)
+    elif cfg.model == "oregonator":
+        # beyond-reference model: excitable rest state (us, us); the wave
+        # segment excites u with a refractory (v-elevated) band below it so
+        # the front is broken on one side, like the barkley seed
+        us, vs = steady
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, 0.8, us)
+        bg[1] = np.where(np.broadcast_to(Y < wave_len, seg.shape),
+                         vs + 0.3, vs)
     elif cfg.model == "barkley":
         # beyond-reference model: rest state (0,0); the wave segment excites
         # u=1 with a refractory band (v=a/2) below it so the excitation

@@ -1,4 +1,5 @@
 from crdmodel_tpu.models.base import ReactionModel, get_model, register_model
-from crdmodel_tpu.models import fhn, goldbeter, barkley, grayscott  # noqa: F401  (registers models)
+from crdmodel_tpu.models import (  # noqa: F401  (registers models)
+    barkley, fhn, goldbeter, grayscott, oregonator)
 
 __all__ = ["ReactionModel", "get_model", "register_model"]

@@ -37,6 +37,10 @@ CASES = {
                            diffusion=2e-5, t_final=20.0),
     "grayscott_torus": dict(model="grayscott", surface="torus", beta=0.03,
                             diffusion=2e-5, t_final=20.0),
+    "oregonator_flat": dict(model="oregonator", surface="flat", beta=1.5,
+                            diffusion=1.0),
+    "oregonator_torus": dict(model="oregonator", surface="torus", beta=1.5,
+                             diffusion=1.0),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
