@@ -124,3 +124,53 @@ def test_jit_and_fwd_diff_compatible():
     g = jax.jit(jax.jacfwd(loss))(jnp.asarray(1.0, jnp.float64))
     # d/dk exp(-k) at k=1 = -exp(-1)
     np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-3)
+
+
+def test_h_limit_fn_caps_steps_and_lands_on_tout():
+    """h_limit_fn (the fused RKC kernel's stability-cap hook) clamps every
+    attempted step; the run still lands exactly on each output time and the
+    solution stays correct."""
+    rhs = lambda t, y, p: -y
+    y0 = jnp.ones((4,), dtype=jnp.float64)
+    touts = np.array([0.5, 1.0])
+
+    traj_free, stats_free = integrate_to_outputs(
+        rhs, y0, {}, 0.0, touts, rtol=1e-6, atol=1e-9)
+    cap = 0.011
+    traj_cap, stats_cap = integrate_to_outputs(
+        rhs, y0, {}, 0.0, touts, rtol=1e-6, atol=1e-9,
+        h_limit_fn=lambda t, y, p: jnp.asarray(cap, y.dtype))
+
+    # capped run takes at least ceil(1.0/cap) steps; uncapped takes fewer
+    assert int(np.sum(np.asarray(stats_cap.steps))) >= int(np.ceil(1.0 / cap))
+    assert int(np.sum(np.asarray(stats_free.steps))) < \
+        int(np.sum(np.asarray(stats_cap.steps)))
+    # both land exactly on tout: solution equals exp(-t) to tolerance
+    for traj in (traj_free, traj_cap):
+        np.testing.assert_allclose(np.asarray(traj[:, 0]),
+                                   np.exp(-touts), rtol=1e-5)
+    assert np.all(np.asarray(stats_cap.status) == 0)
+
+
+def test_h_limit_fn_state_dependent():
+    """A state-dependent cap (like a spectral-radius bound) is re-evaluated
+    each attempt."""
+    rhs = lambda t, y, p: -y
+    y0 = jnp.ones((4,), dtype=jnp.float64)
+    touts = np.array([1.0])
+
+    def cap(t, y, p):
+        # loosens as the solution decays: 0.01 at |y|=1 up to 0.1
+        return 0.01 / jnp.clip(jnp.max(jnp.abs(y)), 0.1, 1.0)
+
+    traj, stats = integrate_to_outputs(
+        rhs, y0, {}, 0.0, touts, rtol=1e-6, atol=1e-9, h_limit_fn=cap)
+    assert np.all(np.asarray(stats.status) == 0)
+    np.testing.assert_allclose(np.asarray(traj[0, 0]), np.exp(-1.0),
+                               rtol=1e-5)
+    # stricter early cap means more steps than a constant loose cap
+    _, stats_loose = integrate_to_outputs(
+        rhs, y0, {}, 0.0, touts, rtol=1e-6, atol=1e-9,
+        h_limit_fn=lambda t, y, p: jnp.asarray(0.1, y.dtype))
+    assert int(np.sum(np.asarray(stats.steps))) > \
+        int(np.sum(np.asarray(stats_loose.steps)))
