@@ -30,29 +30,40 @@ def make_rhs_block(kind: str, model, just_diffusion: bool):
     yb: (nvars, R, nxp) resident strip. stencil: the three coefficient
     values/rows already read from refs (torus: (1, nxp) profiles; flat:
     scalars). live_rows: None or a (R, 1) row mask applying the absorbing
-    boundary freeze. Identical math to the XLA path (ops/stencil.py),
-    var-0-only diffusion (SURVEY.md C5/C6).
+    boundary freeze. Identical math to the XLA path (ops/stencil.py and
+    problem.py::make_rhs diffusion_terms): per-variable diffusion via
+    model.diffusive_vars/diffusion_ratios (the reference models diffuse
+    var 0 only, SURVEY.md C5/C6; Gray-Scott diffuses both species).
     """
     nvars = model.nvars
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
 
-    def rhs_block(yb, stencil, b_rows, live_rows):
-        u = yb[0]
+    def lap_of(u, stencil):
         ue = jnp.roll(u, -1, axis=-1)
         uw = jnp.roll(u, 1, axis=-1)
         un = jnp.roll(u, -1, axis=-2)
         us = jnp.roll(u, 1, axis=-2)
         if kind == "torus":
             ca, ct, cphi = stencil
-            lap = (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
-                   + cphi * (un - 2.0 * u + us))
-        else:
-            cu1, cu2, cu3 = stencil
-            lap = cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+            return (ca * (ue - uw) + ct * (ue - 2.0 * u + uw)
+                    + cphi * (un - 2.0 * u + us))
+        cu1, cu2, cu3 = stencil
+        return cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
+
+    def rhs_block(yb, stencil, b_rows, live_rows):
+        laps = {}
+        for idx, v in enumerate(dvars):
+            lap = lap_of(yb[v], stencil)
+            laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
         if just_diffusion:
-            return jnp.stack([lap] + [jnp.zeros_like(lap)] * (nvars - 1))
-        react = model.kinetics(yb, b_rows)
-        # scatter-free var-0 update (Mosaic has no scatter-add)
-        ydot = jnp.concatenate([(react[0] + lap)[None], react[1:]], axis=0)
+            ydot = jnp.stack([laps[v] if v in laps else jnp.zeros_like(yb[0])
+                              for v in range(nvars)])
+        else:
+            react = model.kinetics(yb, b_rows)
+            # gather-free per-var assembly (Mosaic has no scatter-add)
+            ydot = jnp.stack([react[v] + laps[v] if v in laps else react[v]
+                              for v in range(nvars)])
         if live_rows is not None:
             ydot = ydot * live_rows
         return ydot

@@ -67,8 +67,6 @@ def is_rkc_supported(problem, dtype) -> bool:
     if _pick_strip(cfg.ny,
                    target=_strip_target(cfg.nx, problem.model.nvars)) is None:
         return False
-    if tuple(problem.model.diffusive_vars) != (0,):
-        return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
     return True

@@ -57,8 +57,6 @@ def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
         return False  # halo deeper than a neighbour's block
     if _pick_strip(nyl, target=_strip_target(nxl, problem.model.nvars)) is None:
         return False
-    if tuple(problem.model.diffusive_vars) != (0,):
-        return False
     if problem.model.jac_bound is None and not problem.cfg.just_diffusion:
         return False
     return True

@@ -81,8 +81,6 @@ def is_shard_supported(problem, tableau: Tableau, dtype,
     nvars = problem.model.nvars
     if _pick_strip(nyl, target=_strip_target(nxl, nvars, tableau.stages)) is None:
         return False
-    if tuple(problem.model.diffusive_vars) != (0,):
-        return False
     return True
 
 

@@ -91,10 +91,6 @@ def is_supported(problem, tableau: Tableau, dtype) -> bool:
                                              problem.model.nvars,
                                              tableau.stages)) is None:
         return False
-    # kernel implements the reference models' var-0-only diffusion; XLA path
-    # handles multi-species diffusion (e.g. Gray-Scott)
-    if tuple(problem.model.diffusive_vars) != (0,):
-        return False
     return True
 
 

@@ -227,6 +227,23 @@ def test_fused_shard_kernel_goldbeter():
     np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-5)
 
 
+def test_fused_shard_kernel_grayscott_multispecies():
+    """Gray-Scott diffuses BOTH species (diffusion_ratios (1.0, 0.5)) — the
+    fused kernels' per-variable diffusion path must match the XLA per-stage
+    sharded path bitwise."""
+    cfg = _fused_cfg(model="grayscott", beta=0.03, t_final=0.5)
+    (tf, sf), (tx, sx) = _run_pair(cfg)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_array_equal(tf, tx)
+
+
+def test_fused_shard_kernel_grayscott_torus():
+    cfg = _fused_cfg(model="grayscott", surface="torus", beta=0.03,
+                     surface_width=20.0, surface_length=40.0, t_final=0.5)
+    (tf, _), (tx, _) = _run_pair(cfg)
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-6)
+
+
 def test_fused_shard_kernel_matches_single_device():
     """Fused sharded result vs the plain single-device simulate()."""
     cfg = _fused_cfg(t_boundary=0.1)
@@ -304,3 +321,26 @@ def test_fused_shard_rkc2_matches_xla():
         int(np.sum(np.asarray(stats_x.steps)))
     np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
                                rtol=0, atol=1e-4)
+
+
+def test_fused_shard_rkc2_grayscott():
+    """Sharded fused RKC2 with multi-species diffusion (Gray-Scott): the
+    Chebyshev recurrence applies the per-variable ratios at every stage."""
+    import dataclasses
+    cfg = _fused_cfg(model="grayscott", beta=0.03, x_mesh=64,
+                     surface_width=10.0, surface_length=20.0,
+                     t_final=0.3, method="rkc2")
+    mesh = make_mesh(shape=(2, 2))
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh,
+                                          interpret_pallas=True)
+    traj_f, stats_f = run_f(problem.y0, params)
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+    assert np.all(np.asarray(stats_f.status) == 0)
+    assert int(np.sum(np.asarray(stats_f.steps))) == \
+        int(np.sum(np.asarray(stats_x.steps)))
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=0, atol=1e-5)

@@ -35,7 +35,8 @@ def _compare(cfg, t=0.5, h=1e-3, seg_end=1.0):
 
 
 @pytest.mark.parametrize("surface", ["flat", "torus"])
-@pytest.mark.parametrize("model,beta", [("fhn", 1.25), ("goldbeter", 0.85)])
+@pytest.mark.parametrize("model,beta", [("fhn", 1.25), ("goldbeter", 0.85),
+                                        ("grayscott", 0.03)])
 def test_kernel_matches_xla_step(model, surface, beta):
     cfg = SimConfig(model=model, surface=surface, x_mesh=40,
                     surface_width=20, surface_length=40, beta=beta,
