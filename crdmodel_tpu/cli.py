@@ -128,7 +128,8 @@ def cmd_run(args):
                                          progress=not args.quiet,
                                          checkpoint_every=args.checkpoint_every,
                                          checkpoint_dir=args.checkpoint,
-                                         resume_dir=args.resume)
+                                         resume_dir=args.resume,
+                                         checkpoint_backend=args.checkpoint_backend)
     elif args.resume:
         from crdmodel_tpu.io.checkpoint import resume_streaming
         res = resume_streaming(cfg, args.resume, problem=problem,
@@ -248,6 +249,10 @@ def main(argv=None):
                    help="checkpoint file path (with --checkpoint-every)")
     p.add_argument("--checkpoint-every", type=int, default=None,
                    metavar="N", help="checkpoint every N output intervals")
+    p.add_argument("--checkpoint-backend", default="npz",
+                   choices=("npz", "orbax"),
+                   help="sharded checkpoint format (with --devices > 1): "
+                        "per-shard npz files or orbax zarr")
     p.add_argument("--resume", default=None,
                    help="resume from a checkpoint file")
     p.set_defaults(fn=cmd_run)

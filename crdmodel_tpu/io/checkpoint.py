@@ -6,9 +6,11 @@ A checkpoint freezes the integration at an output boundary: solver state
 (y, t, h, err_prev), accumulated snapshots, per-interval stats, and a config
 fingerprint so resuming with a different physical setup is refused.
 
-Format: compressed npz (dependency-free). An orbax-backed variant for
-async/multi-host checkpointing of sharded runs is future work — the state is
-a single host-gatherable array at current scales.
+Formats: compressed npz (dependency-free, single host); per-shard npz files
+with a JSON manifest (no host gather, one file per addressable shard); and an
+orbax-backed variant (save_orbax_checkpoint) storing the state array as
+sharding-aware zarr — the TPU-ecosystem standard for pod-scale runs, where
+every process writes/reads only its own chunks through one logical path.
 """
 
 from __future__ import annotations
@@ -175,6 +177,95 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
         return shards[key]
 
     y = jax.make_array_from_callback(shape, sharding, shard_for)
+    return {
+        "k_out": int(manifest["k_out"]),
+        "t": manifest["t"], "h": manifest["h"],
+        "err_prev": manifest["err_prev"],
+        "stats": {k: np.asarray(v, dtype=np.int64)
+                  for k, v in manifest["stats"].items()},
+        "y": y,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: the same manifest contract, with the state array stored as
+# sharding-aware zarr via orbax.checkpoint. Unlike the per-shard npz files
+# (one file per addressable shard, reassembled by start-offset), orbax
+# chunks the GLOBAL array: a pod restore reads each process's chunks from
+# one logical path, and the save participates in orbax's multi-process
+# barrier — the standard checkpoint format of the TPU ecosystem.
+#
+# Layout:  dirpath/manifest.json   (scalars, stats, fingerprint — process 0)
+#          dirpath/y/              (orbax checkpoint of the state array)
+# ---------------------------------------------------------------------------
+
+
+def save_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
+                          y, t: float, h: float, err_prev: float,
+                          stats: dict) -> str:
+    """Orbax checkpoint of the solver state after output interval k_out.
+
+    y: a (possibly sharded) jax.Array (nvars, ny, nx). Every process must
+    call this (orbax save is collective); process 0 writes the manifest.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    os.makedirs(dirpath, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(dirpath, "y"), {"y": y}, force=True)
+    if jax.process_index() == 0:
+        manifest = {
+            "fingerprint": config_fingerprint(cfg),
+            "k_out": int(k_out),
+            "t": float(t), "h": float(h), "err_prev": float(err_prev),
+            "mesh_shape": [int(s) for s in mesh.devices.shape],
+            "global_shape": [int(s) for s in y.shape],
+            "stats": {k: np.asarray(v).tolist() for k, v in stats.items()},
+        }
+        with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+    return dirpath
+
+
+def load_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh=None) -> dict:
+    """Restore an orbax checkpoint; with mesh, y comes back sharded
+    (nvars replicated, rows over AXIS_Y, cols over AXIS_X) and each process
+    reads only the chunks its devices need. Refuses fingerprint or
+    mesh-shape mismatches like load_sharded_checkpoint."""
+    import jax
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+    dirpath = os.path.abspath(dirpath)
+    with open(os.path.join(dirpath, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    want = config_fingerprint(cfg)
+    if manifest["fingerprint"] != want:
+        raise ValueError(
+            f"checkpoint {dirpath} was written for a different problem "
+            f"(fingerprint {manifest['fingerprint']} != {want}); "
+            "refusing to resume")
+    if mesh is not None and \
+            list(manifest["mesh_shape"]) != [int(s) for s in mesh.devices.shape]:
+        raise ValueError(
+            f"checkpoint {dirpath} was written on mesh "
+            f"{manifest['mesh_shape']}, resuming on "
+            f"{list(mesh.devices.shape)} is not supported")
+
+    ypath = os.path.join(dirpath, "y")
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(ypath).item_metadata.tree["y"]
+        abstract = jax.ShapeDtypeStruct(tuple(meta.shape), np.dtype(meta.dtype))
+        if mesh is not None:
+            abstract = jax.ShapeDtypeStruct(
+                abstract.shape, abstract.dtype,
+                sharding=NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
+        y = ckptr.restore(ypath, {"y": abstract})["y"]
+
     return {
         "k_out": int(manifest["k_out"]),
         "t": manifest["t"], "h": manifest["h"],

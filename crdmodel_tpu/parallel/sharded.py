@@ -329,16 +329,22 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                                progress: bool = False,
                                checkpoint_every: Optional[int] = None,
                                checkpoint_dir: Optional[str] = None,
-                               resume_dir: Optional[str] = None) -> SimResult:
+                               resume_dir: Optional[str] = None,
+                               checkpoint_backend: str = "npz") -> SimResult:
     """Streaming (per-interval dispatch) sharded run — the production-scale
     driver: bounded device-time per dispatch, incremental snapshots.
 
-    checkpoint_every=N + checkpoint_dir write a per-shard checkpoint
-    (io/checkpoint.py::save_sharded_checkpoint — no host gather) after every
-    N output intervals; resume_dir resumes from one. A resumed run's
+    checkpoint_every=N + checkpoint_dir write a per-shard checkpoint after
+    every N output intervals; resume_dir resumes from one. A resumed run's
     SimResult holds only the POST-resume snapshots (touts aligned
     accordingly): at scale, prior rows live in the streamed output files.
+    checkpoint_backend selects the format: "npz" (per-shard npz files +
+    manifest, io/checkpoint.py::save_sharded_checkpoint) or "orbax"
+    (sharding-aware zarr, save_orbax_checkpoint).
     """
+    if checkpoint_backend not in ("npz", "orbax"):
+        raise ValueError(f"checkpoint_backend must be 'npz' or 'orbax', "
+                         f"got {checkpoint_backend!r}")
     problem = problem if problem is not None else build_problem(cfg)
     if mesh is None:
         mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
@@ -356,8 +362,11 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     nt = len(touts)
     t_start = time.perf_counter()
     if resume_dir is not None:
-        from crdmodel_tpu.io.checkpoint import load_sharded_checkpoint
-        ck = load_sharded_checkpoint(resume_dir, cfg, mesh)
+        from crdmodel_tpu.io.checkpoint import (load_orbax_checkpoint,
+                                                load_sharded_checkpoint)
+        load = (load_orbax_checkpoint if checkpoint_backend == "orbax"
+                else load_sharded_checkpoint)
+        ck = load(resume_dir, cfg, mesh)
         k_start = int(ck["k_out"])
         y = jnp.asarray(ck["y"], dtype)
         t = jnp.asarray(ck["t"], dtype)
@@ -382,10 +391,12 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     def maybe_checkpoint(k_done, y_now):
         if checkpoint_every and checkpoint_dir and \
                 k_done % checkpoint_every == 0 and k_done < nt:
-            from crdmodel_tpu.io.checkpoint import save_sharded_checkpoint
-            save_sharded_checkpoint(checkpoint_dir, cfg, mesh, k_done,
-                                    y_now, float(t), float(h), float(errp),
-                                    acc)
+            from crdmodel_tpu.io.checkpoint import (save_orbax_checkpoint,
+                                                    save_sharded_checkpoint)
+            save = (save_orbax_checkpoint if checkpoint_backend == "orbax"
+                    else save_sharded_checkpoint)
+            save(checkpoint_dir, cfg, mesh, k_done, y_now,
+                 float(t), float(h), float(errp), acc)
 
     k_out = k_start
     outs_skipped = 0

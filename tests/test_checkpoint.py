@@ -148,3 +148,63 @@ def test_sharded_checkpoint_refuses_mismatches(tmp_path):
                                 mesh)
     with pytest.raises(ValueError, match="mesh"):
         load_sharded_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+
+
+def test_orbax_checkpoint_resume(tmp_path):
+    """Orbax backend: the state array stored as sharding-aware zarr; resume
+    on the 8-device virtual mesh reproduces the uninterrupted run exactly."""
+    import os
+
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.3, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    full = simulate_sharded_streaming(cfg, mesh=mesh)
+    assert full.ok
+
+    ckdir = str(tmp_path / "ck_orbax")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir,
+                               checkpoint_backend="orbax")
+    assert os.path.exists(os.path.join(ckdir, "manifest.json"))
+    assert os.path.isdir(os.path.join(ckdir, "y"))
+
+    res = simulate_sharded_streaming(cfg, mesh=mesh, resume_dir=ckdir,
+                                     checkpoint_backend="orbax")
+    assert res.ok
+    assert res.trajectory.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory[3:]),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
+
+
+def test_orbax_checkpoint_restored_sharding(tmp_path):
+    """load_orbax_checkpoint returns y with the requested mesh sharding and
+    refuses fingerprint/mesh mismatches."""
+    from crdmodel_tpu.io.checkpoint import load_orbax_checkpoint
+    from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.5,
+                    output_timestep=2, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    ckdir = str(tmp_path / "ck_orbax2")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=1,
+                               checkpoint_dir=ckdir,
+                               checkpoint_backend="orbax")
+    ck = load_orbax_checkpoint(ckdir, cfg, mesh)
+    spec = ck["y"].sharding.spec
+    assert tuple(spec) == (None, AXIS_Y, AXIS_X)
+    with pytest.raises(ValueError, match="different problem"):
+        load_orbax_checkpoint(ckdir, dataclasses.replace(cfg, beta=0.5), mesh)
+    with pytest.raises(ValueError, match="mesh"):
+        load_orbax_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
