@@ -58,7 +58,8 @@ class SimConfig:
     """
 
     # --- model / surface selection (reference: which of 4 binaries) ---
-    model: str = "fhn"          # fhn | goldbeter | barkley | grayscott
+    model: str = "fhn"   # any registered family: fhn | goldbeter | barkley
+                         # | grayscott | oregonator | brusselator
     surface: str = "flat"       # "flat" | "torus"
 
     # --- [Parameters] ---

@@ -148,6 +148,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
         seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
         bg[0] = np.where(seg, 0.5, 1.0)
         bg[1] = np.where(seg, 0.25, 0.0)
+    elif cfg.model == "brusselator":
+        # beyond-reference model: homogeneous Turing-unstable steady state
+        # (A, b/A); the wave segment carries a finite activator bump from
+        # which stripes/spots develop (random ic_type=2 also works via the
+        # goldbeter-style path below if ever needed)
+        us, vs = steady
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, us + 0.5, us)
+        bg[1] = vs
     elif cfg.model == "oregonator":
         # beyond-reference model: excitable rest state (us, us); the wave
         # segment excites u with a refractory (v-elevated) band below it so

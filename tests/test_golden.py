@@ -41,6 +41,11 @@ CASES = {
                             diffusion=1.0),
     "oregonator_torus": dict(model="oregonator", surface="torus", beta=1.5,
                              diffusion=1.0),
+    # brusselator: second multi-species path (D_v = 8 D_u), Turing window
+    "brusselator_flat": dict(model="brusselator", surface="flat", beta=1.9,
+                             diffusion=0.2),
+    "brusselator_torus": dict(model="brusselator", surface="torus", beta=1.9,
+                              diffusion=0.2),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
