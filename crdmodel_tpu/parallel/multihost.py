@@ -84,13 +84,24 @@ def distribute_params(mesh: Mesh, params: dict, specs: dict) -> dict:
 
 def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                                problem=None, on_snapshot=None,
-                               progress: bool = False, gather: bool = True):
+                               progress: bool = False, gather: bool = True,
+                               checkpoint_every: Optional[int] = None,
+                               checkpoint_dir: Optional[str] = None,
+                               resume_dir: Optional[str] = None,
+                               checkpoint_backend: str = "orbax"):
     """Streaming sharded run on a (possibly) process-spanning mesh.
 
     Every process executes the same program; on_snapshot/progress fire on
     process 0 only. gather=True allgathers each snapshot to every host
     (fine for output-sized fields); gather=False leaves the trajectory
     sharded (use io.trajectory per-rank writers on local shards).
+
+    checkpoint_every=N + checkpoint_dir checkpoint the solver state after
+    every N output intervals; resume_dir resumes (post-resume snapshots
+    only, as in simulate_sharded_streaming). checkpoint_backend defaults to
+    "orbax" here: its save is a multi-process collective into one logical
+    path and its restore reads only each process's own chunks; "npz"
+    (per-shard files) also works when all files land on shared storage.
     """
     import time
 
@@ -100,6 +111,9 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         make_sharded_interval_fn, sharded_params)
     from crdmodel_tpu.sim import SimResult, output_times
 
+    if checkpoint_backend not in ("npz", "orbax"):
+        raise ValueError(f"checkpoint_backend must be 'npz' or 'orbax', "
+                         f"got {checkpoint_backend!r}")
     problem = problem if problem is not None else build_problem(cfg)
     if mesh is None:
         mesh = make_global_mesh((cfg.ny, cfg.nx))
@@ -108,7 +122,6 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
 
     params_host, specs = sharded_params(problem)
     params = distribute_params(mesh, params_host, specs)
-    y = distribute(mesh, P(None, AXIS_Y, AXIS_X), np.asarray(problem.y0))
 
     one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
     touts = output_times(cfg)
@@ -124,21 +137,58 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         return jnp.asarray(multihost_utils.process_allgather(
             arr, tiled=True))
 
-    t_start = time.perf_counter()
-    t = jnp.asarray(0.0, dtype)
-    h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
-    errp = jnp.asarray(1.0, dtype)
-    status = jnp.asarray(0, jnp.int32)
-    snaps = [snap(y)]
-    if on_snapshot is not None and is_lead:
-        on_snapshot(0, np.asarray(snaps[0]))
-
     nt = len(touts)
-    acc = {k: np.zeros(nt, dtype=np.int64)
-           for k in ("steps", "accepted", "rejected", "status")}
-    k_out = 0
-    first = True
+    t_start = time.perf_counter()
+    if resume_dir is not None:
+        from crdmodel_tpu.io.checkpoint import (load_orbax_checkpoint,
+                                                load_sharded_checkpoint)
+        load = (load_orbax_checkpoint if checkpoint_backend == "orbax"
+                else load_sharded_checkpoint)
+        ck = load(resume_dir, cfg, mesh)
+        k_start = int(ck["k_out"])
+        y = jnp.asarray(ck["y"], dtype)
+        t = jnp.asarray(ck["t"], dtype)
+        h = jnp.asarray(ck["h"], dtype)
+        errp = jnp.asarray(ck["err_prev"], dtype)
+        acc = {k: np.array(ck["stats"][k], dtype=np.int64)
+               for k in ("steps", "accepted", "rejected", "status")}
+        snaps = []
+    else:
+        k_start = 0
+        y = distribute(mesh, P(None, AXIS_Y, AXIS_X), np.asarray(problem.y0))
+        t = jnp.asarray(0.0, dtype)
+        h = h0_fn(y, {**params,
+                      "_h0_tout": jnp.asarray(stop_times[0], dtype)})
+        errp = jnp.asarray(1.0, dtype)
+        acc = {k: np.zeros(nt, dtype=np.int64)
+               for k in ("steps", "accepted", "rejected", "status")}
+        snaps = [snap(y)]
+        if on_snapshot is not None and is_lead:
+            on_snapshot(0, np.asarray(snaps[0]))
+    status = jnp.asarray(0, jnp.int32)
+
+    def maybe_checkpoint(k_done, y_now):
+        if checkpoint_every and checkpoint_dir and \
+                k_done % checkpoint_every == 0 and k_done < nt:
+            from crdmodel_tpu.io.checkpoint import (save_orbax_checkpoint,
+                                                    save_sharded_checkpoint)
+            save = (save_orbax_checkpoint if checkpoint_backend == "orbax"
+                    else save_sharded_checkpoint)
+            save(checkpoint_dir, cfg, mesh, k_done, y_now,
+                 float(t), float(h), float(errp), acc)
+
+    k_out = k_start
+    outs_skipped = 0
+    first = resume_dir is None
     for stop, is_out in zip(stop_times, is_output):
+        # resume skips deterministically by count (see sim.py); breakpoints
+        # at/before the checkpointed t compare in the run dtype
+        if is_out:
+            if outs_skipped < k_start:
+                outs_skipped += 1
+                continue
+        elif float(jnp.asarray(stop, dtype)) <= float(t):
+            continue
         t, y, h, errp, (ns, na, nr, status) = one_interval(
             t, y, h, errp, status, jnp.asarray(stop, dtype),
             jnp.asarray(first), params)
@@ -156,6 +206,7 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         snaps.append(snap(y))
         if on_snapshot is not None and is_lead:
             on_snapshot(k_out + 1, np.asarray(snaps[-1]))
+        maybe_checkpoint(k_out + 1, y)
         if progress and is_lead:
             elapsed = time.perf_counter() - t_start
             eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
@@ -173,8 +224,11 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
                        status=jnp.asarray(acc["status"]))
+    if resume_dir is not None:
+        touts_out = touts[k_start:k_start + len(snaps)]
+    else:
+        touts_out = np.concatenate([[0.0], touts[:len(snaps) - 1]])
     return SimResult(cfg=cfg, problem=problem,
                      trajectory=traj,
-                     touts=np.concatenate(
-                         [[0.0], touts[:len(snaps) - 1]]),
+                     touts=touts_out,
                      stats=stats, wall_time=wall)

@@ -86,3 +86,73 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     np.testing.assert_array_equal(steps_mh, np.asarray(res.stats.steps))
     np.testing.assert_allclose(traj_mh, np.asarray(res.trajectory),
                                rtol=1e-13, atol=1e-13)
+
+
+CHILD_CKPT = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]; ckdir = sys.argv[5]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+
+from crdmodel_tpu.config import SimConfig
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=4,
+                vary_beta=1, beta_min=0.7, beta_max=1.7, t_boundary=0.1,
+                dtype="float64", rtol=1e-6, atol=1e-10)
+mesh = multihost.make_global_mesh((cfg.ny, cfg.nx), shape=(2, 4))
+full = multihost.simulate_sharded_multihost(cfg, mesh=mesh)
+assert full.ok
+multihost.simulate_sharded_multihost(cfg, mesh=mesh, checkpoint_every=2,
+                                     checkpoint_dir=ckdir,
+                                     checkpoint_backend="orbax")
+res = multihost.simulate_sharded_multihost(cfg, mesh=mesh, resume_dir=ckdir,
+                                           checkpoint_backend="orbax")
+assert res.ok
+if jax.process_index() == 0:
+    np.savez(out, full=np.asarray(full.trajectory),
+             resumed=np.asarray(res.trajectory),
+             steps_full=np.asarray(full.stats.steps),
+             steps_res=np.asarray(res.stats.steps),
+             touts_res=np.asarray(res.touts))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint_resume(tmp_path):
+    """Orbax checkpoint written collectively by 2 coordinated processes and
+    resumed on the same process-spanning mesh: post-resume snapshots must
+    equal the uninterrupted run's."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    out = str(tmp_path / "mh_ck.npz")
+    ckdir = str(tmp_path / "ck")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_CKPT, str(pid), "2", port, out, ckdir],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+    with np.load(out) as z:
+        # checkpoint at k_out=2 of 4 -> post-resume rows are outputs 3, 4
+        assert z["resumed"].shape[0] == 2
+        np.testing.assert_allclose(z["resumed"], z["full"][3:],
+                                   rtol=1e-13, atol=1e-13)
+        np.testing.assert_array_equal(z["steps_res"], z["steps_full"])
+        np.testing.assert_allclose(z["touts_res"], [0.3, 0.4])
