@@ -157,6 +157,14 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
         seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
         bg[0] = np.where(seg, us + 0.5, us)
         bg[1] = vs
+    elif cfg.model == "sir":
+        # beyond-reference model: susceptible background (1, 0, 0); the wave
+        # segment seeds an infected patch from which the epidemic front
+        # propagates (Noble 1974 plague-wave setup)
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, 0.9, 1.0)
+        bg[1] = np.where(seg, 0.1, 0.0)
+        bg[2] = 0.0
     elif cfg.model == "oregonator":
         # beyond-reference model: excitable rest state (us, us); the wave
         # segment excites u with a refractory (v-elevated) band below it so

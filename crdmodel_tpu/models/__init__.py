@@ -1,5 +1,5 @@
 from crdmodel_tpu.models.base import ReactionModel, get_model, register_model
 from crdmodel_tpu.models import (  # noqa: F401  (registers models)
-    barkley, brusselator, fhn, goldbeter, grayscott, oregonator)
+    barkley, brusselator, fhn, goldbeter, grayscott, oregonator, sir)
 
 __all__ = ["ReactionModel", "get_model", "register_model"]

@@ -46,6 +46,9 @@ CASES = {
                              diffusion=0.2),
     "brusselator_torus": dict(model="brusselator", surface="torus", beta=1.9,
                               diffusion=0.2),
+    # sir: nvars=3 + offset diffusing variable (index 1)
+    "sir_flat": dict(model="sir", surface="flat", beta=1.5, diffusion=1.0),
+    "sir_torus": dict(model="sir", surface="torus", beta=1.5, diffusion=1.0),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,

@@ -237,6 +237,21 @@ def test_fused_shard_kernel_grayscott_multispecies():
     np.testing.assert_array_equal(tf, tx)
 
 
+def test_fused_shard_kernel_sir_nvars3():
+    """SIR: nvars=3 with the DIFFUSING variable at index 1 — the fused
+    kernels' per-variable diffusion must handle an offset species and a
+    3-field state layout."""
+    cfg = _fused_cfg(model="sir", beta=1.5, diffusion=1.0, t_final=1.0)
+    (tf, sf), (tx, sx) = _run_pair(cfg)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    # like goldbeter: the near-equilibrium error field makes the WRMS sum
+    # reassociation-sensitive in f32, nudging the h sequence, and the
+    # exponentially sharpening front amplifies it. Both paths measure
+    # equidistant from the f64 oracle (1.8e-5 fused / 1.6e-5 XLA at Tf=1),
+    # so the budget is controller rounding, not a kernel defect.
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-4)
+
+
 def test_fused_shard_kernel_grayscott_torus():
     cfg = _fused_cfg(model="grayscott", surface="torus", beta=0.03,
                      surface_width=20.0, surface_length=40.0, t_final=0.5)

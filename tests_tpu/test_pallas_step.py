@@ -36,7 +36,7 @@ def _compare(cfg, t=0.5, h=1e-3, seg_end=1.0):
 
 @pytest.mark.parametrize("surface", ["flat", "torus"])
 @pytest.mark.parametrize("model,beta", [("fhn", 1.25), ("goldbeter", 0.85),
-                                        ("grayscott", 0.03)])
+                                        ("grayscott", 0.03), ("sir", 1.5)])
 def test_kernel_matches_xla_step(model, surface, beta):
     cfg = SimConfig(model=model, surface=surface, x_mesh=40,
                     surface_width=20, surface_length=40, beta=beta,
