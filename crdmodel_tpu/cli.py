@@ -140,7 +140,8 @@ def cmd_run(args):
         res = simulate_streaming(cfg, problem=problem,
                                  progress=not args.quiet,
                                  checkpoint_every=args.checkpoint_every,
-                                 checkpoint_path=args.checkpoint)
+                                 checkpoint_path=args.checkpoint,
+                                 host_offload=args.host_offload)
     print(res.describe())
 
     write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
@@ -249,6 +250,9 @@ def main(argv=None):
                    help="checkpoint file path (with --checkpoint-every)")
     p.add_argument("--checkpoint-every", type=int, default=None,
                    metavar="N", help="checkpoint every N output intervals")
+    p.add_argument("--host-offload", action="store_true",
+                   help="pull each snapshot to host memory as produced "
+                        "(bounded device memory for long runs)")
     p.add_argument("--checkpoint-backend", default="npz",
                    choices=("npz", "orbax"),
                    help="sharded checkpoint format (with --devices > 1): "

@@ -75,14 +75,15 @@ def load_checkpoint(path: str, cfg: SimConfig) -> dict:
 def resume_streaming(cfg: SimConfig, path: str, problem=None,
                      on_snapshot=None, progress: bool = False,
                      checkpoint_every: Optional[int] = None,
-                     checkpoint_path: Optional[str] = None):
+                     checkpoint_path: Optional[str] = None,
+                     host_offload: bool = False):
     """Resume a simulate_streaming run from a checkpoint file."""
     from crdmodel_tpu.sim import simulate_streaming
     data = load_checkpoint(path, cfg)
     return simulate_streaming(
         cfg, problem=problem, on_snapshot=on_snapshot, progress=progress,
         checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
-        _resume=data)
+        host_offload=host_offload, _resume=data)
 
 
 # ---------------------------------------------------------------------------

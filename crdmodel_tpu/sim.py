@@ -212,6 +212,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                        on_snapshot=None, progress: bool = False,
                        checkpoint_every: Optional[int] = None,
                        checkpoint_path: Optional[str] = None,
+                       host_offload: bool = False,
                        _resume: Optional[dict] = None) -> SimResult:
     """Interval-by-interval driver: one device dispatch per output interval,
     invoking `on_snapshot(k, y_np)` after each (for incremental file writes,
@@ -222,6 +223,13 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     checkpoint_every=N writes a resumable checkpoint to checkpoint_path
     after every N output intervals (io/checkpoint.py); _resume is the loaded
     checkpoint dict (use io.checkpoint.resume_streaming).
+
+    host_offload=True pulls each snapshot to host memory as it is produced
+    (the streaming loop already syncs per interval, so the transfer adds
+    only its bandwidth cost) and returns a numpy trajectory — device memory
+    stays bounded by the solver state regardless of Nt, the production
+    setting for long runs on large grids (the reference streams every
+    snapshot to disk for the same reason, src/FHNmodel_torus.cpp:437-455).
     """
     from crdmodel_tpu.integrate.erk import (
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
@@ -243,7 +251,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         one_interval, h0_fn, pad, unpad = problem.cache["stream_fns"]
         return _run_streaming_loop(
             cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
-            on_snapshot, progress, checkpoint_every, checkpoint_path, _resume)
+            on_snapshot, progress, checkpoint_every, checkpoint_path,
+            host_offload, _resume)
 
     pad = unpad = lambda y: y
     h_limit_fn = None
@@ -311,12 +320,14 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     problem.cache["stream_fns"] = (one_interval, h0_fn, pad, unpad)
     return _run_streaming_loop(
         cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
-        on_snapshot, progress, checkpoint_every, checkpoint_path, _resume)
+        on_snapshot, progress, checkpoint_every, checkpoint_path,
+            host_offload, _resume)
 
 
 def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                         pad, unpad, on_snapshot, progress,
-                        checkpoint_every, checkpoint_path, _resume):
+                        checkpoint_every, checkpoint_path, host_offload,
+                        _resume):
     from crdmodel_tpu.integrate.erk import SolveStats
 
     dtype = jnp.dtype(cfg.dtype)
@@ -330,7 +341,8 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         t = jnp.asarray(float(_resume["t"]), dtype)
         h = jnp.asarray(float(_resume["h"]), dtype)
         errp = jnp.asarray(float(_resume["err_prev"]), dtype)
-        snaps = [jnp.asarray(s, dtype) for s in _resume["snapshots"]]
+        snaps = [np.asarray(s, dtype) if host_offload
+                 else jnp.asarray(s, dtype) for s in _resume["snapshots"]]
         stats_acc = {k: np.array(_resume[f"stats_{k}"], dtype=np.int64)
                      for k in ("steps", "accepted", "rejected", "status")}
     else:
@@ -339,7 +351,7 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         y = pad(problem.y0)
         t = jnp.asarray(0.0, dtype)
         errp = jnp.asarray(1.0, dtype)
-        snaps = [problem.y0]
+        snaps = [np.asarray(problem.y0) if host_offload else problem.y0]
         stats_acc = {k: np.zeros(nt, dtype=np.int64)
                      for k in ("steps", "accepted", "rejected", "status")}
         if on_snapshot is not None:
@@ -388,9 +400,10 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
             break
         if not is_out:
             continue
-        snaps.append(unpad(y))
+        snap = unpad(y)
+        snaps.append(np.asarray(snap) if host_offload else snap)
         if on_snapshot is not None:
-            on_snapshot(k_out + 1, np.asarray(unpad(y)))
+            on_snapshot(k_out + 1, np.asarray(snaps[-1]))
         maybe_checkpoint(k_out + 1)
         if progress:
             elapsed = time.perf_counter() - t_start
@@ -404,7 +417,8 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         print("\n   ----------------------")
 
     wall = time.perf_counter() - t_start
-    traj = jnp.stack(snaps)
+    traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
+        else jnp.stack(snaps)
     stats = SolveStats(steps=jnp.asarray(stats_acc["steps"]),
                        accepted=jnp.asarray(stats_acc["accepted"]),
                        rejected=jnp.asarray(stats_acc["rejected"]),

@@ -74,8 +74,11 @@ def sweep_beta(cfg: SimConfig, betas: Sequence[float],
     if mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
             make_sharded_simulation_fn, sharded_params)
-        # force the XLA stepper: vmap-of-pallas_call batching semantics are
-        # not validated, and sweeps batch the whole sharded program
+        # force the XLA stepper: vmap of the fused kernels is UNSUPPORTED —
+        # the Pallas TPU batching rule rejects the HBM-resident (ANY memory
+        # space) state input (measured 2026-08-16: "only blocks having the
+        # same block shape as the array shape"); sweeps batch the whole
+        # sharded program on the XLA path instead
         base_xla = build_problem(dataclasses.replace(
             cfg, beta=float(betas[0]), use_pallas=False))
         run_sharded, _ = make_sharded_simulation_fn(base_xla, mesh)

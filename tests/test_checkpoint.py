@@ -208,3 +208,26 @@ def test_orbax_checkpoint_restored_sharding(tmp_path):
         load_orbax_checkpoint(ckdir, dataclasses.replace(cfg, beta=0.5), mesh)
     with pytest.raises(ValueError, match="mesh"):
         load_orbax_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+
+
+def test_streaming_host_offload_matches(tmp_path):
+    """host_offload=True: snapshots pulled to host as produced (bounded
+    device memory); trajectory is numpy and identical to the device-resident
+    run, including through checkpoint/resume."""
+    from crdmodel_tpu.io.checkpoint import resume_streaming
+
+    cfg = _cfg()
+    full = simulate_streaming(cfg)
+    off = simulate_streaming(cfg, host_offload=True)
+    assert off.ok
+    assert isinstance(off.trajectory, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(off.trajectory),
+                                  np.asarray(full.trajectory))
+
+    ck = str(tmp_path / "ck_off.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck,
+                       host_offload=True)
+    res = resume_streaming(cfg, ck, host_offload=True)
+    assert res.ok
+    np.testing.assert_array_equal(np.asarray(res.trajectory),
+                                  np.asarray(full.trajectory))
