@@ -1,0 +1,46 @@
+"""Example: spatial SIR epidemic wave on the torus.
+
+A seeded infection front (R0 = b/g = 3) invades the susceptible surface
+and burns out behind itself, leaving a recovered wake; total S+I+R mass is
+exactly conserved (printed as a sanity check). First 3-variable family.
+
+    python examples/sir_epidemic.py [outdir]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.sim import simulate
+from crdmodel_tpu.utils import throughput
+from crdmodel_tpu.viz import plot_movie
+
+
+def main(outdir: str = "sir_out"):
+    cfg = SimConfig(
+        model="sir", surface="torus", x_mesh=128,
+        surface_width=20, surface_length=80, diffusion=1.0,
+        beta=1.5,                       # transmission rate; R0 = b/g = 3
+        wave_length=0.05, wave_width=0.3,
+        t_final=40.0, output_timestep=40,
+        dtype="float32", rtol=1e-5, atol=1e-8,
+    )
+    res = simulate(cfg)
+    print(res.describe())
+    print(f"throughput: {throughput(res):.3e} grid-points*steps/s")
+    traj = np.asarray(res.trajectory, np.float64)
+    total = traj.sum(axis=(1, 2, 3))
+    print(f"mass drift: {abs(total[-1] / total[0] - 1.0):.2e} (exact invariant)")
+    print(f"attack rate: {np.asarray(res.field(2))[-1].mean():.3f} "
+          "(final recovered fraction)")
+    out = plot_movie(res, cfg, outdir, var=1)   # plot the infecteds
+    print(f"{len(out['frames'])} frames in {outdir}/png/"
+          + (f", movie {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
