@@ -84,6 +84,70 @@ def write_reference_files(result, outdir: str, nprocs: int = 1,
     return paths
 
 
+class ShardedReferenceWriter:
+    """Incremental reference-format writer for sharded runs: each process
+    appends one row per output time for every shard ITS devices hold — the
+    reference's exact IO pattern (per-rank fprintf per output step,
+    src/FHNmodel_torus.cpp:437-455) with device shards as the ranks, and no
+    gather anywhere. Pass an instance as `on_snapshot=` to
+    simulate_sharded_streaming or simulate_sharded_multihost(gather=False).
+
+    Rank numbering is the flat index of the shard's device in the mesh, so
+    the union of all processes' files forms one consistent file set that
+    read_reference_files/the reference plot scripts reassemble unchanged.
+    """
+
+    def __init__(self, outdir: str, cfg, model, mesh,
+                 include_all_vars: Optional[bool] = None):
+        self.outdir = outdir
+        self.cfg = cfg
+        self.model = model
+        self.prog = cfg.program_name
+        if include_all_vars is None:
+            include_all_vars = bool(cfg.include_all_vars)
+        self.nvars_out = model.nvars if include_all_vars else 1
+        self._rank_of = {id(d): i
+                         for i, d in enumerate(mesh.devices.flat)}
+        os.makedirs(outdir, exist_ok=True)
+        self._started = set()
+
+    def _shard_rank(self, shard) -> int:
+        return self._rank_of[id(shard.device)]
+
+    def _start(self, shard, rank: int):
+        cfg = self.cfg
+        (j0, j1), (i0, i1) = [(s.start or 0,
+                               (s.stop if s.stop is not None else n) - 1)
+                              for s, n in zip(shard.index[1:],
+                                              (cfg.ny, cfg.nx))]
+        spath = os.path.join(self.outdir,
+                             f"{self.prog}_subdomain.{rank:03d}.txt")
+        with open(spath, "w") as fh:
+            fh.write(f"{cfg.nx}  {cfg.ny}  {i0}  {i1}  {j0}  {j1} "
+                     f"{cfg.xmin:f} {cfg.xmax:f} {cfg.t_final:f}\n")
+        for v in range(self.nvars_out):
+            name = self.model.var_names[v]
+            open(os.path.join(self.outdir,
+                              f"{self.prog}_{name}.{rank:03d}.txt"),
+                 "w").close()
+        self._started.add(rank)
+
+    def __call__(self, k: int, y) -> None:
+        """Append snapshot k: y is the sharded (nvars, ny, nx) jax.Array
+        (raw, not gathered)."""
+        del k  # rows are ordered by call sequence, like the reference
+        for shard in y.addressable_shards:
+            rank = self._shard_rank(shard)
+            if rank not in self._started:
+                self._start(shard, rank)
+            block = np.asarray(shard.data, dtype=np.float64)
+            for v in range(self.nvars_out):
+                name = self.model.var_names[v]
+                vpath = os.path.join(self.outdir,
+                                     f"{self.prog}_{name}.{rank:03d}.txt")
+                _write_rows(vpath, block[v].reshape(1, -1), mode="a")
+
+
 def probe_nprocs(outdir: str, prog: str) -> int:
     """Count rank files the way the plot scripts do
     (util/FHNmodel/plot_FHNmodel_torus.py:26-35)."""

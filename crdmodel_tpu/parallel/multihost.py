@@ -91,10 +91,13 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                                checkpoint_backend: str = "orbax"):
     """Streaming sharded run on a (possibly) process-spanning mesh.
 
-    Every process executes the same program; on_snapshot/progress fire on
-    process 0 only. gather=True allgathers each snapshot to every host
-    (fine for output-sized fields); gather=False leaves the trajectory
-    sharded (use io.trajectory per-rank writers on local shards).
+    Every process executes the same program; progress prints on process 0
+    only. gather=True allgathers each snapshot to every host (fine for
+    output-sized fields) and fires on_snapshot(k, np_array) on process 0;
+    gather=False leaves the trajectory sharded and fires
+    on_snapshot(k, sharded_jax_array) on EVERY process — pass an
+    io.trajectory.ShardedReferenceWriter to stream per-shard reference
+    files with no gather anywhere (the production pod IO path).
 
     checkpoint_every=N + checkpoint_dir checkpoint the solver state after
     every N output intervals; resume_dir resumes (post-resume snapshots
@@ -163,8 +166,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = [snap(y)]
-        if on_snapshot is not None and is_lead:
-            on_snapshot(0, np.asarray(snaps[0]))
+        if on_snapshot is not None and (is_lead or not gather):
+            on_snapshot(0, y if not gather else np.asarray(snaps[0]))
     status = jnp.asarray(0, jnp.int32)
 
     def maybe_checkpoint(k_done, y_now):
@@ -204,8 +207,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         if not is_out:
             continue
         snaps.append(snap(y))
-        if on_snapshot is not None and is_lead:
-            on_snapshot(k_out + 1, np.asarray(snaps[-1]))
+        if on_snapshot is not None and (is_lead or not gather):
+            on_snapshot(k_out + 1, y if not gather else np.asarray(snaps[-1]))
         maybe_checkpoint(k_out + 1, y)
         if progress and is_lead:
             elapsed = time.perf_counter() - t_start

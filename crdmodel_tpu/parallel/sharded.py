@@ -377,7 +377,12 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         snaps = []
     else:
         k_start = 0
-        y = problem.y0
+        # commit the initial state to the mesh sharding up front so shard
+        # consumers (ShardedReferenceWriter, checkpoints) see device shards
+        # from snapshot 0 on
+        y = jax.device_put(
+            problem.y0,
+            jax.sharding.NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
         t = jnp.asarray(0.0, dtype)
         h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
         errp = jnp.asarray(1.0, dtype)
@@ -385,7 +390,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = [y]
         if on_snapshot is not None:
-            on_snapshot(0, np.asarray(y))
+            on_snapshot(0, y)
     status = jnp.asarray(0, jnp.int32)
 
     def maybe_checkpoint(k_done, y_now):
@@ -427,7 +432,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
             continue
         snaps.append(y)
         if on_snapshot is not None:
-            on_snapshot(k_out + 1, np.asarray(y))
+            on_snapshot(k_out + 1, y)
         maybe_checkpoint(k_out + 1, y)
         if progress:
             elapsed = time.perf_counter() - t_start

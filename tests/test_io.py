@@ -100,3 +100,34 @@ def test_npz_roundtrip(small_result, tmp_path):
     np.testing.assert_array_equal(z["trajectory"],
                                   np.asarray(small_result.trajectory))
     assert z["status"].sum() == 0
+
+
+def test_sharded_reference_writer_roundtrip(tmp_path):
+    """ShardedReferenceWriter streams per-device-shard reference files with
+    no gather; the standard reader must reassemble the exact trajectory."""
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.io.trajectory import (ShardedReferenceWriter,
+                                            read_reference_files)
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (simulate_sharded,
+                                               simulate_sharded_streaming)
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.5,
+                    output_timestep=2, include_all_vars=1,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    problem = build_problem(cfg)
+    writer = ShardedReferenceWriter(str(tmp_path), cfg, problem.model, mesh)
+    res = simulate_sharded_streaming(cfg, mesh=mesh, problem=problem,
+                                     on_snapshot=writer)
+    assert res.ok
+
+    batch = simulate_sharded(cfg, mesh=mesh)
+    for v, name in ((0, "u"), (1, "v")):
+        arr, meta = read_reference_files(str(tmp_path), cfg.program_name,
+                                         var=name)
+        assert arr.shape == (3, cfg.ny, cfg.nx)
+        np.testing.assert_allclose(
+            arr, np.asarray(batch.trajectory)[:, v], rtol=0, atol=1e-15)

@@ -156,3 +156,72 @@ def test_two_process_orbax_checkpoint_resume(tmp_path):
                                    rtol=1e-13, atol=1e-13)
         np.testing.assert_array_equal(z["steps_res"], z["steps_full"])
         np.testing.assert_allclose(z["touts_res"], [0.3, 0.4])
+
+
+CHILD_WRITER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.core.problem import build_problem
+from crdmodel_tpu.io.trajectory import ShardedReferenceWriter
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=2,
+                include_all_vars=1, dtype="float64", rtol=1e-6, atol=1e-10)
+mesh = multihost.make_global_mesh((cfg.ny, cfg.nx), shape=(2, 4))
+problem = build_problem(cfg)
+writer = ShardedReferenceWriter(outdir, cfg, problem.model, mesh)
+res = multihost.simulate_sharded_multihost(cfg, mesh=mesh, problem=problem,
+                                           on_snapshot=writer, gather=False)
+assert res.ok
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_writer(tmp_path):
+    """gather=False + ShardedReferenceWriter: each process streams only its
+    own devices' shards to reference-format files; the union reassembles to
+    the single-process trajectory (the production pod IO path)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    outdir = str(tmp_path / "shards")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_WRITER, str(pid), "2", port, outdir],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.io.trajectory import probe_nprocs, read_reference_files
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=2, include_all_vars=1,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    assert probe_nprocs(outdir, cfg.program_name) == 8  # all shards present
+    single = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 4)))
+    for v, name in ((0, "u"), (1, "v")):
+        arr, _ = read_reference_files(outdir, cfg.program_name, var=name)
+        np.testing.assert_allclose(
+            arr, np.asarray(single.trajectory)[:, v], rtol=0, atol=1e-15)
