@@ -27,6 +27,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,7 +37,8 @@ from crdmodel_tpu.ops.pallas_rkc import (
 from crdmodel_tpu.ops.pallas_step import _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
     freeze_scalar, make_rhs_block, read_strip_constants)
-from crdmodel_tpu.parallel.halo import halo_pad_cols, halo_pad_rows
+from crdmodel_tpu.parallel.halo import (_shift_from_next, _shift_from_prev,
+                                        halo_pad_cols, halo_pad_rows)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 VMEM_BUDGET = 10 * 1024 * 1024
@@ -55,8 +57,11 @@ def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
         return False
     if nyl < P_RKC or nxl < P_RKC:
         return False  # halo deeper than a neighbour's block
-    if _pick_strip(nyl, target=_strip_target(nxl, problem.model.nvars)) is None:
+    S = _pick_strip(nyl, target=_strip_target(nxl, problem.model.nvars))
+    if S is None:
         return False
+    if nyl // S > 1 and S < P_RKC:
+        return False  # multi-strip row windows must not wrap (see kernel)
     if problem.model.jac_bound is None and not problem.cfg.just_diffusion:
         return False
     return True
@@ -94,6 +99,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     if S is None:
         raise ValueError(f"nyl={nyl} has no usable strip divisor")
     n_strips = nyl // S
+    assert n_strips == 1 or S >= P_RKC  # strip windows must not wrap
     R = S + 2 * P
     nxp = ((nxl + 2 * P + 127) // 128) * 128
     fill = nxp - (nxl + 2 * P)
@@ -108,13 +114,19 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     def unpad(yp):
         return yp[..., P:P + nxl]
 
-    def assemble(yp):
-        phys = yp[..., P:P + nxl]
-        xpad = halo_pad_cols(phys, axis_x, P)
-        block = halo_pad_rows(xpad, axis_y, P)
-        if fill:
-            block = jnp.pad(block, ((0, 0), (0, 0), (0, fill)))
-        return block
+    def splice_inputs(yp):
+        """Thin halo strips for the in-kernel splice — no pass over the
+        state (same design as ops/pallas_shard_step.py v3; see its module
+        docstring for the traffic argument and corner correctness)."""
+        w_cols = _shift_from_prev(
+            lax.slice_in_dim(yp, nxl, P + nxl, axis=2), axis_x)
+        e_cols = _shift_from_next(
+            lax.slice_in_dim(yp, P, 2 * P, axis=2), axis_x)
+        w_ext = halo_pad_rows(w_cols, axis_y, P)
+        e_ext = halo_pad_rows(e_cols, axis_y, P)
+        lo_rows = _shift_from_prev(yp[:, nyl - P:, :], axis_y)
+        hi_rows = _shift_from_next(yp[:, :P, :], axis_y)
+        return w_ext, e_ext, lo_rows, hi_rows
 
     def prepare_params(params):
         out = dict(params)
@@ -148,14 +160,62 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
     def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
                c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-               y_hbm, ynew_ref, ss_ref, yv, sems):
+               y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
+               yv, sems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
 
-        def strip_dma(strip, slot):
-            r0 = pl.multiple_of(strip * S, 8)
-            return pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(r0, R), :], yv.at[slot], sems.at[slot])
+        # strip rows [iS-P, iS+S+P) of the state are contiguous in HBM; the
+        # first/last P halo rows at the block edges come from the thin
+        # lo/hi VMEM inputs (see ops/pallas_shard_step.py)
+        def start_strip(strip, slot):
+            r0s = pl.multiple_of(strip * S, 8)
+
+            @pl.when(strip == 0)
+            def _():
+                yv[slot, :, 0:P, :] = lo_ref[:, :, :]
+
+            @pl.when(strip > 0)
+            def _():
+                top0 = pl.multiple_of(jnp.maximum(r0s - P, 0), 8)
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(top0, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(r0s, S), :],
+                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
+
+            @pl.when(strip == n_strips - 1)
+            def _():
+                yv[slot, :, P + S:R, :] = hi_ref[:, :, :]
+
+            @pl.when(strip < n_strips - 1)
+            def _():
+                bot0 = pl.multiple_of(
+                    jnp.minimum(r0s + S, max(nyl - P, 0)), 8)
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bot0, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+        def wait_strip(strip, slot):
+            @pl.when(strip > 0)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(0, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(0, S), :],
+                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
+
+            @pl.when(strip < n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(0, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).wait()
 
         two = jnp.asarray(2, i.dtype)
         slot = jax.lax.rem(i, two)
@@ -163,13 +223,13 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
         @pl.when(i == 0)
         def _():
-            strip_dma(0, 0).start()
+            start_strip(i, slot)
 
         @pl.when(i + 1 < n_strips)
         def _():
-            strip_dma(i + 1, nslot).start()
+            start_strip(i + 1, nslot)
 
-        strip_dma(i, slot).wait()
+        wait_strip(i, slot)
 
         h = h_ref[0, 0]
         s = s_ref[0, 0]
@@ -181,7 +241,12 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         def rhs_block(yb):
             return rhs_block_of(yb, stencil, b_rows, live_rows)
 
-        y0 = yv[slot]
+        # in-kernel column splice (VPU-only; HBM halo lanes are stale)
+        wrow = w_ref[:, pl.ds(row0, R), :]
+        erow = e_ref[:, pl.ds(row0, R), :]
+        y0 = jnp.concatenate(
+            [wrow, yv[slot][..., P:P + nxl], erow,
+             yv[slot][..., P + nxl + P:]], axis=-1)
         f0 = rhs_block(y0)
         y_jm1 = y0 + (h * mu1) * f0
         y_jm2 = y0
@@ -232,6 +297,14 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # west column strips
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # east column strips
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows below the block
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows above the block
         ],
         out_specs=[
             pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
@@ -240,7 +313,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, nvars, R, nxp), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
@@ -265,7 +338,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         s = jnp.minimum(rkc.choose_stages(h, rho),
                         jnp.asarray(S_MAX_KERNEL, jnp.int32))
         mu1, ctab = rkc_stage_coeffs(s, dtype)
-        block = assemble(yp)
+        w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]
         m = params.get("_fused_live", ones)
@@ -274,7 +347,8 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
         ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
-                        c0, c1, c2, b, m, col_mask, block)
+                        c0, c1, c2, b, m, col_mask,
+                        yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss, ()
 
     def h_limit(t, yp, params):

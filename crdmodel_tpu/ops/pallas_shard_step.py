@@ -7,25 +7,31 @@ exchange-then-stencil structure as the reference's per-RHS-call Exchange
 (src/FHNmodel_torus.cpp:521-615), with the same latency-per-stage cost.
 
 This kernel hoists communication out of the stage loop: ONE width-P halo
-exchange per step (P=8 >= stage count; parallel/halo.py::halo_pad) builds a
-padded local block, and a single Pallas kernel then computes every stage,
-the solution update, and the WRMS error partial sums in one pass over the
-shard. Stage s values are valid on a region that shrinks one ring per RHS
-evaluation — starting from a P-deep halo the physical block stays valid
-through the last stage (the same temporal-blocking argument as the
-single-chip kernel, ops/pallas_step.py).
+exchange per step (P=8 >= stage count) feeds a single Pallas kernel that
+computes every stage, the solution update, and the WRMS error partial sums
+in one pass over the shard. Stage s values are valid on a region that
+shrinks one ring per RHS evaluation — starting from a P-deep halo the
+physical block stays valid through the last stage (the same
+temporal-blocking argument as the single-chip kernel, ops/pallas_step.py).
 
-Traffic per step per shard: read the padded block + write the new local
-block (vs the XLA path's per-stage passes), and the one deep exchange
-replaces 3-4 width-1 exchanges' latency.
-
-Layout: the integration-loop state is the lane-padded local block
-(nvars, nyl, nxp), nxp = round128(nxl + 2P), physical columns at
-[P, P+nxl). Each step assembles (in XLA, fused with the ppermutes) the
-fully-padded input block (nvars, nyl+2P, nxp) whose halo rows/columns hold
-true neighbour values; the kernel writes the stepped lane-padded block.
-Fill lanes are rebuilt from zero each step and never contaminate the
-physical region (roll pollution travels 1 lane per stage < P).
+Layout and traffic (v2 — splice design): the integration-loop state is the
+lane-padded local block (nvars, nyl, nxp), nxp = round128(nxl + 2P),
+physical columns at [P, P+nxl). Per step, XLA
+  1. ppermutes two thin COLUMN strips (nvars, nyl, P) and splices them into
+     the state's halo lanes via in-place dynamic_update_slice (touching two
+     lane-tiles per row, not the whole array), then
+  2. ppermutes two thin ROW strips (nvars, P, nxp) of the column-spliced
+     state (two-phase: corners carry true diagonal values).
+The kernel reads the state rows directly from HBM — strip row windows
+[iS-P, iS+S+P) are contiguous, no wrap — taking the first/last P halo rows
+from the thin row-strip VMEM inputs at the block edges, and writes the new
+lane-padded block. That is ~2 HBM passes of the state per step; the v1
+design materialised a fully halo-padded copy of the block first (write +
+read + write = 3 passes — measured 776 us/step unsharded vs 1635 us/step
+sharded at 1600x6400, the difference being exactly this extra pass plus
+concat overhead). Stale kernel-written halo lanes are refreshed by the next
+step's splice; fill lanes beyond the halo evolve as bounded dynamics and
+are masked from the error norm (same argument as ops/pallas_step.py).
 
 Error control: the kernel emits per-strip sums of squared WRMS-scaled
 errors over the PHYSICAL block only; the caller psums them across the mesh,
@@ -44,6 +50,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,7 +58,8 @@ from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
     freeze_scalar, make_rhs_block, read_strip_constants)
-from crdmodel_tpu.parallel.halo import halo_pad_cols, halo_pad_rows
+from crdmodel_tpu.parallel.halo import (_shift_from_next, _shift_from_prev,
+                                        halo_pad_cols, halo_pad_rows)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 
@@ -121,6 +129,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     S = _pick_strip(nyl, target=_strip_target(nxl, nvars, n_stages))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor in [8,256]")
+    assert S >= P  # strip row windows [iS-P, iS+S+P) must not wrap
     n_strips = nyl // S
     R = S + 2 * P                               # rows resident per strip
     nxp = ((nxl + 2 * P + 127) // 128) * 128    # padded lane width
@@ -138,16 +147,23 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     def unpad(yp):
         return yp[..., P:P + nxl]
 
-    def assemble(yp):
-        """Lane-padded state -> fully halo-padded input block
-        (nvars, nyl+2P, nxp): one width-P two-phase exchange (columns then
-        rows so corners carry true diagonal-neighbour values)."""
-        phys = yp[..., P:P + nxl]
-        xpad = halo_pad_cols(phys, axis_x, P)            # (nvars, nyl, nxl+2P)
-        block = halo_pad_rows(xpad, axis_y, P)           # (nvars, nyl+2P, ...)
-        if fill:
-            block = jnp.pad(block, ((0, 0), (0, 0), (0, fill)))
-        return block
+    def splice_inputs(yp):
+        """Thin halo strips for the in-kernel splice — NO pass over the
+        state. Column halos: two (nvars, nyl, P) ppermutes, row-halo-padded
+        to (nvars, nyl+2P, P) so the kernel can splice every resident row
+        (their own row halos carry the diagonal neighbours' corners —
+        two-phase). Row halos: two (nvars, P, nxp) ppermutes of the state's
+        edge rows; their stale column lanes are fixed by the same in-kernel
+        splice."""
+        w_cols = _shift_from_prev(
+            lax.slice_in_dim(yp, nxl, P + nxl, axis=2), axis_x)
+        e_cols = _shift_from_next(
+            lax.slice_in_dim(yp, P, 2 * P, axis=2), axis_x)
+        w_ext = halo_pad_rows(w_cols, axis_y, P)
+        e_ext = halo_pad_rows(e_cols, axis_y, P)
+        lo_rows = _shift_from_prev(yp[:, nyl - P:, :], axis_y)
+        hi_rows = _shift_from_next(yp[:, :P, :], axis_y)
+        return w_ext, e_ext, lo_rows, hi_rows
 
     def prepare_params(params):
         """Halo-pad the static per-shard arrays once per dispatch."""
@@ -181,17 +197,67 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-               y_hbm, ynew_ref, ss_ref, yv, sems):
+               y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
+               yv, sems):
         i = pl.program_id(0)
+        # row0 indexes the halo-padded constant arrays (b/freeze rows),
+        # whose row r corresponds to state row r - P
         row0 = pl.multiple_of(i * S, 8)
 
-        # Double-buffered input strips: rows [i*S, i*S+R) of the padded
-        # block are CONTIGUOUS (halos live in the block), so one DMA per
-        # strip; program i prefetches strip i+1 while computing strip i.
-        def strip_dma(strip, slot):
-            r0 = pl.multiple_of(strip * S, 8)
-            return pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(r0, R), :], yv.at[slot], sems.at[slot])
+        # Double-buffered input strips. Strip rows [iS-P, iS+S+P) of the
+        # state are contiguous in HBM (no wrap): the first/last P halo rows
+        # at the block edges come from the thin lo/hi VMEM inputs instead
+        # (immediate vector copies), everything else via up-to-3 DMAs.
+        # Program i prefetches strip i+1 while computing strip i.
+        def start_strip(strip, slot):
+            r0s = pl.multiple_of(strip * S, 8)
+
+            @pl.when(strip == 0)
+            def _():
+                yv[slot, :, 0:P, :] = lo_ref[:, :, :]
+
+            @pl.when(strip > 0)
+            def _():
+                top0 = pl.multiple_of(
+                    jnp.maximum(r0s - P, 0), 8)
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(top0, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(r0s, S), :],
+                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
+
+            @pl.when(strip == n_strips - 1)
+            def _():
+                yv[slot, :, P + S:R, :] = hi_ref[:, :, :]
+
+            @pl.when(strip < n_strips - 1)
+            def _():
+                bot0 = pl.multiple_of(
+                    jnp.minimum(r0s + S, max(nyl - P, 0)), 8)
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bot0, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+        def wait_strip(strip, slot):
+            @pl.when(strip > 0)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(0, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(0, S), :],
+                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
+
+            @pl.when(strip < n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(0, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).wait()
 
         two = jnp.asarray(2, i.dtype)
         slot = jax.lax.rem(i, two)
@@ -199,13 +265,13 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
 
         @pl.when(i == 0)
         def _():
-            strip_dma(0, 0).start()
+            start_strip(i, slot)
 
         @pl.when(i + 1 < n_strips)
         def _():
-            strip_dma(i + 1, nslot).start()
+            start_strip(i + 1, nslot)
 
-        strip_dma(i, slot).wait()
+        wait_strip(i, slot)
 
         h = h_ref[0, 0]
         stencil, b_rows, live_rows = read_strip_constants(
@@ -215,7 +281,14 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
         def rhs_block(yb):
             return rhs_block_of(yb, stencil, b_rows, live_rows)
 
-        y0 = yv[slot]
+        # splice the fresh column halos into the resident strip (VPU-only;
+        # the HBM state's halo lanes are stale): lanes [0,P) <- west strip,
+        # [P+nxl, P+nxl+P) <- east strip, fill lanes untouched
+        wrow = w_ref[:, pl.ds(row0, R), :]
+        erow = e_ref[:, pl.ds(row0, R), :]
+        y0 = jnp.concatenate(
+            [wrow, yv[slot][..., P:P + nxl], erow,
+             yv[slot][..., P + nxl + P:]], axis=-1)
         ks = []
         for s in range(n_stages):
             yi = y0
@@ -233,7 +306,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
                 err = err + (h * d[s]) * ks[s]
 
         # centre rows only; lane halos go stale and are refreshed from
-        # neighbours by the next step's assemble()
+        # neighbours by the next step's splice()
         ynew_ref[:, :, :] = ynew[:, P:P + S, :]
 
         yc = y0[:, P:P + S, :]
@@ -260,7 +333,15 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # padded block stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # state stays in HBM
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # west column strips
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # east column strips
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows below the block
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows above the block
         ],
         out_specs=[
             pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
@@ -269,7 +350,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, nvars, R, nxp), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
 
@@ -291,13 +372,14 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
-        block = assemble(yp)
+        w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]
         m = params.get("_fused_live", ones)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, col_mask, block)
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, col_mask,
+                        yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss
 
     return FusedShardStep(step_err=step_err, pad=pad, unpad=unpad,
