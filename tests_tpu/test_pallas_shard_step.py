@@ -45,3 +45,45 @@ def test_fused_shard_sim_matches_xla_on_device():
     assert int(np.sum(np.asarray(stats_f.steps))) == \
         int(np.sum(np.asarray(stats_x.steps)))
     np.testing.assert_array_equal(np.asarray(traj_f), np.asarray(traj_x))
+
+
+def test_fused_shard_multistrip_bitwise():
+    """ny=800 -> 4 row strips per shard: exercises the v3 edge-strip
+    conditionals (halo rows from thin VMEM inputs on the first/last strip,
+    HBM windows on interior strips) under the real Mosaic lowering."""
+    cfg = _cfg(x_mesh=200, surface_length=80.0)
+    mesh = make_mesh(shape=(1, 1))
+    problem = build_problem(cfg)
+    fused = maybe_fused_shard_step(problem, mesh)
+    assert fused is not None
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh)
+    traj_f, stats_f = run_f(problem.y0, params)
+
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+
+    assert int(np.sum(np.asarray(stats_f.steps))) == \
+        int(np.sum(np.asarray(stats_x.steps)))
+    np.testing.assert_array_equal(np.asarray(traj_f), np.asarray(traj_x))
+
+
+def test_fused_shard_rkc_multistrip():
+    """Same multi-strip coverage for the sharded fused RKC2 kernel."""
+    cfg = _cfg(x_mesh=200, surface_length=80.0, method="rkc2", t_final=0.1)
+    mesh = make_mesh(shape=(1, 1))
+    problem = build_problem(cfg)
+    params, _ = sharded_params(problem)
+    run_f, _ = make_sharded_simulation_fn(problem, mesh)
+    traj_f, stats_f = run_f(problem.y0, params)
+
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+
+    assert np.all(np.asarray(stats_f.status) == 0)
+    assert int(np.sum(np.asarray(stats_f.steps))) == \
+        int(np.sum(np.asarray(stats_x.steps)))
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=0, atol=1e-4)
