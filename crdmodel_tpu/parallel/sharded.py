@@ -330,7 +330,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                                checkpoint_every: Optional[int] = None,
                                checkpoint_dir: Optional[str] = None,
                                resume_dir: Optional[str] = None,
-                               checkpoint_backend: str = "npz") -> SimResult:
+                               checkpoint_backend: str = "npz",
+                               host_offload: bool = False) -> SimResult:
     """Streaming (per-interval dispatch) sharded run — the production-scale
     driver: bounded device-time per dispatch, incremental snapshots.
 
@@ -340,7 +341,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     accordingly): at scale, prior rows live in the streamed output files.
     checkpoint_backend selects the format: "npz" (per-shard npz files +
     manifest, io/checkpoint.py::save_sharded_checkpoint) or "orbax"
-    (sharding-aware zarr, save_orbax_checkpoint).
+    (sharding-aware zarr, save_orbax_checkpoint). host_offload=True pulls
+    each snapshot to host as produced (bounded device memory for long
+    runs; see sim.simulate_streaming).
     """
     if checkpoint_backend not in ("npz", "orbax"):
         raise ValueError(f"checkpoint_backend must be 'npz' or 'orbax', "
@@ -388,7 +391,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         errp = jnp.asarray(1.0, dtype)
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
-        snaps = [y]
+        snaps = [np.asarray(y) if host_offload else y]
         if on_snapshot is not None:
             on_snapshot(0, y)
     status = jnp.asarray(0, jnp.int32)
@@ -430,7 +433,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
             break
         if not is_out:
             continue
-        snaps.append(y)
+        snaps.append(np.asarray(y) if host_offload else y)
         if on_snapshot is not None:
             on_snapshot(k_out + 1, y)
         maybe_checkpoint(k_out + 1, y)
@@ -446,7 +449,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         print("\n   ----------------------")
 
     wall = time.perf_counter() - t_start
-    traj = jnp.stack(snaps)
+    traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
+        else jnp.stack(snaps)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
