@@ -37,7 +37,7 @@ def _add_model_args(p):
     p.add_argument("--dtype", default=None,
                    help="float32 (default) or float64")
     p.add_argument("--method", default=None,
-                   help="bs32 | zonneveld43 | dopri54 | rkc2")
+                   help="bs32 | zonneveld43 | dopri54 | rkc2 | ark324")
     p.add_argument("--set", action="append", metavar="FIELD=VALUE",
                    help="override any SimConfig field (repeatable), e.g. "
                         "--set rtol=1e-4 --set speculative_k=4")

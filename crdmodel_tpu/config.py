@@ -88,7 +88,10 @@ class SimConfig:
     atol: float = 1.0e-10
     max_steps: int = 200_000       # max internal steps per output interval
     # integrator: embedded ERK tableaus "bs32" | "zonneveld43" | "dopri54",
-    # or "rkc2" (stabilized Chebyshev, for diffusion-CFL-limited fine grids)
+    # "rkc2" (stabilized Chebyshev, for diffusion-CFL-limited fine grids), or
+    # "ark324" (IMEX ARK3(2)4L[2]SA: implicit pointwise reaction via
+    # vectorized Newton + explicit diffusion, for reaction-stiff kinetics
+    # like Goldbeter — integrate/imex.py)
     method: str = "bs32"
 
     # --- framework knobs (no reference counterpart) ---
@@ -186,6 +189,9 @@ class SimConfig:
             raise ValueError(f"grid too small: {self.nx}x{self.ny}")
         if self.output_timestep < 1:
             raise ValueError("outputTimestep must be >= 1")
+        if self.method not in ("bs32", "zonneveld43", "dopri54", "rkc2",
+                               "ark324"):
+            raise ValueError(f"unknown method {self.method!r}")
         return self
 
 

@@ -189,8 +189,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
     return jnp.asarray(bg, dtype=dtype)
 
 
-def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
-    """Build rhs(t, state, params) for the full (unsharded) grid."""
+def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
+             split: bool = False):
+    """Build rhs(t, state, params) for the full (unsharded) grid.
+
+    split=True returns (rhs_ex, rhs_im) — the explicit (diffusion) and
+    implicit (pointwise reaction) parts for the ark324 IMEX integrator
+    (integrate/imex.py), with the boundary freeze applied to each part
+    separately so rhs_ex + rhs_im equals the composed rhs bitwise
+    (where(m, a+b, 0) == where(m, a, 0) + where(m, b, 0))."""
     coeffs = geometry.stencil_coeffs(dtype)
     lap = torus_laplacian if geometry.kind == "torus" else flat_laplacian
     ny = geometry.grid.ny
@@ -220,29 +227,49 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype):
                 out.append(jnp.zeros_like(state[v]))
         return jnp.stack(out)
 
+    def apply_freeze(t, params, ydot):
+        # The freeze releases at t==tBoundary, a discontinuity the
+        # integrator handles by segmenting at tBoundary (sim.py passes it
+        # as a breakpoint). A segment *ending* at or before tBoundary is
+        # wholly on the frozen piece (its final stage evaluates exactly at
+        # the segment end, which must still be frozen); otherwise fall
+        # back to the reference's pure t < tBoundary rule
+        # (src/FHNmodel_torus.cpp:643-653).
+        seg_end = params.get("_seg_end") if isinstance(params, dict) else None
+        if seg_end is not None:
+            freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
+        else:
+            freeze_now = t < t_boundary
+        frozen = jnp.where(interior_rows, ydot, 0.0)
+        return jnp.where(freeze_now, frozen, ydot)
+
     def rhs(t, state, params):
         diff = diffusion_terms(state)
         if just_diffusion:
             return diff
         ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
-            # The freeze releases at t==tBoundary, a discontinuity the
-            # integrator handles by segmenting at tBoundary (sim.py passes it
-            # as a breakpoint). A segment *ending* at or before tBoundary is
-            # wholly on the frozen piece (its final stage evaluates exactly at
-            # the segment end, which must still be frozen); otherwise fall
-            # back to the reference's pure t < tBoundary rule
-            # (src/FHNmodel_torus.cpp:643-653).
-            seg_end = params.get("_seg_end") if isinstance(params, dict) else None
-            if seg_end is not None:
-                freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
-            else:
-                freeze_now = t < t_boundary
-            frozen = jnp.where(interior_rows, ydot, 0.0)
-            ydot = jnp.where(freeze_now, frozen, ydot)
+            ydot = apply_freeze(t, params, ydot)
         return ydot
 
-    return rhs
+    if not split:
+        return rhs
+
+    def rhs_ex(t, state, params):
+        diff = diffusion_terms(state)
+        if just_diffusion or not has_freeze:
+            return diff
+        return apply_freeze(t, params, diff)
+
+    def rhs_im(t, state, params):
+        if just_diffusion:
+            return jnp.zeros_like(state)
+        ydot = model.kinetics(state, params["b"])
+        if has_freeze:
+            ydot = apply_freeze(t, params, ydot)
+        return ydot
+
+    return rhs_ex, rhs_im
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,

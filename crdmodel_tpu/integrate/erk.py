@@ -550,15 +550,25 @@ def integrate_interval_kernel_batched(kcall, K, t0, y0, h_init, errs0, tout,
     return t, y, h, ep, (nstep + ns2, nacc + na2, nrej + nr2, status)
 
 
-def make_stepper(method, rhs, rtol, atol, rho_fn=None):
+def make_stepper(method, rhs, rtol, atol, rho_fn=None, rhs_split=None):
     """Resolve a method name to (step_err, init_carry, err_order) — the
-    stepper protocol shared by erk tableaus and rkc2."""
+    stepper protocol shared by erk tableaus, rkc2 and the ark324 IMEX pair.
+
+    rhs_split: (f_ex, f_im) explicit/implicit parts summing to rhs, required
+    by method 'ark324' (core/problem.py::make_rhs(split=True))."""
     if method == "rkc2":
         from crdmodel_tpu.integrate import rkc
         if rho_fn is None:
             raise ValueError("method 'rkc2' needs rho_fn")
         step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn, rtol, atol)
         return step_err, init_carry, rkc.ERR_ORDER
+    if method == "ark324":
+        from crdmodel_tpu.integrate import imex
+        if rhs_split is None:
+            raise ValueError("method 'ark324' needs rhs_split=(f_ex, f_im)")
+        step_err, init_carry = imex.make_imex_step_err(
+            rhs_split[0], rhs_split[1], rtol, atol)
+        return step_err, init_carry, imex.ERR_ORDER
     tableau = TABLEAUS[method] if isinstance(method, str) else method
     step_err, init_carry = make_default_step_err(tableau, rhs, rtol, atol)
     return step_err, init_carry, tableau.err_order
@@ -590,7 +600,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          reduce_fn=jnp.sum, global_size=None,
                          breakpoints=(), step_err=None, init_carry=None,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
-                         kstep_call=None, h_limit_fn=None):
+                         kstep_call=None, h_limit_fn=None, rhs_split=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -619,7 +629,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         global_size = y0.size
     if step_err is None:
         step_err, init_carry, err_order = make_stepper(
-            method, rhs, rtol, atol, rho_fn)
+            method, rhs, rtol, atol, rho_fn, rhs_split)
     else:
         err_order = (TABLEAUS[method].err_order if isinstance(method, str)
                      and method in TABLEAUS else method.err_order

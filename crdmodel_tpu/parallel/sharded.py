@@ -37,13 +37,17 @@ from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
 from crdmodel_tpu.sim import SimResult, output_times
 
 
-def make_local_rhs(cfg: SimConfig, model, kind: str):
+def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
       params["coeffs"]: stencil coefficient profiles ((nx,) arrays or scalars)
       params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
       params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
+
+    split=True returns (rhs_ex, rhs_im) for the ark324 IMEX integrator: the
+    implicit (reaction) part is pointwise — NO halo exchange, so the whole
+    Newton stage solve is shard-local (integrate/imex.py design note).
     """
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
@@ -62,22 +66,42 @@ def make_local_rhs(cfg: SimConfig, model, kind: str):
                 out.append(jnp.zeros_like(state[v]))
         return jnp.stack(out)
 
+    def apply_freeze(t, params, ydot):
+        seg_end = params.get("_seg_end")
+        if seg_end is not None:
+            freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
+        else:
+            freeze_now = t < t_boundary
+        frozen = jnp.where(params["interior"], ydot, 0.0)
+        return jnp.where(freeze_now, frozen, ydot)
+
     def rhs(t, state, params):
         diff = diffusion_terms(state, params["coeffs"])
         if just_diffusion:
             return diff
         ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
-            seg_end = params.get("_seg_end")
-            if seg_end is not None:
-                freeze_now = (t < t_boundary) | (seg_end <= t_boundary)
-            else:
-                freeze_now = t < t_boundary
-            frozen = jnp.where(params["interior"], ydot, 0.0)
-            ydot = jnp.where(freeze_now, frozen, ydot)
+            ydot = apply_freeze(t, params, ydot)
         return ydot
 
-    return rhs
+    if not split:
+        return rhs
+
+    def rhs_ex(t, state, params):
+        diff = diffusion_terms(state, params["coeffs"])
+        if just_diffusion or not has_freeze:
+            return diff
+        return apply_freeze(t, params, diff)
+
+    def rhs_im(t, state, params):
+        if just_diffusion:
+            return jnp.zeros_like(state)
+        ydot = model.kinetics(state, params["b"])
+        if has_freeze:
+            ydot = apply_freeze(t, params, ydot)
+        return ydot
+
+    return rhs_ex, rhs_im
 
 
 def sharded_params(problem: Problem):
@@ -113,14 +137,14 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
     interpret=True forces the Pallas interpreter (CPU-mesh tests).
     """
     from crdmodel_tpu.sim import _pallas_eligible
+    from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
-    if cfg.method == "rkc2":
+    if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
         return None
     if not interpret and not _pallas_eligible(cfg):
         return None
     if interpret and cfg.use_pallas is not True:
         return None
-    from crdmodel_tpu.integrate.erk import TABLEAUS
     from crdmodel_tpu.ops import pallas_shard_step
     tableau = TABLEAUS[cfg.method]
     nyl, nxl = _local_block_shape(cfg, mesh)
@@ -178,6 +202,9 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
 
+    rhs_split = (make_local_rhs(cfg, model, kind, split=True)
+                 if cfg.method == "ark324" else None)
+
     fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
     frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                  interpret=interpret_pallas)
@@ -201,7 +228,7 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
             reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
-            **kw)
+            rhs_split=rhs_split, **kw)
 
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)
@@ -272,8 +299,10 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         err_order = _rkc.ERR_ORDER
         h_limit_fn = frkc.h_limit
     else:
+        rhs_split = (make_local_rhs(cfg, model, kind, split=True)
+                     if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
-            cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn)
+            cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)
 
     kernel = fused if fused is not None else frkc
     _, param_specs = sharded_params(problem)

@@ -113,9 +113,18 @@ def make_simulation_fn(problem: Problem):
                 frkc = pallas_rkc.build_fused_rkc_step(
                     problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn)
 
+    rhs_split = None
+    if cfg.method == "ark324":
+        # IMEX: implicit pointwise reaction + explicit diffusion
+        # (integrate/imex.py); no fused kernel — the Newton stages are
+        # XLA-fused pointwise code already
+        from crdmodel_tpu.core.problem import make_rhs
+        rhs_split = make_rhs(cfg, problem.model, problem.geometry,
+                             jnp.dtype(cfg.dtype), split=True)
+
     fused = None
     kstep = None
-    if cfg.method != "rkc2" and _pallas_eligible(cfg):
+    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(cfg):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -157,7 +166,7 @@ def make_simulation_fn(problem: Problem):
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
-            spec_k=spec_k, rho_fn=rho_fn, **kw)
+            spec_k=spec_k, rho_fn=rho_fn, rhs_split=rhs_split, **kw)
 
     problem.cache["batch_fn"] = (jax.jit(run), touts)
     return problem.cache["batch_fn"]
@@ -275,6 +284,14 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         else:
             step_err, init_carry = rkc.make_rkc2_step_err(
                 problem.rhs, rho_fn, cfg.rtol, cfg.atol)
+    elif cfg.method == "ark324":
+        from crdmodel_tpu.core.problem import make_rhs
+        from crdmodel_tpu.integrate import imex
+        rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
+                                  dtype, split=True)
+        step_err, init_carry = imex.make_imex_step_err(
+            rhs_ex, rhs_im, cfg.rtol, cfg.atol)
+        err_order = imex.ERR_ORDER
     else:
         tableau = TABLEAUS[cfg.method]
         err_order = tableau.err_order
