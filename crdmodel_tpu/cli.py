@@ -198,15 +198,42 @@ def cmd_curvature(args):
 
 
 def cmd_sweep(args):
-    from crdmodel_tpu.sweep import sweep_beta
-    cfg = _cfg_from_args(args, vary_beta=0)
-    lo, hi, n = args.betas.split(":")
-    betas = np.linspace(float(lo), float(hi), int(n))
-    res = sweep_beta(cfg, betas)
-    print(f"swept {len(betas)} betas in {res.wall_time:.2f}s "
-          f"({'ok' if res.ok() else 'FAILED'})")
+    from crdmodel_tpu.sweep import sweep_beta, sweep_configs
+
+    def parse_axis(spec):
+        lo, hi, n = spec.split(":")
+        return np.linspace(float(lo), float(hi), int(n))
+
+    axes = {}
+    if args.betas:
+        axes["beta"] = parse_axis(args.betas)
+    if args.diffusions:
+        axes["diffusion"] = parse_axis(args.diffusions)
+    if args.wave_widths:
+        axes["wave_width"] = parse_axis(args.wave_widths)
+    if args.wave_lengths:
+        axes["wave_length"] = parse_axis(args.wave_lengths)
+    if not axes:
+        print("need at least one sweep axis (--betas/--diffusions/"
+              "--wave-widths/--wave-lengths)", file=sys.stderr)
+        return 2
+    cfg = _cfg_from_args(args, **({"vary_beta": 0} if args.betas else {}))
+    if list(axes) == ["beta"]:
+        res = sweep_beta(cfg, axes["beta"], batch_mode=args.batch_mode)
+        members = [{"beta": float(b)} for b in axes["beta"]]
+    else:
+        # Cartesian product of the given axes, one member per combination
+        import itertools
+        keys = list(axes)
+        members = [dict(zip(keys, (float(v) for v in combo)))
+                   for combo in itertools.product(*(axes[k] for k in keys))]
+        res = sweep_configs(cfg, members, batch_mode=args.batch_mode)
+    print(f"swept {len(members)} members over {sorted(axes)} "
+          f"in {res.wall_time:.2f}s ({'ok' if res.ok() else 'FAILED'})")
     if args.npz:
-        np.savez_compressed(args.npz, betas=betas,
+        cols = {k: np.asarray([m.get(k, getattr(cfg, k)) for m in members])
+                for k in axes}
+        np.savez_compressed(args.npz, **cols,
                             trajectories=np.asarray(res.trajectories),
                             touts=res.touts,
                             status=np.asarray(res.stats.status))
@@ -281,9 +308,17 @@ def main(argv=None):
                    help="also plot K/C profiles (PlotGaussianAndCoupling.py)")
     p.set_defaults(fn=cmd_curvature)
 
-    p = sub.add_parser("sweep", help="vmapped beta sweep (new capability)")
+    p = sub.add_parser("sweep", help="vmapped parameter sweep (new "
+                       "capability); axes combine as a Cartesian product")
     _add_model_args(p)
-    p.add_argument("--betas", required=True, metavar="LO:HI:N")
+    p.add_argument("--betas", default=None, metavar="LO:HI:N")
+    p.add_argument("--diffusions", default=None, metavar="LO:HI:N")
+    p.add_argument("--wave-widths", default=None, metavar="LO:HI:N")
+    p.add_argument("--wave-lengths", default=None, metavar="LO:HI:N")
+    p.add_argument("--batch-mode", default="auto",
+                   choices=["auto", "vmap", "serial"],
+                   help="auto: vmap off-TPU, serial (one compiled member "
+                        "program, host loop) on TPU")
     p.add_argument("--npz", default=None)
     p.set_defaults(fn=cmd_sweep)
 

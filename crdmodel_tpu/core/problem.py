@@ -214,9 +214,13 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
-    def diffusion_terms(state):
+    def diffusion_terms(state, params=None):
         """Per-variable diffusion: lap(var)*ratio for diffusive vars, 0
-        otherwise, stacked to state shape."""
+        otherwise, stacked to state shape. An optional params["dscale"]
+        scalar rescales the whole operator (coefficients are linear in D,
+        core/grid.py) — the hook that makes the diffusion coefficient
+        vmappable for sweeps (sweep.py::sweep_configs) without recompiling
+        the stencil per value."""
         out = []
         for v in range(model.nvars):
             if v in dvars:
@@ -225,7 +229,10 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
                 out.append(term if r == 1.0 else r * term)
             else:
                 out.append(jnp.zeros_like(state[v]))
-        return jnp.stack(out)
+        diff = jnp.stack(out)
+        if isinstance(params, dict) and "dscale" in params:
+            diff = params["dscale"] * diff
+        return diff
 
     def apply_freeze(t, params, ydot):
         # The freeze releases at t==tBoundary, a discontinuity the
@@ -244,7 +251,7 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         return jnp.where(freeze_now, frozen, ydot)
 
     def rhs(t, state, params):
-        diff = diffusion_terms(state)
+        diff = diffusion_terms(state, params)
         if just_diffusion:
             return diff
         ydot = model.kinetics(state, params["b"]) + diff
@@ -256,7 +263,7 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         return rhs
 
     def rhs_ex(t, state, params):
-        diff = diffusion_terms(state)
+        diff = diffusion_terms(state, params)
         if just_diffusion or not has_freeze:
             return diff
         return apply_freeze(t, params, diff)

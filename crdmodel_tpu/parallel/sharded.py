@@ -55,7 +55,7 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
-    def diffusion_terms(state, coeffs):
+    def diffusion_terms(state, coeffs, params=None):
         out = []
         for v in range(model.nvars):
             if v in dvars:
@@ -64,7 +64,10 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
                 out.append(term if r == 1.0 else r * term)
             else:
                 out.append(jnp.zeros_like(state[v]))
-        return jnp.stack(out)
+        diff = jnp.stack(out)
+        if isinstance(params, dict) and "dscale" in params:
+            diff = params["dscale"] * diff
+        return diff
 
     def apply_freeze(t, params, ydot):
         seg_end = params.get("_seg_end")
@@ -76,7 +79,7 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
         return jnp.where(freeze_now, frozen, ydot)
 
     def rhs(t, state, params):
-        diff = diffusion_terms(state, params["coeffs"])
+        diff = diffusion_terms(state, params["coeffs"], params)
         if just_diffusion:
             return diff
         ydot = model.kinetics(state, params["b"]) + diff
@@ -88,7 +91,7 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
         return rhs
 
     def rhs_ex(t, state, params):
-        diff = diffusion_terms(state, params["coeffs"])
+        diff = diffusion_terms(state, params["coeffs"], params)
         if just_diffusion or not has_freeze:
             return diff
         return apply_freeze(t, params, diff)
@@ -178,8 +181,14 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
 
 
 def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
-                               interpret_pallas: bool = False):
-    """Jitted (y0, params) -> (traj, stats) with everything under shard_map."""
+                               interpret_pallas: bool = False,
+                               extra_param_specs: Optional[dict] = None):
+    """Jitted (y0, params) -> (traj, stats) with everything under shard_map.
+
+    extra_param_specs: PartitionSpecs for additional (replicated or sharded)
+    keys the caller will add to params at call time — e.g. the sweep
+    driver's per-member "dscale" scalar (sweep.py::sweep_configs; only valid
+    on the XLA path, which sweeps force)."""
     cfg = problem.cfg
     model = problem.model
     kind = problem.geometry.kind
@@ -231,6 +240,8 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             rhs_split=rhs_split, **kw)
 
     _, param_specs = sharded_params(problem)
+    if extra_param_specs:
+        param_specs = {**param_specs, **extra_param_specs}
     state_spec = P(None, AXIS_Y, AXIS_X)
     traj_spec = P(None, None, AXIS_Y, AXIS_X)
     stats_spec = jax.tree_util.tree_map(lambda _: P(), _stats_struct())

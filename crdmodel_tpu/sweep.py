@@ -1,9 +1,10 @@
 """Parameter-sweep driver: vmapped batches of simulations.
 
 The reference can only sweep parameters by launching separate `mpirun`
-processes per ini file (README.md:29-34). Here a sweep is one compiled
-program: `jax.vmap` over the batch axis of (initial states, per-member
-parameters), sharing the adaptive integrator. Listed as the north-star
+processes per ini file (README.md:29-34). Here a sweep shares ONE compiled
+adaptive-integrator program across all members — batched with `jax.vmap`
+off-TPU, or reused serially per member on TPU where the vmapped while_loop's
+compile time is pathological (_resolve_batch_mode). Listed as the north-star
 "vmapped parameter-sweep driver over ini-style configs" in BASELINE.json.
 
 Adaptive stepping under vmap runs members in lockstep: each member keeps its
@@ -11,9 +12,13 @@ own step size and accept/reject decisions, and the batched while_loop runs
 until every member reaches the output time (JAX masks the finished ones) —
 semantics identical to running members separately, at batched throughput.
 
-Sweepable per-member parameters: beta (feeds the kinetics AND the initial
-condition through the steady state). Grid geometry and diffusion change the
-compiled stencil, so they sweep at the Python level (one compile per value).
+Sweepable per-member parameters (SWEEPABLE_FIELDS / sweep_configs): beta
+(feeds the kinetics AND the initial condition through the steady state),
+diffusion (a traced scale on the linear-in-D stencil coefficients — one
+compiled stencil serves every D), and the wave-geometry / IC fields
+(wave_length, wave_width, wave_inside, ic_type, rng_seed). Grid shape,
+surface and method change the compiled program, so they sweep at the Python
+level (one compile per value).
 """
 
 from __future__ import annotations
@@ -35,19 +40,159 @@ from crdmodel_tpu.sim import output_times
 @dataclasses.dataclass
 class SweepResult:
     cfg: SimConfig
-    betas: np.ndarray
+    betas: np.ndarray           # legacy name; the swept member values
     trajectories: jnp.ndarray   # (n_members, Nt+1, nvars, ny, nx)
     touts: np.ndarray
     stats: SolveStats           # batched: arrays (n_members, Nt)
     wall_time: float
+    members: tuple = ()         # per-member override dicts (sweep_configs)
 
     def ok(self) -> bool:
         return bool(np.all(np.asarray(self.stats.status) == 0))
 
 
+# Per-member sweepable SimConfig fields (SURVEY.md §7 step 8: "beta grids, D,
+# wave geometry"). beta feeds kinetics + ICs; diffusion rescales the stencil
+# via the traced params["dscale"] scalar (coefficients are linear in D,
+# core/grid.py); the wave-geometry and IC fields feed ICs only. Grid shape /
+# surface / method change the compiled program and sweep at the Python level.
+SWEEPABLE_FIELDS = ("beta", "diffusion", "wave_length", "wave_width",
+                    "wave_inside", "ic_type", "rng_seed")
+
+
+def _resolve_batch_mode(batch_mode: str) -> str:
+    """"auto" picks per backend: "vmap" (one batched program) off-TPU,
+    "serial" (ONE compiled single-member program, host loop over members) on
+    TPU — measured 2026-08-17: XLA-TPU compile of the vmapped adaptive
+    while_loop is pathological (267 s cold for a 10x40 toy vs 65 s for the
+    single-member program; lax.map is worse still), while at production grid
+    sizes one member saturates the chip anyway, so serial loses almost no
+    throughput and compiles 4x+ faster. The persistent compilation cache
+    makes REPEAT sweeps cheap in either mode."""
+    if batch_mode == "auto":
+        try:
+            return "serial" if jax.default_backend() == "tpu" else "vmap"
+        except Exception:
+            return "vmap"
+    if batch_mode not in ("vmap", "serial"):
+        raise ValueError(f"batch_mode must be auto|vmap|serial, "
+                         f"got {batch_mode!r}")
+    return batch_mode
+
+
+def sweep_configs(cfg: SimConfig, overrides, mesh=None,
+                  batch_mode: str = "auto") -> SweepResult:
+    """Run one simulation per override dict in a single compiled program.
+
+    overrides: sequence of dicts with keys from SWEEPABLE_FIELDS, e.g.
+    [{"beta": 0.3, "diffusion": 0.06}, {"beta": 0.3, "diffusion": 0.12}, ...].
+    Each member's ICs are rebuilt from its full overridden config; per-member
+    kinetics see their own beta, and per-member diffusion rides the
+    params["dscale"] scalar so ONE compiled stencil serves every D value.
+
+    The reference's only sweep mechanism is separate `mpirun` launches per
+    hand-edited ini (README.md:29-34); this is the in-program generalisation
+    (members share the compiled adaptive solver, masked lockstep semantics —
+    see module docstring).
+
+    mesh: optional device mesh — each member's grid is spatially sharded
+    (XLA path; see sweep_beta). batch_mode: "auto" | "vmap" | "serial"
+    (see _resolve_batch_mode).
+    """
+    overrides = [dict(o) for o in overrides]
+    if not overrides:
+        raise ValueError("need at least one override dict")
+    bad = {k for o in overrides for k in o} - set(SWEEPABLE_FIELDS)
+    if bad:
+        raise ValueError(f"not sweepable: {sorted(bad)} "
+                         f"(allowed: {SWEEPABLE_FIELDS})")
+    if cfg.vary_beta and any("beta" in o for o in overrides):
+        raise ValueError("beta sweeps need vary_beta=0 (the spatial ramp "
+                         "already encodes a beta range)")
+    if cfg.method == "rkc2" and any("diffusion" in o for o in overrides):
+        raise ValueError("rkc2 diffusion sweeps unsupported (the static "
+                        "spectral-radius bound assumes the base D)")
+
+    problems = [build_problem(dataclasses.replace(cfg, **o))
+                for o in overrides]
+    # the SHARED compiled program (rhs, stencil coefficients, geometry) comes
+    # from the UNMODIFIED base cfg — per-member diffusion is expressed only
+    # through dscale = member_D / base_D (a member-built rhs would bake
+    # member 0's D into the coefficients and double-scale member 0)
+    base = build_problem(cfg)
+    dtype = base.y0.dtype
+    y0s = jnp.stack([p.y0 for p in problems])
+    b_batch = jnp.stack([jnp.asarray(np.broadcast_to(
+        np.asarray(p.params["b"], np.float64),
+        np.shape(base.params["b"])), dtype) for p in problems])
+    sweep_d = any("diffusion" in o for o in overrides)
+    dscale = jnp.asarray([p.cfg.diffusion / cfg.diffusion for p in problems],
+                         dtype)
+    touts = output_times(cfg)
+
+    if mesh is not None:
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, sharded_params)
+        base_xla = build_problem(dataclasses.replace(cfg, use_pallas=False))
+        extra = None
+        if sweep_d:
+            from jax.sharding import PartitionSpec as P
+            extra = {"dscale": P()}
+        run_sharded, _ = make_sharded_simulation_fn(
+            base_xla, mesh, extra_param_specs=extra)
+        params0, _ = sharded_params(base_xla)
+
+        def run_one(y0, b, ds):
+            p = {**params0, "b": b}
+            if sweep_d:
+                p["dscale"] = ds
+            return run_sharded(y0, p)
+    else:
+        from crdmodel_tpu.core.problem import make_rhs
+        breakpoints = ()
+        if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+            breakpoints = (cfg.t_boundary,)
+        rhs_split = (make_rhs(cfg, base.model, base.geometry, dtype,
+                              split=True) if cfg.method == "ark324" else None)
+        rho_fn = None
+        if cfg.method == "rkc2":
+            from crdmodel_tpu.core.problem import make_rho_bound
+            rho_fn = make_rho_bound(cfg, base.model, base.geometry, dtype)
+
+        def run_one(y0, b, ds):
+            params = {"b": b}
+            if sweep_d:
+                params["dscale"] = ds
+            return integrate_to_outputs(
+                base.rhs, y0, params, 0.0, touts,
+                rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
+                max_steps=cfg.max_steps, breakpoints=breakpoints,
+                rhs_split=rhs_split, rho_fn=rho_fn)
+
+    mode = _resolve_batch_mode(batch_mode)
+    t0 = time.perf_counter()
+    if mode == "vmap":
+        run = jax.jit(jax.vmap(run_one))
+        traj, stats = run(y0s, b_batch, dscale)
+    else:
+        run1 = jax.jit(run_one)   # one compile, every member reuses it
+        outs = [run1(y0s[i], b_batch[i], dscale[i])
+                for i in range(len(problems))]
+        traj = jnp.stack([o[0] for o in outs])
+        stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                       *[o[1] for o in outs])
+    traj = jax.block_until_ready(traj)
+    wall = time.perf_counter() - t0
+    full = jnp.concatenate([y0s[:, None], traj], axis=1)
+    betas = np.asarray([p.cfg.beta for p in problems], dtype=np.float64)
+    return SweepResult(cfg=cfg, betas=betas, trajectories=full,
+                       touts=np.concatenate([[0.0], touts]), stats=stats,
+                       wall_time=wall, members=tuple(overrides))
+
+
 def sweep_beta(cfg: SimConfig, betas: Sequence[float],
-               mesh=None) -> SweepResult:
-    """Run one simulation per beta value in a single vmapped program.
+               mesh=None, batch_mode: str = "auto") -> SweepResult:
+    """Run one simulation per beta value in a single compiled program.
 
     cfg.vary_beta must be 0 (a spatial ramp already encodes a beta *range*;
     sweeping sweeps the constant). ICs are rebuilt per member because the
@@ -56,53 +201,14 @@ def sweep_beta(cfg: SimConfig, betas: Sequence[float],
 
     mesh: optional jax.sharding.Mesh — the pod-scale combination from
     BASELINE.json: each sweep member's grid is spatially sharded over the
-    ('py','px') device mesh (ppermute halos, psum'd error control) while
-    vmap batches the members; per-member adaptive step control is preserved
-    (the batched while_loop runs members in masked lockstep).
+    ('py','px') device mesh (ppermute halos, psum'd error control) while the
+    batch axis runs over members; per-member adaptive step control is
+    preserved. The sharded program always takes the XLA stepper: vmap of the
+    fused kernels is UNSUPPORTED by the Pallas TPU batching rule (measured
+    2026-08-16: rejects the HBM-resident state input).
+
+    Thin wrapper over sweep_configs (one override dict per beta).
     """
-    if cfg.vary_beta:
-        raise ValueError("sweep_beta needs vary_beta=0 (constant-beta runs)")
     betas = np.asarray(list(betas), dtype=np.float64)
-    problems = [build_problem(dataclasses.replace(cfg, beta=float(b)))
-                for b in betas]
-    base = problems[0]
-    y0s = jnp.stack([p.y0 for p in problems])
-    b_batch = jnp.stack([jnp.asarray(p.params["b"], y0s.dtype)
-                         for p in problems])
-    touts = output_times(cfg)
-
-    if mesh is not None:
-        from crdmodel_tpu.parallel.sharded import (
-            make_sharded_simulation_fn, sharded_params)
-        # force the XLA stepper: vmap of the fused kernels is UNSUPPORTED —
-        # the Pallas TPU batching rule rejects the HBM-resident (ANY memory
-        # space) state input (measured 2026-08-16: "only blocks having the
-        # same block shape as the array shape"); sweeps batch the whole
-        # sharded program on the XLA path instead
-        base_xla = build_problem(dataclasses.replace(
-            cfg, beta=float(betas[0]), use_pallas=False))
-        run_sharded, _ = make_sharded_simulation_fn(base_xla, mesh)
-        params0, _ = sharded_params(base_xla)
-
-        def run_one(y0, b):
-            return run_sharded(y0, {**params0, "b": b})
-    else:
-        breakpoints = ()
-        if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-            breakpoints = (cfg.t_boundary,)
-
-        def run_one(y0, b):
-            return integrate_to_outputs(
-                base.rhs, y0, {"b": b}, 0.0, touts,
-                rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
-                max_steps=cfg.max_steps, breakpoints=breakpoints)
-
-    run = jax.jit(jax.vmap(run_one))
-    t0 = time.perf_counter()
-    traj, stats = run(y0s, b_batch)
-    traj = jax.block_until_ready(traj)
-    wall = time.perf_counter() - t0
-    full = jnp.concatenate([y0s[:, None], traj], axis=1)
-    return SweepResult(cfg=cfg, betas=betas, trajectories=full,
-                       touts=np.concatenate([[0.0], touts]), stats=stats,
-                       wall_time=wall)
+    return sweep_configs(cfg, [{"beta": float(b)} for b in betas],
+                         mesh=mesh, batch_mode=batch_mode)

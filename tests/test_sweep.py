@@ -121,3 +121,109 @@ def test_pod_scale_sweep_sharded_mesh():
     np.testing.assert_allclose(np.asarray(sharded.trajectories),
                                np.asarray(plain.trajectories),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_sweep_configs_diffusion_matches_individual_runs():
+    """D sweeps ride the traced dscale scalar; scaling after the stencil vs
+    baking D into the coefficients differs by ~1 ulp, so tolerance is loose
+    relative to the beta-sweep test (which is op-identical)."""
+    import dataclasses
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg()
+    ds = [0.06, 0.12, 0.24]
+    res = sweep_configs(cfg, [{"diffusion": d} for d in ds])
+    assert res.ok()
+    for i, d in enumerate(ds):
+        single = simulate(dataclasses.replace(cfg, diffusion=d))
+        np.testing.assert_allclose(np.asarray(res.trajectories[i]),
+                                   np.asarray(single.trajectory),
+                                   rtol=0, atol=1e-6)
+
+
+def test_sweep_configs_wave_geometry_exact():
+    """Wave-geometry members differ only in ICs -> op-identical to single
+    runs, tight tolerance."""
+    import dataclasses
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg()
+    overrides = [{"wave_width": 0.3}, {"wave_width": 0.5, "wave_length": 0.2}]
+    res = sweep_configs(cfg, overrides)
+    assert res.ok()
+    for i, o in enumerate(overrides):
+        single = simulate(dataclasses.replace(cfg, **o))
+        np.testing.assert_allclose(np.asarray(res.trajectories[i]),
+                                   np.asarray(single.trajectory),
+                                   rtol=1e-7, atol=1e-8)
+
+
+def test_sweep_configs_cross_product_beta_diffusion():
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg()
+    members = [{"beta": b, "diffusion": d}
+               for b in (0.9, 1.25) for d in (0.06, 0.12)]
+    res = sweep_configs(cfg, members)
+    assert res.ok()
+    assert res.trajectories.shape[0] == 4
+    assert res.members == tuple(members)
+    # beta=0.9 members must differ from beta=1.25 members
+    assert not np.allclose(np.asarray(res.trajectories[0]),
+                           np.asarray(res.trajectories[2]))
+
+
+def test_sweep_configs_rejects_bad_keys():
+    from crdmodel_tpu.sweep import sweep_configs
+    with pytest.raises(ValueError, match="not sweepable"):
+        sweep_configs(_cfg(), [{"x_mesh": 20}])
+    with pytest.raises(ValueError, match="vary_beta"):
+        sweep_configs(_cfg(vary_beta=1), [{"beta": 0.5}])
+    with pytest.raises(ValueError, match="rkc2"):
+        sweep_configs(_cfg(method="rkc2"), [{"diffusion": 0.1}])
+
+
+def test_sweep_configs_ark324():
+    """Sweeps compose with the IMEX integrator (vmapped pointwise Newton)."""
+    import dataclasses
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg(model="goldbeter", beta=0.85, method="ark324")
+    betas = [0.85, 0.95]
+    res = sweep_configs(cfg, [{"beta": b} for b in betas])
+    assert res.ok()
+    single = simulate(dataclasses.replace(cfg, beta=betas[1]))
+    np.testing.assert_allclose(np.asarray(res.trajectories[1]),
+                               np.asarray(single.trajectory),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_sweep_configs_sharded_diffusion():
+    """Pod-scale combination with a D axis: vmapped members over a sharded
+    mesh, dscale threaded through shard_map as a replicated scalar."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg(x_mesh=16)
+    members = [{"diffusion": 0.06}, {"diffusion": 0.12}]
+    plain = sweep_configs(cfg, members)
+    sharded = sweep_configs(cfg, members, mesh=make_mesh(shape=(2, 4)))
+    assert plain.ok() and sharded.ok()
+    np.testing.assert_allclose(np.asarray(sharded.trajectories),
+                               np.asarray(plain.trajectories),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sweep_serial_matches_vmap():
+    """batch_mode='serial' (the TPU default: one compiled member program,
+    host loop) must reproduce the vmapped batch exactly."""
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg()
+    members = [{"beta": 0.9, "diffusion": 0.06}, {"beta": 1.25}]
+    v = sweep_configs(cfg, members, batch_mode="vmap")
+    s = sweep_configs(cfg, members, batch_mode="serial")
+    assert v.ok() and s.ok()
+    np.testing.assert_array_equal(np.asarray(s.trajectories),
+                                  np.asarray(v.trajectories))
+    np.testing.assert_array_equal(np.asarray(s.stats.steps),
+                                  np.asarray(v.stats.steps))
+    with pytest.raises(ValueError, match="batch_mode"):
+        sweep_configs(cfg, members, batch_mode="nope")
