@@ -214,3 +214,38 @@ def test_ark324_sharded_matches_single_device(mesh_shape):
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(res8.stats.steps),
                                   np.asarray(res1.stats.steps))
+
+
+def test_ark324_streaming_matches_batch():
+    """The interval-streaming driver (sim.simulate_streaming) through the
+    IMEX stepper must reproduce the one-dispatch batch run."""
+    from crdmodel_tpu.sim import simulate_streaming
+    cfg = SimConfig(model="goldbeter", surface="flat", x_mesh=12,
+                    surface_width=20, surface_length=40, beta=0.85,
+                    t_final=1.0, output_timestep=2, t_boundary=0.4,
+                    dtype="float64", rtol=1e-6, atol=1e-10, method="ark324")
+    batch = simulate(cfg)
+    stream = simulate_streaming(cfg)
+    assert batch.ok and stream.ok
+    np.testing.assert_allclose(np.asarray(stream.trajectory),
+                               np.asarray(batch.trajectory),
+                               rtol=1e-10, atol=1e-10)
+    assert stream.total_steps() == batch.total_steps()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ark324_sharded_streaming_matches_batch():
+    """Sharded per-interval dispatch (the production-scale driver) with the
+    shard-local Newton solve."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(model="goldbeter", surface="torus", x_mesh=16,
+                    surface_width=20, surface_length=40, beta=0.85,
+                    t_final=1.0, output_timestep=2, dtype="float64",
+                    rtol=1e-6, atol=1e-10, method="ark324")
+    batch = simulate(cfg)
+    stream = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert batch.ok and stream.ok
+    np.testing.assert_allclose(np.asarray(stream.trajectory),
+                               np.asarray(batch.trajectory),
+                               rtol=1e-9, atol=1e-9)
