@@ -93,6 +93,10 @@ class SimConfig:
     # vectorized Newton + explicit diffusion, for reaction-stiff kinetics
     # like Goldbeter — integrate/imex.py)
     method: str = "bs32"
+    # output-time handling: "tstop" clamps the last step onto each tout
+    # (framework default); "normal" = ARKode's ARK_NORMAL behavioural parity
+    # (step freely past tout + cubic-Hermite dense output; batch driver only)
+    step_mode: str = "tstop"
 
     # --- framework knobs (no reference counterpart) ---
     dtype: str = "float32"         # "float32" | "float64" (f64 needs jax_enable_x64)
@@ -192,6 +196,9 @@ class SimConfig:
         if self.method not in ("bs32", "zonneveld43", "dopri54", "rkc2",
                                "ark324"):
             raise ValueError(f"unknown method {self.method!r}")
+        if self.step_mode not in ("tstop", "normal"):
+            raise ValueError(f"step_mode must be tstop|normal, "
+                             f"got {self.step_mode!r}")
         return self
 
 

@@ -366,6 +366,116 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     return t, y, h, ep, (nstep, nacc, nrej, status)
 
 
+def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
+                            params, *, err_order, max_steps, global_size,
+                            reduce_fn=jnp.sum, carry0=(), bracket0=None,
+                            first_interval=False, status0=None,
+                            h_limit_fn=None):
+    """ARK_NORMAL-style interval: step FREELY until t >= tout (no clamping;
+    the accepted step may overshoot), tracking the last accepted step's
+    bracket (t_lo, y_lo) so the caller can densely interpolate the solution
+    at tout (ARKode steps past tout and interpolates back,
+    src/FHNmodel_torus.cpp:423 with ARK_NORMAL; integrate_interval's
+    TSTOP-style clamping is the framework default).
+
+    bracket0: (t_lo, y_lo) carried in from the previous interval — if t0 is
+    already past tout (one big step crossed several output times), the loop
+    body never runs and the incoming bracket still brackets tout.
+
+    Returns (t, y, h, err_prev, (t_lo, y_lo), stats_tuple).
+    """
+    dtype = y0.dtype
+    inv_q = 1.0 / float(err_order)
+    eps = float(jnp.finfo(dtype).eps)
+    first_flag = (None if first_interval is False or first_interval is None
+                  else jnp.asarray(first_interval))
+    if bracket0 is None:
+        bracket0 = (t0.astype(dtype), y0)
+
+    def cond(state):
+        t, y, h, errs, fc, br, nstep, nacc, nrej, status = state
+        return (t < tout) & (status == 0) & (nstep < max_steps)
+
+    def body(state):
+        t, y, h, errs, fc, br, nstep, nacc, nrej, status = state
+        ep, epp = errs
+        hs = h
+        if h_limit_fn is not None:
+            hs = jnp.minimum(hs, h_limit_fn(t, y, params).astype(dtype))
+
+        y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
+        err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
+        err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
+        accept = err <= 1.0
+
+        err_c = jnp.maximum(err, 1e-10)
+        eta = (SAFETY
+               * (ERR_BIAS * err_c) ** (-PID_K1 * inv_q)
+               * (ERR_BIAS * ep) ** (PID_K2 * inv_q)
+               * (ERR_BIAS * epp) ** (-PID_K3 * inv_q))
+        if first_flag is None:
+            eta_max = ETA_MAX
+        else:
+            eta_max = jnp.where(first_flag & (nacc == 0),
+                                ETA_MAX_FIRST, ETA_MAX).astype(dtype)
+        h_next = jnp.where(accept,
+                           hs * jnp.clip(eta, ETA_MIN, eta_max),
+                           hs * jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX))
+
+        t_next = jnp.where(accept, t + hs, t)
+        y_next = jnp.where(accept, y_new, y)
+        # bracket: the state at the START of the accepted step
+        br_next = (jnp.where(accept, t, br[0]),
+                   jnp.where(accept, y, br[1]))
+        ep_next = jnp.where(accept, err_c, ep)
+        epp_next = jnp.where(accept, ep, epp)
+        fc_next = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), fc_new, fc)
+
+        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
+        status_next = jnp.where((~accept) & (h_next < hmin),
+                                jnp.asarray(2, jnp.int32), status)
+        return (t_next, y_next, h_next, (ep_next, epp_next), fc_next,
+                br_next, nstep + 1,
+                nacc + accept.astype(jnp.int32),
+                nrej + (~accept).astype(jnp.int32),
+                status_next)
+
+    zero = jnp.asarray(0, jnp.int32)
+    s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
+    one = jnp.asarray(1.0, dtype)
+    state0 = (t0.astype(dtype), y0, h_init.astype(dtype),
+              (err_prev_init.astype(dtype), one), carry0,
+              (bracket0[0].astype(dtype), bracket0[1]),
+              zero, zero, zero, s0)
+    t, y, h, (ep, _), _, br, nstep, nacc, nrej, status = jax.lax.while_loop(
+        cond, body, state0)
+    status = jnp.where((t < tout) & (status == 0), jnp.asarray(1, jnp.int32),
+                       status)
+    return t, y, h, ep, br, (nstep, nacc, nrej, status)
+
+
+def hermite_interpolate(rhs, t_lo, y_lo, t_hi, y_hi, tout, params):
+    """Cubic Hermite dense output on [t_lo, t_hi] evaluated at tout —
+    ARKode's default dense-output degree (3). Endpoint derivatives are
+    recomputed via rhs (2 evals per OUTPUT time, negligible next to the
+    step loop). Degenerate/undershot brackets fall back to y_hi."""
+    dtype = y_hi.dtype
+    d = (t_hi - t_lo).astype(dtype)
+    ok = (d > 0) & (t_hi >= tout)
+    d_safe = jnp.where(ok, d, jnp.asarray(1.0, dtype))
+    s = jnp.clip((tout.astype(dtype) - t_lo) / d_safe, 0.0, 1.0)
+    f_lo = rhs(t_lo, y_lo, params)
+    f_hi = rhs(t_hi, y_hi, params)
+    h00 = (1 + 2 * s) * (1 - s) ** 2
+    h10 = s * (1 - s) ** 2
+    h01 = s * s * (3 - 2 * s)
+    h11 = s * s * (s - 1)
+    y_out = (h00 * y_lo + h01 * y_hi
+             + (h10 * d_safe) * f_lo + (h11 * d_safe) * f_hi)
+    return jnp.where(ok, y_out, y_hi)
+
+
 def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
                                params, *, err_order, max_steps, global_size,
                                reduce_fn=jnp.sum, carry0=(), status0=None):
@@ -600,7 +710,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          reduce_fn=jnp.sum, global_size=None,
                          breakpoints=(), step_err=None, init_carry=None,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
-                         kstep_call=None, h_limit_fn=None, rhs_split=None):
+                         kstep_call=None, h_limit_fn=None, rhs_split=None,
+                         step_mode="tstop"):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -621,6 +732,17 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     state): pass step_err (the fused step), y_loop0 (y0 in loop
     representation), and capture (loop representation -> output snapshot).
     h0 estimation always runs on the plain y0 via rhs.
+
+    step_mode: "tstop" (default) clamps the final step onto each output
+    time; "normal" reproduces ARKode's ARK_NORMAL semantics — steps run
+    FREELY past each tout and the snapshot is cubic-Hermite dense output
+    (ARKode's default interpolation degree) at tout, so the step-size
+    sequence is never perturbed by the output schedule
+    (src/FHNmodel_torus.cpp:423). Breakpoints stay exact stops in both
+    modes (the RHS is discontinuous there; interpolating across one would
+    be wrong — and the reference's brute-forcing of tBoundary is the
+    behaviour we deliberately improve on). "normal" requires the plain
+    state representation (no y_loop0/capture/spec_k).
 
     Fully jittable; the scan body shares one compiled while_loop.
     """
@@ -668,6 +790,68 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     if h_limit_fn is not None:
         h0 = jnp.minimum(h0, h_limit_fn(t0, y_loop0,
                                         seg_params(tout0)).astype(dtype))
+
+    if step_mode not in ("tstop", "normal"):
+        raise ValueError(f"step_mode must be tstop|normal, got {step_mode!r}")
+    if step_mode == "normal":
+        if (y_loop0 is not y0) or spec_k or kstep_call is not None:
+            raise ValueError("step_mode='normal' needs the plain state "
+                             "representation (no fused kernel / spec_k)")
+        all_free = bool(np.all(is_output))
+
+        def scan_body_normal(carry, inp):
+            tout, is_out_f, is_first = inp
+            t, y, h, errp, status, br_t, br_y = carry
+            p = seg_params(tout)
+            fc0 = init_carry(t, y, p)
+            common = dict(err_order=err_order, max_steps=max_steps,
+                          global_size=global_size, reduce_fn=reduce_fn,
+                          h_limit_fn=h_limit_fn)
+
+            def free_fn(args):
+                t, y, h, errp, status = args
+                t, y, h, errp, br, stats = integrate_interval_free(
+                    step_err, t, y, h, errp, tout, p, carry0=fc0,
+                    bracket0=(br_t, br_y), first_interval=is_first,
+                    status0=status, **common)
+                return (t, y, h, errp, br[0], br[1], *stats)
+
+            def clamp_fn(args):
+                t, y, h, errp, status = args
+                t, y, h, errp, stats = integrate_interval(
+                    step_err, t, y, h, errp, tout, p, carry0=fc0,
+                    first_interval=is_first, status0=status, **common)
+                # post-stop bracket is degenerate; hermite falls back to y
+                return (t, y, h, errp, t, y, *stats)
+
+            args = (t, y, h, errp, status)
+            if all_free:
+                out = free_fn(args)
+            else:
+                out = jax.lax.cond(is_out_f, free_fn, clamp_fn, args)
+            t, y, h, errp, br_t, br_y, ns, na, nr, status = out
+            snap = hermite_interpolate(rhs, br_t, br_y, t, y, tout, p)
+            return ((t, y, h, errp, status, br_t, br_y),
+                    (snap, ns, na, nr, status))
+
+        errp0 = jnp.asarray(1.0, dtype)
+        zero = jnp.asarray(0, jnp.int32)
+        is_first = jnp.arange(len(stop_times)) == 0
+        (_, (traj, nstep, nacc, nrej, status)) = jax.lax.scan(
+            scan_body_normal,
+            (t0, y0, h0, errp0, zero, t0, y0),
+            (jnp.asarray(stop_times, dtype), jnp.asarray(is_output),
+             is_first))
+        if len(stops) != len(touts_np):
+            nseg = len(touts_np)
+            seg = jnp.asarray(seg_ids)
+            nstep = jax.ops.segment_sum(nstep, seg, num_segments=nseg)
+            nacc = jax.ops.segment_sum(nacc, seg, num_segments=nseg)
+            nrej = jax.ops.segment_sum(nrej, seg, num_segments=nseg)
+            status = jax.ops.segment_max(status, seg, num_segments=nseg)
+            traj = traj[jnp.asarray(out_idx)]
+        return traj, SolveStats(steps=nstep, accepted=nacc, rejected=nrej,
+                                status=status)
 
     def scan_body(carry, inp):
         tout, is_first = inp

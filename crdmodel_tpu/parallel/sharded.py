@@ -214,9 +214,13 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
     rhs_split = (make_local_rhs(cfg, model, kind, split=True)
                  if cfg.method == "ark324" else None)
 
-    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
-    frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
-                                 interpret=interpret_pallas)
+    if cfg.step_mode == "normal":
+        fused = frkc = None   # ARK_NORMAL mode uses the plain XLA loop
+    else:
+        fused = maybe_fused_shard_step(problem, mesh,
+                                       interpret=interpret_pallas)
+        frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
+                                     interpret=interpret_pallas)
 
     def run_local(y0, params):
         kw = {}
@@ -237,7 +241,7 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
             reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
-            rhs_split=rhs_split, **kw)
+            rhs_split=rhs_split, step_mode=cfg.step_mode, **kw)
 
     _, param_specs = sharded_params(problem)
     if extra_param_specs:
@@ -278,6 +282,10 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         _initial_step, integrate_interval, make_stepper)
 
     cfg = problem.cfg
+    if cfg.step_mode != "tstop":
+        raise ValueError("streaming sharded runs need step_mode='tstop' "
+                         "(see sim.simulate_streaming); use "
+                         "simulate_sharded() for ARK_NORMAL mode")
     model = problem.model
     kind = problem.geometry.kind
     local_rhs = make_local_rhs(cfg, model, kind)

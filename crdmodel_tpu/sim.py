@@ -124,7 +124,8 @@ def make_simulation_fn(problem: Problem):
 
     fused = None
     kstep = None
-    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(cfg):
+    if (cfg.method not in ("rkc2", "ark324") and cfg.step_mode == "tstop"
+            and _pallas_eligible(cfg)):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -140,8 +141,9 @@ def make_simulation_fn(problem: Problem):
                     problem, tableau, k, jnp.dtype(cfg.dtype))
 
     # XLA-side speculation is the fallback when the kernels are unavailable;
-    # rkc2 never batches (its stability cap needs per-step h control)
-    if cfg.method == "rkc2":
+    # rkc2 never batches (its stability cap needs per-step h control) and
+    # ARK_NORMAL mode needs the plain per-step loop
+    if cfg.method == "rkc2" or cfg.step_mode == "normal":
         spec_k = 0
     else:
         spec_k = (int(cfg.speculative_k)
@@ -166,7 +168,8 @@ def make_simulation_fn(problem: Problem):
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
-            spec_k=spec_k, rho_fn=rho_fn, rhs_split=rhs_split, **kw)
+            spec_k=spec_k, rho_fn=rho_fn, rhs_split=rhs_split,
+            step_mode=cfg.step_mode, **kw)
 
     problem.cache["batch_fn"] = (jax.jit(run), touts)
     return problem.cache["batch_fn"]
@@ -244,6 +247,11 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
         make_default_step_err)
 
+    if cfg.step_mode != "tstop":
+        raise ValueError("the streaming driver needs step_mode='tstop' "
+                         "(checkpoint/resume and incremental writes assume "
+                         "exact interval boundaries); use simulate() for "
+                         "ARK_NORMAL-mode runs")
     problem = problem if problem is not None else build_problem(cfg)
     touts = output_times(cfg)
     dtype = jnp.dtype(cfg.dtype)

@@ -1,0 +1,122 @@
+"""ARK_NORMAL behavioural-parity mode (step_mode="normal"): free-running
+steps + cubic-Hermite dense output at output times, vs the default
+TSTOP-style clamping (integrate/erk.py::integrate_interval_free,
+hermite_interpolate). Reference: ARKode(mem, tout, y, &t, ARK_NORMAL)
+steps past tout and interpolates (src/FHNmodel_torus.cpp:423)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.integrate import solve_ivp
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.sim import simulate, simulate_streaming, output_times
+
+
+def _cfg(**kw):
+    base = dict(model="fhn", surface="flat", x_mesh=12, surface_width=20,
+                surface_length=40, t_final=2.0, output_timestep=4,
+                beta=1.25, dtype="float64", rtol=1e-6, atol=1e-10)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_normal_matches_tstop_within_tolerance():
+    r_t = simulate(_cfg(step_mode="tstop"))
+    r_n = simulate(_cfg(step_mode="normal"))
+    assert r_t.ok and r_n.ok
+    np.testing.assert_allclose(np.asarray(r_n.trajectory),
+                               np.asarray(r_t.trajectory),
+                               rtol=0, atol=5e-5)
+
+
+def test_normal_dense_output_vs_scipy():
+    """Hermite snapshots at touts must match scipy dense output at the
+    integrator tolerance — interpolation must not degrade accuracy."""
+    cfg = _cfg(model="goldbeter", beta=0.85, t_final=1.0, output_timestep=4,
+               rtol=1e-7, step_mode="normal")
+    res = simulate(cfg)
+    assert res.ok
+    p = res.problem
+
+    def rhs_flat(t, yflat):
+        y = jnp.asarray(yflat.reshape(p.y0.shape))
+        return np.asarray(p.rhs(jnp.asarray(t), y, p.params)).ravel()
+
+    touts = output_times(cfg)
+    sol = solve_ivp(rhs_flat, (0.0, float(touts[-1])),
+                    np.asarray(p.y0, np.float64).ravel(),
+                    method="RK45", t_eval=touts, rtol=1e-10, atol=1e-12)
+    assert sol.success
+    want = sol.y.T.reshape((len(touts),) + p.y0.shape)
+    np.testing.assert_allclose(np.asarray(res.trajectory[1:]), want,
+                               rtol=0, atol=1e-4)
+
+
+def test_normal_keeps_breakpoints_exact():
+    """tBoundary stays an exact stop in normal mode: the frozen rows hold
+    their ICs bit-for-bit until the release."""
+    cfg = _cfg(t_boundary=1.0, step_mode="normal", output_timestep=4)
+    res = simulate(cfg)
+    assert res.ok
+    u = res.field(0)
+    # outputs at 0.5 and 1.0 are inside/at the frozen window
+    for k in (1, 2):
+        np.testing.assert_allclose(u[k, 0, :], u[0, 0, :], atol=1e-12)
+        np.testing.assert_allclose(u[k, -1, :], u[0, -1, :], atol=1e-12)
+    # after release the boundary rows must move
+    assert np.max(np.abs(u[-1, 0, :] - u[0, 0, :])) > 1e-6
+
+
+def test_normal_step_sequence_not_perturbed_by_outputs():
+    """The whole point of ARK_NORMAL: the step-size sequence is independent
+    of the output schedule, so many-output runs cost no extra steps."""
+    few = simulate(_cfg(step_mode="normal", output_timestep=2))
+    many = simulate(_cfg(step_mode="normal", output_timestep=16))
+    assert few.ok and many.ok
+    # only the automatic h0 estimate couples (weakly) to the first tout;
+    # measured 63 vs 64 here while tstop pays 64 -> 75
+    assert abs(many.total_steps() - few.total_steps()) <= 2
+    # tstop mode, by contrast, pays for landing on each tout
+    clamped = simulate(_cfg(step_mode="tstop", output_timestep=16))
+    assert many.total_steps() <= clamped.total_steps()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_normal_sharded_matches_single_device():
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded
+    cfg = _cfg(surface="torus", x_mesh=16, t_boundary=0.5,
+               step_mode="normal", t_final=1.0, output_timestep=2)
+    r1 = simulate(cfg)
+    r8 = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert r1.ok and r8.ok
+    np.testing.assert_allclose(np.asarray(r8.trajectory),
+                               np.asarray(r1.trajectory),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r8.stats.steps),
+                                  np.asarray(r1.stats.steps))
+
+
+def test_normal_mode_guards():
+    with pytest.raises(ValueError, match="step_mode"):
+        SimConfig(model="fhn", surface="flat", x_mesh=8, surface_width=20,
+                  surface_length=40, step_mode="nope").validate()
+    with pytest.raises(ValueError, match="tstop"):
+        simulate_streaming(_cfg(step_mode="normal"))
+
+
+@pytest.mark.parametrize("method", ["rkc2", "ark324"])
+def test_normal_mode_other_steppers(method):
+    """Free-running mode is stepper-agnostic (the bracket/interp layer sits
+    above the stepper protocol)."""
+    cfg = _cfg(model="goldbeter", beta=0.85, t_final=1.0,
+               output_timestep=2, method=method, step_mode="normal")
+    r_n = simulate(cfg)
+    import dataclasses
+    r_t = simulate(dataclasses.replace(cfg, step_mode="tstop"))
+    assert r_n.ok and r_t.ok
+    np.testing.assert_allclose(np.asarray(r_n.trajectory),
+                               np.asarray(r_t.trajectory),
+                               rtol=0, atol=1e-4)
