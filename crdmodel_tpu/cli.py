@@ -117,6 +117,42 @@ def cmd_run(args):
     print_banner(cfg, problem)
     os.makedirs(args.outdir, exist_ok=True)
 
+    import contextlib
+    from crdmodel_tpu.utils.profiling import trace
+    trace_ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with trace_ctx:
+        res = _run_simulation(args, cfg, problem)
+    if args.trace:
+        print(f"   wrote profiler trace to {args.trace} "
+              f"(view: tensorboard --logdir {args.trace})")
+    print(res.describe())
+
+    write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
+    print(f"   wrote reference-format files to {args.outdir}/")
+    from crdmodel_tpu.utils import RunManifest
+    mpath = RunManifest.from_result(res).save(
+        os.path.join(args.outdir, f"{cfg.program_name}_manifest.json"))
+    print(f"   wrote {mpath}")
+    if args.npz:
+        path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
+        save_npz(res, path)
+        print(f"   wrote {path}")
+    if args.plot:
+        from crdmodel_tpu.viz import plot_movie
+        out = plot_movie(res, cfg, args.outdir)
+        print(f"   wrote {len(out['frames'])} frames"
+              + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+    if args.map_torus and cfg.surface == "torus":
+        from crdmodel_tpu.viz import generate_torus_vtp, map_output_to_torus
+        generate_torus_vtp(cfg, args.outdir)
+        pvd = map_output_to_torus(res, args.outdir)
+        print(f"   wrote {pvd}")
+    return 0 if res.ok else 1
+
+
+def _run_simulation(args, cfg, problem):
+    from crdmodel_tpu.sim import simulate_streaming
+
     if args.devices and args.devices > 1:
         # streaming variant: bounded device-time per dispatch (large
         # single-dispatch runs can exceed runtime execution limits).
@@ -142,29 +178,7 @@ def cmd_run(args):
                                  checkpoint_every=args.checkpoint_every,
                                  checkpoint_path=args.checkpoint,
                                  host_offload=args.host_offload)
-    print(res.describe())
-
-    write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
-    print(f"   wrote reference-format files to {args.outdir}/")
-    from crdmodel_tpu.utils import RunManifest
-    mpath = RunManifest.from_result(res).save(
-        os.path.join(args.outdir, f"{cfg.program_name}_manifest.json"))
-    print(f"   wrote {mpath}")
-    if args.npz:
-        path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
-        save_npz(res, path)
-        print(f"   wrote {path}")
-    if args.plot:
-        from crdmodel_tpu.viz import plot_movie
-        out = plot_movie(res, cfg, args.outdir)
-        print(f"   wrote {len(out['frames'])} frames"
-              + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
-    if args.map_torus and cfg.surface == "torus":
-        from crdmodel_tpu.viz import generate_torus_vtp, map_output_to_torus
-        generate_torus_vtp(cfg, args.outdir)
-        pvd = map_output_to_torus(res, args.outdir)
-        print(f"   wrote {pvd}")
-    return 0 if res.ok else 1
+    return res
 
 
 def cmd_plot(args):
@@ -277,6 +291,9 @@ def main(argv=None):
                    help="checkpoint file path (with --checkpoint-every)")
     p.add_argument("--checkpoint-every", type=int, default=None,
                    metavar="N", help="checkpoint every N output intervals")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace (TensorBoard "
+                        "format) covering the simulation")
     p.add_argument("--host-offload", action="store_true",
                    help="pull each snapshot to host memory as produced "
                         "(bounded device memory for long runs)")

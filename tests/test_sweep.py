@@ -94,7 +94,8 @@ varyBeta = 0
     out = subprocess.run(
         [sys.executable, "-m", "crdmodel_tpu", "run", str(ini),
          "--model", "fhn", "--surface", "flat", "--dtype", "float64",
-         "--outdir", str(tmp_path / "out"), "--npz", "--quiet"],
+         "--outdir", str(tmp_path / "out"), "--npz", "--quiet",
+         "--trace", str(tmp_path / "trace")],
         capture_output=True, text=True, cwd=repo,
         env={**os.environ, "JAX_PLATFORMS": "cpu",
              "PYTHONPATH": repo})
@@ -104,6 +105,8 @@ varyBeta = 0
     assert (outdir / "FHNmodel_flat_u.000.txt").exists()
     assert (outdir / "FHNmodel_flat_v.000.txt").exists()
     assert (outdir / "FHNmodel_flat.npz").exists()
+    # --trace wrote a TensorBoard-format profile session
+    assert (tmp_path / "trace" / "plugins" / "profile").is_dir()
 
 
 def test_pod_scale_sweep_sharded_mesh():
