@@ -71,6 +71,32 @@ def make_rhs_block(kind: str, model, just_diffusion: bool):
     return rhs_block
 
 
+def make_split_block(kind: str, model, just_diffusion: bool):
+    """Per-strip explicit/implicit RHS split for the fused IMEX kernel
+    (ops/pallas_imex.py), mirroring problem.py::make_rhs(split=True):
+    ex_block = masked diffusion, im_block = masked pointwise kinetics,
+    ex + im == make_rhs_block's composed value bitwise."""
+    nvars = model.nvars
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+    full = make_rhs_block(kind, model, just_diffusion=True)
+
+    def ex_block(yb, stencil, live_rows):
+        # the just_diffusion rhs_block IS the diffusion part
+        return full(yb, stencil, None, live_rows)
+
+    def im_block(yb, b_rows, live_rows):
+        if just_diffusion:
+            return jnp.zeros_like(yb)
+        react = model.kinetics(yb, b_rows)
+        ydot = jnp.stack([react[v] for v in range(nvars)])
+        if live_rows is not None:
+            ydot = ydot * live_rows
+        return ydot
+
+    return ex_block, im_block
+
+
 @dataclasses.dataclass(frozen=True)
 class KernelConstants:
     """Trace-time constant kernel inputs + their BlockSpecs (single-chip:

@@ -1,0 +1,270 @@
+"""Fused IMEX ARK3(2)4L[2]SA step as a single Pallas TPU kernel.
+
+One kernel invocation performs the full additive-RK step of
+integrate/imex.py — 4 explicit diffusion stencil evaluations, 3 implicit
+stage solves by full vectorized Newton (per-point Jacobians via jax.jvp
+traced INSIDE the kernel, closed-form Cramer solves), the solution/error
+assembly, and the combined WRMS + Newton-convergence partial sums — in one
+pass over HBM. The XLA path materialises every stage and Newton iterate
+(measured 5.4 ms/step at 800x3200 Goldbeter vs 0.27 ms for the fused
+explicit step at the same size); the implicit work is pointwise, so it
+fuses perfectly into the strip-resident representation.
+
+Same strip/lane machinery as ops/pallas_step.py (P=8 halo rows: the step
+consumes 4 validity rings, one per explicit stencil evaluation; the Newton
+iterations are pointwise and consume none). The algorithm mirrors
+imex.make_imex_step_err line by line (same constants, same full-Newton
+default, same composite error), so the two paths agree at f32 roundoff.
+
+float32 only; callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate import imex
+from crdmodel_tpu.ops.kernel_common import (
+    freeze_scalar, make_split_block, prepare_constants, read_strip_constants)
+
+HALO = 8           # >= 4 stencil evaluations per step; multiple of 8
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _imex_strip_target(nx: int, nvars: int) -> int:
+    nxp = ((nx + 2 * HALO + 127) // 128) * 128
+    # live set: y0 + 4 kE + 4 kI + stage state/resid/dy + nvars Jacobian rows
+    live = 12 + 3 * nvars + 4
+    bytes_per_row = 4 * nxp * nvars * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+
+
+def _pick_strip(ny: int, target: int) -> int | None:
+    best = None
+    for s in range(8, min(ny, target) + 1, 8):
+        if ny % s == 0:
+            best = s
+    return best
+
+
+def is_imex_supported(problem, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    return _pick_strip(problem.cfg.ny,
+                       _imex_strip_target(problem.cfg.nx,
+                                          problem.model.nvars)) is not None
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedImexStep:
+    step_err: Callable   # (t, yp, h, params) -> (ynew_p, err_ss)
+    pad: Callable
+    unpad: Callable
+    nxp: int
+
+
+def build_fused_imex_step(problem, dtype=jnp.float32,
+                          interpret: bool = False) -> FusedImexStep:
+    cfg = problem.cfg
+    model = problem.model
+    geometry = problem.geometry
+    nvars = model.nvars
+    ny, nx = cfg.ny, cfg.nx
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = geometry.kind
+
+    P = HALO
+    S = _pick_strip(ny, _imex_strip_target(nx, nvars))
+    if S is None:
+        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in range")
+    n_strips = ny // S
+    R = S + 2 * P
+    nxp = ((nx + 2 * P + 127) // 128) * 128
+
+    def pad_cols(arr):
+        out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
+        fill = nxp - (nx + 2 * P)
+        if fill:
+            padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
+            out = jnp.pad(out, padw)
+        return out
+
+    def unpad_cols(arr):
+        return arr[..., P:P + nx]
+
+    kc = prepare_constants(problem, dtype, P, pad_cols)
+    b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
+    ex_block_of, im_block_of = make_split_block(kind, model, just_diffusion)
+
+    AE, AI, B, C, D = imex.AE, imex.AI, imex.B, imex.C, imex.D
+    GAMMA = imex.GAMMA
+    NEWTON_ITERS = imex.NEWTON_ITERS
+    PEN = (1.0 / imex.NEWTON_TOL) ** 2
+
+    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               y_hbm, ynew_ref, ss_ref, yv, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        def strip_dmas(strip, slot):
+            r0 = pl.multiple_of(strip * S, 8)
+            tops = pl.multiple_of((r0 - P) % ny, 8)
+            bots = pl.multiple_of((r0 + S) % ny, 8)
+            return (
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(tops, P), :],
+                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(r0, S), :],
+                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    y_hbm.at[:, pl.ds(bots, P), :],
+                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
+            )
+
+        two = jnp.asarray(2, i.dtype)   # x64-safe under the interpreter
+        slot = jax.lax.rem(i, two)
+        nslot = jax.lax.rem(i + 1, two)
+
+        @pl.when(i == 0)
+        def _():
+            for dma in strip_dmas(0, 0):
+                dma.start()
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            for dma in strip_dmas(i + 1, nslot):
+                dma.start()
+
+        for dma in strip_dmas(i, slot):
+            dma.wait()
+
+        h = h_ref[0, 0]
+        hg = h * GAMMA
+        stencil, b_rows, live_rows = read_strip_constants(
+            kind, b_is_field, has_freeze,
+            c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
+
+        def f_ex(yb):
+            return ex_block_of(yb, stencil, live_rows)
+
+        def f_im(yb):
+            return im_block_of(yb, b_rows, live_rows)
+
+        def jac_block(yb):
+            cols = []
+            for bv in range(nvars):
+                e = jnp.stack([jnp.ones_like(yb[0]) if v == bv
+                               else jnp.zeros_like(yb[0])
+                               for v in range(nvars)])
+                _, col = jax.jvp(f_im, (yb,), (e,))
+                cols.append(col)
+            return jnp.stack(cols, axis=1)   # (nvars_out, nvars_in, R, nxp)
+
+        y0 = yv[slot]
+        y0c = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(y0c) + atol)
+
+        eye = jnp.stack([
+            jnp.stack([jnp.ones_like(y0[0]) if a == b
+                       else jnp.zeros_like(y0[0]) for b in range(nvars)])
+            for a in range(nvars)])
+
+        kE = [f_ex(y0)]
+        kI = [f_im(y0)]
+        delta_ss = jnp.asarray(0.0, dtype)
+        for s in range(1, imex.STAGES):
+            rhs_known = y0
+            for j in range(s):
+                if AE[s][j] != 0.0:
+                    rhs_known = rhs_known + (h * AE[s][j]) * kE[j]
+                if AI[s][j] != 0.0:
+                    rhs_known = rhs_known + (h * AI[s][j]) * kI[j]
+            yi = rhs_known + hg * kI[s - 1]
+            dy = jnp.zeros_like(y0)
+            for _ in range(NEWTON_ITERS):
+                m = eye - hg * jac_block(yi)
+                resid = yi - hg * f_im(yi) - rhs_known
+                dy = imex.solve_pointwise(m, -resid)
+                yi = yi + dy
+            sdy = dy[:, P:P + S, :] * w
+            delta_ss = delta_ss + jnp.sum(sdy * sdy)
+            kE.append(f_ex(yi))
+            kI.append((yi - rhs_known) / hg)
+
+        ynew = y0
+        err = jnp.zeros_like(y0)
+        for s in range(imex.STAGES):
+            k_sum = kE[s] + kI[s]
+            if B[s] != 0.0:
+                ynew = ynew + (h * B[s]) * k_sum
+            if D[s] != 0.0:
+                err = err + (h * D[s]) * k_sum
+
+        z = ynew[:, P:P + S, :]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
+        zl = jnp.roll(z, -nx, axis=-1)
+        zr = jnp.roll(z, nx, axis=-1)
+        z = jnp.where(jcol < P, zl, jnp.where(jcol >= P + nx, zr, z))
+        ynew_ref[:, :, :] = z
+
+        scaled = err[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled) + PEN * delta_ss
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
+            pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(kc.m_pad.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    def step_err(t, yp, h, params):
+        del t   # stage times only matter through the per-segment freeze
+        fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        ynew, ss = call(h_s, fz_s, kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
+                        kc.col_mask, yp)
+        return ynew, jnp.sum(ss)
+
+    return FusedImexStep(step_err=step_err, pad=pad_cols, unpad=unpad_cols,
+                         nxp=nxp)

@@ -114,13 +114,19 @@ def make_simulation_fn(problem: Problem):
                     problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn)
 
     rhs_split = None
+    fimex = None
     if cfg.method == "ark324":
         # IMEX: implicit pointwise reaction + explicit diffusion
-        # (integrate/imex.py); no fused kernel — the Newton stages are
-        # XLA-fused pointwise code already
+        # (integrate/imex.py); on TPU the whole additive step (stencils +
+        # Newton stages) fuses into one HBM pass (ops/pallas_imex.py)
         from crdmodel_tpu.core.problem import make_rhs
         rhs_split = make_rhs(cfg, problem.model, problem.geometry,
                              jnp.dtype(cfg.dtype), split=True)
+        if cfg.step_mode == "tstop" and _pallas_eligible(cfg):
+            from crdmodel_tpu.ops import pallas_imex
+            if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
+                fimex = pallas_imex.build_fused_imex_step(
+                    problem, jnp.dtype(cfg.dtype))
 
     fused = None
     kstep = None
@@ -164,6 +170,14 @@ def make_simulation_fn(problem: Problem):
             kw = dict(step_err=frkc.step_err,
                       y_loop0=frkc.pad(y0), capture=frkc.unpad,
                       h_limit_fn=lambda t, y, p: frkc.h_limit(t, y, p))
+        elif fimex is not None:
+            # fused IMEX: stencils + Newton stages in one HBM pass
+            # (ops/pallas_imex.py)
+            kw = dict(
+                step_err=lambda t, y, h, p, carry:
+                    (*fimex.step_err(t, y, h, p), ()),
+                init_carry=lambda t, y, p: (),
+                y_loop0=fimex.pad(y0), capture=fimex.unpad)
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
@@ -295,11 +309,22 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     elif cfg.method == "ark324":
         from crdmodel_tpu.core.problem import make_rhs
         from crdmodel_tpu.integrate import imex
-        rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
-                                  dtype, split=True)
-        step_err, init_carry = imex.make_imex_step_err(
-            rhs_ex, rhs_im, cfg.rtol, cfg.atol)
         err_order = imex.ERR_ORDER
+        fimex = None
+        if _pallas_eligible(cfg):
+            from crdmodel_tpu.ops import pallas_imex
+            if pallas_imex.is_imex_supported(problem, dtype):
+                fimex = pallas_imex.build_fused_imex_step(problem, dtype)
+        if fimex is not None:
+            pad, unpad = fimex.pad, fimex.unpad
+            step_err = lambda t, y, h, p, carry: (
+                *fimex.step_err(t, y, h, p), ())
+            init_carry = lambda t, y, params: ()
+        else:
+            rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
+                                      dtype, split=True)
+            step_err, init_carry = imex.make_imex_step_err(
+                rhs_ex, rhs_im, cfg.rtol, cfg.atol)
     else:
         tableau = TABLEAUS[cfg.method]
         err_order = tableau.err_order

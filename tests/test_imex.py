@@ -249,3 +249,39 @@ def test_ark324_sharded_streaming_matches_batch():
     np.testing.assert_allclose(np.asarray(stream.trajectory),
                                np.asarray(batch.trajectory),
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("model,surface", [
+    ("fhn", "torus"), ("goldbeter", "torus"), ("sir", "flat"),
+])
+def test_fused_imex_kernel_interpreter_matches_xla(model, surface):
+    """ops/pallas_imex.py through the Pallas interpreter vs the XLA IMEX
+    step at identical (t, y, h) — the fused kernel mirrors
+    make_imex_step_err line by line."""
+    from crdmodel_tpu.ops import pallas_imex
+    beta = {"fhn": 1.25, "goldbeter": 0.5, "sir": 3.0}[model]
+    cfg = SimConfig(model=model, surface=surface, x_mesh=16,
+                    surface_width=20, surface_length=80,
+                    t_boundary=1.0, t_final=2.0, beta=beta,
+                    dtype="float32", rtol=1e-5, atol=1e-8)
+    p = build_problem(cfg)
+    assert pallas_imex.is_imex_supported(p, jnp.float32)
+    f_ex, f_im = make_rhs(cfg, p.model, p.geometry, jnp.float32, split=True)
+    se_xla, _ = imex.make_imex_step_err(f_ex, f_im, cfg.rtol, cfg.atol)
+    fused = pallas_imex.build_fused_imex_step(p, jnp.float32,
+                                              interpret=True)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.asarray(p.y0)
+                    + 0.05 * rng.standard_normal(p.y0.shape), jnp.float32)
+    # (t, seg_end) pairs on each side of tBoundary=1.0 — segments never
+    # straddle the discontinuity (integrate/erk.py breakpoints), which is
+    # what licenses the kernel's per-segment freeze scalar
+    for t_val, seg_end in ((0.3, 0.8), (1.3, 2.0)):
+        params = {**p.params, "_seg_end": jnp.asarray(seg_end, jnp.float32)}
+        t = jnp.asarray(t_val, jnp.float32)
+        h = jnp.asarray(0.01, jnp.float32)
+        y1, ss1, _ = jax.jit(se_xla)(t, y, h, params, ())
+        y2p, ss2 = fused.step_err(t, fused.pad(y), h, params)
+        np.testing.assert_allclose(np.asarray(fused.unpad(y2p)),
+                                   np.asarray(y1), rtol=0, atol=5e-7)
+        np.testing.assert_allclose(float(ss2), float(ss1), rtol=1e-4)
