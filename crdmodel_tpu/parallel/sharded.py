@@ -180,6 +180,28 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
         problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret)
 
 
+def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
+                           interpret: bool = False):
+    """Sharded fused IMEX step (ops/pallas_shard_imex.py) when supported —
+    one halo exchange per ark324 step, shard-local Newton in-kernel."""
+    from crdmodel_tpu.sim import _pallas_eligible
+    cfg = problem.cfg
+    if cfg.method != "ark324" or cfg.step_mode != "tstop":
+        return None
+    if not interpret and not _pallas_eligible(cfg):
+        return None
+    if interpret and cfg.use_pallas is not True:
+        return None
+    from crdmodel_tpu.ops import pallas_shard_imex
+    nyl, nxl = _local_block_shape(cfg, mesh)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_imex.is_shard_imex_supported(problem, dtype,
+                                                     nyl, nxl):
+        return None
+    return pallas_shard_imex.build_fused_shard_imex(
+        problem, nyl, nxl, dtype, interpret=interpret)
+
+
 def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                                interpret_pallas: bool = False,
                                extra_param_specs: Optional[dict] = None):
@@ -215,12 +237,14 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                  if cfg.method == "ark324" else None)
 
     if cfg.step_mode == "normal":
-        fused = frkc = None   # ARK_NORMAL mode uses the plain XLA loop
+        fused = frkc = fimex = None  # ARK_NORMAL mode uses the plain loop
     else:
         fused = maybe_fused_shard_step(problem, mesh,
                                        interpret=interpret_pallas)
         frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                      interpret=interpret_pallas)
+        fimex = maybe_fused_shard_imex(problem, mesh,
+                                       interpret=interpret_pallas)
 
     def run_local(y0, params):
         kw = {}
@@ -231,6 +255,13 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                 step_err=lambda t, y, h, p, carry:
                     (*fused.step_err(t, y, h, p), ()),
                 y_loop0=fused.pad(y0), capture=fused.unpad)
+        elif fimex is not None:
+            params_run = fimex.prepare_params(params)
+            kw = dict(
+                step_err=lambda t, y, h, p, carry:
+                    (*fimex.step_err(t, y, h, p), ()),
+                init_carry=lambda t, y, p: (),
+                y_loop0=fimex.pad(y0), capture=fimex.unpad)
         elif frkc is not None:
             params_run = frkc.prepare_params(params)
             kw = dict(step_err=frkc.step_err,
@@ -305,12 +336,18 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
     frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                  interpret=interpret_pallas)
+    fimex = maybe_fused_shard_imex(problem, mesh, interpret=interpret_pallas)
     h_limit_fn = None
     if fused is not None:
         from crdmodel_tpu.integrate.erk import TABLEAUS
         step_err = lambda t, y, h, p, carry: (*fused.step_err(t, y, h, p), ())
         init_carry = lambda t, y, params: ()
         err_order = TABLEAUS[cfg.method].err_order
+    elif fimex is not None:
+        from crdmodel_tpu.integrate import imex as _imex
+        step_err = lambda t, y, h, p, carry: (*fimex.step_err(t, y, h, p), ())
+        init_carry = lambda t, y, params: ()
+        err_order = _imex.ERR_ORDER
     elif frkc is not None:
         from crdmodel_tpu.integrate import rkc as _rkc
         step_err = frkc.step_err
@@ -323,7 +360,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)
 
-    kernel = fused if fused is not None else frkc
+    kernel = next((k for k in (fused, fimex, frkc) if k is not None), None)
     _, param_specs = sharded_params(problem)
     state_spec = P(None, AXIS_Y, AXIS_X)
     scalar = P()

@@ -359,3 +359,50 @@ def test_fused_shard_rkc2_grayscott():
         int(np.sum(np.asarray(stats_x.steps)))
     np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
                                rtol=0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused sharded IMEX kernel (ops/pallas_shard_imex.py): one halo exchange per
+# ark324 step, shard-local in-kernel Newton. Interpreter on the CPU mesh.
+# ---------------------------------------------------------------------------
+
+def test_fused_shard_imex_fhn_freeze():
+    cfg = _fused_cfg(method="ark324", t_boundary=0.1)
+    (tf, sf), (tx, sx) = _run_pair(cfg)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_array_equal(tf, tx)
+
+
+def test_fused_shard_imex_goldbeter_torus():
+    cfg = _fused_cfg(method="ark324", model="goldbeter", surface="torus",
+                     beta=0.4, surface_width=20.0, surface_length=40.0)
+    (tf, _), (tx, _) = _run_pair(cfg)
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-5)
+
+
+def test_fused_shard_imex_sir_nvars3():
+    cfg = _fused_cfg(method="ark324", model="sir", beta=1.5, diffusion=1.0,
+                     t_final=1.0)
+    (tf, sf), (tx, sx) = _run_pair(cfg)
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (4, 2)])
+def test_fused_shard_imex_mesh_shapes(mesh_shape):
+    cfg = _fused_cfg(method="ark324", x_mesh=64, surface_width=10.0,
+                     surface_length=10.0 * max(2, mesh_shape[0]))
+    if cfg.ny % mesh_shape[0] or cfg.nx % mesh_shape[1]:
+        pytest.skip("grid does not factor over this mesh")
+    (tf, sf), (tx, sx) = _run_pair(cfg, mesh_shape)
+    assert int(np.sum(np.asarray(sf.steps))) == int(np.sum(np.asarray(sx.steps)))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=1e-6)
+
+
+def test_fused_shard_imex_matches_single_device():
+    cfg = _fused_cfg(method="ark324", t_boundary=0.1)
+    import dataclasses
+    single = simulate(dataclasses.replace(cfg, use_pallas=False))
+    (tf, sf), _ = _run_pair(cfg)
+    full = np.concatenate([np.asarray(single.problem.y0)[None], tf], axis=0)
+    np.testing.assert_allclose(full, np.asarray(single.trajectory),
+                               rtol=1e-4, atol=1e-5)

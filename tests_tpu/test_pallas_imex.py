@@ -64,3 +64,26 @@ def test_full_trajectory_fused_vs_xla():
                                rtol=0, atol=5e-3)
     s1, s2 = r_fused.total_steps(), r_xla.total_steps()
     assert abs(s1 - s2) <= 0.05 * s2, (s1, s2)
+
+
+def test_shard_imex_real_lowering_matches_xla():
+    """Sharded fused IMEX (real Mosaic lowering, 1x1 mesh) vs the sharded
+    XLA ark324 path: same trajectory at f32 tolerance, step counts within
+    the err-association budget."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (make_sharded_simulation_fn,
+                                               sharded_params)
+    cfg = _cfg("goldbeter", "torus", x_mesh=128, use_pallas=True)
+    mesh = make_mesh(shape=(1, 1))
+    p = build_problem(cfg)
+    params, _ = sharded_params(p)
+    run_f, _ = make_sharded_simulation_fn(p, mesh)
+    traj_f, stats_f = run_f(p.y0, params)
+    p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+    run_x, _ = make_sharded_simulation_fn(p2, mesh)
+    traj_x, stats_x = run_x(p2.y0, params)
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=0, atol=5e-3)
+    s1 = int(np.sum(np.asarray(stats_f.steps)))
+    s2 = int(np.sum(np.asarray(stats_x.steps)))
+    assert abs(s1 - s2) <= max(2, 0.05 * s2), (s1, s2)
