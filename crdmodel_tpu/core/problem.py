@@ -165,6 +165,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
         bg[0] = np.where(seg, 0.9, 1.0)
         bg[1] = np.where(seg, 0.1, 0.0)
         bg[2] = 0.0
+    elif cfg.model == "lambdaomega":
+        # beyond-reference model: background on the homogeneous limit cycle
+        # (1, 0); the wave segment flips the oscillation phase by pi, and a
+        # quarter-cycle band below breaks the symmetry so the phase defects
+        # at the segment ends seed counter-rotating spirals
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, -1.0, 1.0)
+        bg[1] = np.where(np.broadcast_to(Y < wave_len, seg.shape), 1.0, 0.0)
+        bg[0] = np.where(np.broadcast_to(Y < wave_len, seg.shape), 0.0, bg[0])
     elif cfg.model == "oregonator":
         # beyond-reference model: excitable rest state (us, us); the wave
         # segment excites u with a refractory (v-elevated) band below it so

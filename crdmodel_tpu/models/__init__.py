@@ -1,5 +1,6 @@
 from crdmodel_tpu.models.base import ReactionModel, get_model, register_model
 from crdmodel_tpu.models import (  # noqa: F401  (registers models)
-    barkley, brusselator, fhn, goldbeter, grayscott, oregonator, sir)
+    barkley, brusselator, fhn, goldbeter, grayscott, lambdaomega,
+    oregonator, sir)
 
 __all__ = ["ReactionModel", "get_model", "register_model"]

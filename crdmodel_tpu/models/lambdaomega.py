@@ -1,0 +1,63 @@
+"""Lambda–omega system — real Ginzburg–Landau kinetics (beyond-reference).
+
+    u' = (1 - r^2) u + b r^2 v + D lap(u)         r^2 = u^2 + v^2
+    v' = -b r^2 u + (1 - r^2) v + D lap(v)
+
+Equivalently W = u + iv solves the lambda-omega reaction-diffusion system
+W' = W - (1 + ib)|W|^2 W + D lap(W) (Kopell & Howard 1973) — the normal
+form of an oscillatory medium near a Hopf bifurcation and the canonical
+source of rotating spiral waves. The framework's sweepable/rampable
+parameter `b` is the frequency twist omega'(r); b = 0 gives untwisted
+phase waves, |b| > 0 twists the spiral arms.
+
+Second equal-coefficient two-species-diffusion family, and the only family
+with an EXACT nonlinear solution on the flat periodic surface:
+
+    W(x, t) = A exp(i(kx - Omega t)),  A^2 = 1 - D k^2,  Omega = b A^2
+
+for any admissible wavenumber k = 2*pi*m/Lx — the strongest analytic
+oracle in the test suite (tests/test_lambdaomega.py pins the full
+nonlinear evolution against it, amplitude AND phase).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from crdmodel_tpu.models.base import ReactionModel, register_model
+
+
+def kinetics(state, b):
+    u, v = state[0], state[1]
+    r2 = u * u + v * v
+    du = (1.0 - r2) * u + b * r2 * v
+    dv = -b * r2 * u + (1.0 - r2) * v
+    return jnp.stack([du, dv])
+
+
+def steady_state(beta: float):
+    """(1, 0): a point on the homogeneous limit cycle r = 1 (the background
+    rotates at frequency -b; the trivial fixed point (0,0) is unstable)."""
+    return (1.0, 0.0)
+
+
+def jac_bound(state, b):
+    """Gershgorin row bound: every |entry| of J is <= |1 - r^2| + 2 r^2 or
+    the b-weighted analogues; 1 + 3 (1 + |b|) r^2 dominates both rows."""
+    u, v = state[0], state[1]
+    r2 = u * u + v * v
+    return jnp.max(1.0 + 3.0 * (1.0 + jnp.abs(b)) * r2)
+
+
+MODEL = register_model(
+    ReactionModel(
+        name="lambdaomega",
+        nvars=2,
+        var_names=("u", "v"),
+        kinetics=kinetics,
+        steady_state=steady_state,
+        diffusive_vars=(0, 1),
+        diffusion_ratios=(1.0, 1.0),
+        jac_bound=jac_bound,
+    )
+)

@@ -49,6 +49,12 @@ CASES = {
     # sir: nvars=3 + offset diffusing variable (index 1)
     "sir_flat": dict(model="sir", surface="flat", beta=1.5, diffusion=1.0),
     "sir_torus": dict(model="sir", surface="torus", beta=1.5, diffusion=1.0),
+    # lambdaomega: equal-coefficient two-species diffusion, oscillatory
+    # background (exact-solution oracle lives in test_lambdaomega.py)
+    "lambdaomega_flat": dict(model="lambdaomega", surface="flat", beta=0.5,
+                             diffusion=0.5),
+    "lambdaomega_torus": dict(model="lambdaomega", surface="torus", beta=0.5,
+                              diffusion=0.5),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
