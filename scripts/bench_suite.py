@@ -1,0 +1,122 @@
+"""Reproduce the headline performance table (docs/PERF_NOTES.md) in one run.
+
+Warm-measures a curated set of configurations on the current accelerator:
+each entry compiles once (cached driver on the Problem), then times a second
+full run. Prints a markdown table and writes bench_suite.json next to it.
+
+    python scripts/bench_suite.py            # full suite (~10 min w/ compiles)
+    python scripts/bench_suite.py --quick    # canonical rows only
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def canonical_fhn(method):
+    from crdmodel_tpu.config import config_from_ini
+    cfg = config_from_ini("/root/reference/data/FHNmodelArgs.ini",
+                          model="fhn", surface="torus")
+    import dataclasses
+    return dataclasses.replace(cfg, method=method)
+
+
+def canonical_goldbeter(method):
+    from crdmodel_tpu.config import config_from_ini
+    cfg = config_from_ini("/root/reference/data/GoldbeterModelArgs.ini",
+                          model="goldbeter", surface="torus")
+    import dataclasses
+    return dataclasses.replace(cfg, method=method)
+
+
+def large_goldbeter(method):
+    from crdmodel_tpu.config import SimConfig
+    return SimConfig(model="goldbeter", surface="torus", x_mesh=800,
+                     surface_width=20, surface_length=80,
+                     t_final=1.0, output_timestep=2, beta=0.4,
+                     wave_length=0.2, wave_width=0.5, wave_inside=1,
+                     dtype="float32", rtol=1e-5, atol=1e-8, method=method)
+
+
+def large_fhn(method):
+    from crdmodel_tpu.config import SimConfig
+    return SimConfig(model="fhn", surface="torus", x_mesh=1600,
+                     surface_width=20, surface_length=80,
+                     t_final=1.0, output_timestep=2, vary_beta=1,
+                     beta_min=0.7, beta_max=1.7, t_boundary=0.0,
+                     dtype="float32", rtol=1e-5, atol=1e-8, method=method)
+
+
+ROWS = [
+    # (name, cfg builder, quick?)
+    ("FHN torus 400x1600 Tf=50 bs32 (headline)",
+     lambda: canonical_fhn("bs32"), True),
+    ("FHN torus 400x1600 Tf=50 rkc2",
+     lambda: canonical_fhn("rkc2"), True),
+    ("Goldbeter torus 100x400 Tf=4 bs32 (canonical)",
+     lambda: canonical_goldbeter("bs32"), True),
+    ("Goldbeter torus 100x400 Tf=4 ark324",
+     lambda: canonical_goldbeter("ark324"), True),
+    ("Goldbeter torus 800x3200 Tf=1 bs32",
+     lambda: large_goldbeter("bs32"), False),
+    ("Goldbeter torus 800x3200 Tf=1 rkc2",
+     lambda: large_goldbeter("rkc2"), False),
+    ("Goldbeter torus 800x3200 Tf=1 ark324",
+     lambda: large_goldbeter("ark324"), False),
+    ("FHN torus 1600x6400 Tf=1 rkc2",
+     lambda: large_fhn("rkc2"), False),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.sim import simulate
+
+    backend = jax.default_backend()
+    results = []
+    for name, make_cfg, quick in ROWS:
+        if args.quick and not quick:
+            continue
+        cfg = make_cfg()
+        problem = build_problem(cfg)
+        r = simulate(cfg, problem=problem)          # compile + warm
+        t0 = time.perf_counter()
+        r = simulate(cfg, problem=problem)
+        wall = time.perf_counter() - t0
+        steps = r.total_steps()
+        rate = cfg.nx * cfg.ny * steps / wall
+        results.append(dict(name=name, ok=bool(r.ok), steps=int(steps),
+                            wall_s=round(wall, 4),
+                            us_per_step=round(1e6 * wall / max(steps, 1), 2),
+                            points_steps_per_s=float(f"{rate:.4g}")))
+        print(f"done: {name}: {wall:.3f}s / {steps} steps", file=sys.stderr)
+
+    print(f"\n## bench_suite ({backend})\n")
+    print("| configuration | steps | wall (s) | us/step | points*steps/s |")
+    print("|---|---|---|---|---|")
+    for e in results:
+        flag = "" if e["ok"] else " **FAILED**"
+        print(f"| {e['name']}{flag} | {e['steps']} | {e['wall_s']} "
+              f"| {e['us_per_step']} | {e['points_steps_per_s']:.3g} |")
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_suite.json")
+    with open(out, "w") as f:
+        json.dump({"backend": backend, "rows": results}, f, indent=1)
+    print(f"\nwrote {out}", file=sys.stderr)
+    return 0 if all(e["ok"] for e in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
