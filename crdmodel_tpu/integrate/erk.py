@@ -370,7 +370,7 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
                             params, *, err_order, max_steps, global_size,
                             reduce_fn=jnp.sum, carry0=(), bracket0=None,
                             first_interval=False, status0=None,
-                            h_limit_fn=None):
+                            h_limit_fn=None, t_cap=None):
     """ARK_NORMAL-style interval: step FREELY until t >= tout (no clamping;
     the accepted step may overshoot), tracking the last accepted step's
     bracket (t_lo, y_lo) so the caller can densely interpolate the solution
@@ -381,6 +381,13 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
     bracket0: (t_lo, y_lo) carried in from the previous interval — if t0 is
     already past tout (one big step crossed several output times), the loop
     body never runs and the incoming bracket still brackets tout.
+
+    t_cap: optional scalar time the overshoot must NOT cross — the next RHS
+    discontinuity (breakpoint) after tout. A free step would otherwise
+    integrate the wrong smooth piece across it by up to a full step length.
+    Steps clamped only by the cap keep the unclamped h as controller memory
+    (same rationale as integrate_interval's `last` handling). Pass +inf (or
+    None) when no breakpoint lies ahead.
 
     Returns (t, y, h, err_prev, (t_lo, y_lo), stats_tuple).
     """
@@ -402,6 +409,9 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
         hs = h
         if h_limit_fn is not None:
             hs = jnp.minimum(hs, h_limit_fn(t, y, params).astype(dtype))
+        if t_cap is not None:
+            at_cap = t + hs >= t_cap
+            hs = jnp.where(at_cap, t_cap.astype(dtype) - t, hs)
 
         y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
         err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
@@ -418,8 +428,11 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
         else:
             eta_max = jnp.where(first_flag & (nacc == 0),
                                 ETA_MAX_FIRST, ETA_MAX).astype(dtype)
-        h_next = jnp.where(accept,
-                           hs * jnp.clip(eta, ETA_MIN, eta_max),
+        h_grow = hs * jnp.clip(eta, ETA_MIN, eta_max)
+        if t_cap is not None:
+            # cap-clamped steps say nothing about the error-limited h
+            h_grow = jnp.where(at_cap, jnp.maximum(h, h_grow), h_grow)
+        h_next = jnp.where(accept, h_grow,
                            hs * jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX))
 
         t_next = jnp.where(accept, t + hs, t)
@@ -797,10 +810,23 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         if (y_loop0 is not y0) or spec_k or kstep_call is not None:
             raise ValueError("step_mode='normal' needs the plain state "
                              "representation (no fused kernel / spec_k)")
-        all_free = bool(np.all(is_output))
+        # breakpoints must stay EXACT stops even in free-running mode: a
+        # stop coinciding with one is clamped (merge_stops keeps such a
+        # stop as output-only, so is_output alone cannot detect it), and
+        # every free interval's overshoot is capped at the next breakpoint
+        # so no accepted step integrates the wrong smooth piece across the
+        # discontinuity
+        bps = sorted(float(b) for b in breakpoints)
+        is_bp = np.array([any(np.isclose(s, b) for b in bps)
+                          for s in stop_times])
+        caps = np.array([min([b for b in bps
+                              if b > s and not np.isclose(b, s)],
+                             default=np.inf) for s in stop_times])
+        use_free = is_output & ~is_bp
+        all_free = bool(np.all(use_free))
 
         def scan_body_normal(carry, inp):
-            tout, is_out_f, is_first = inp
+            tout, free_f, cap, is_first = inp
             t, y, h, errp, status, br_t, br_y = carry
             p = seg_params(tout)
             fc0 = init_carry(t, y, p)
@@ -813,7 +839,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                 t, y, h, errp, br, stats = integrate_interval_free(
                     step_err, t, y, h, errp, tout, p, carry0=fc0,
                     bracket0=(br_t, br_y), first_interval=is_first,
-                    status0=status, **common)
+                    status0=status, t_cap=cap, **common)
                 return (t, y, h, errp, br[0], br[1], *stats)
 
             def clamp_fn(args):
@@ -828,7 +854,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
             if all_free:
                 out = free_fn(args)
             else:
-                out = jax.lax.cond(is_out_f, free_fn, clamp_fn, args)
+                out = jax.lax.cond(free_f, free_fn, clamp_fn, args)
             t, y, h, errp, br_t, br_y, ns, na, nr, status = out
             snap = hermite_interpolate(rhs, br_t, br_y, t, y, tout, p)
             return ((t, y, h, errp, status, br_t, br_y),
@@ -840,8 +866,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         (_, (traj, nstep, nacc, nrej, status)) = jax.lax.scan(
             scan_body_normal,
             (t0, y0, h0, errp0, zero, t0, y0),
-            (jnp.asarray(stop_times, dtype), jnp.asarray(is_output),
-             is_first))
+            (jnp.asarray(stop_times, dtype), jnp.asarray(use_free),
+             jnp.asarray(caps, dtype), is_first))
         if len(stops) != len(touts_np):
             nseg = len(touts_np)
             seg = jnp.asarray(seg_ids)

@@ -77,8 +77,6 @@ def make_split_block(kind: str, model, just_diffusion: bool):
     ex_block = masked diffusion, im_block = masked pointwise kinetics,
     ex + im == make_rhs_block's composed value bitwise."""
     nvars = model.nvars
-    dvars = tuple(model.diffusive_vars)
-    ratios = tuple(model.diffusion_ratios)
     full = make_rhs_block(kind, model, just_diffusion=True)
 
     def ex_block(yb, stencil, live_rows):

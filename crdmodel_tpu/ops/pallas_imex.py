@@ -71,6 +71,72 @@ class FusedImexStep:
     nxp: int
 
 
+def imex_block_step(y0, h, f_ex, f_im, nvars, dtype, P, S, w):
+    """The ARK3(2)4L[2]SA step on one resident strip — shared verbatim by
+    the single-chip kernel below and the sharded kernel
+    (ops/pallas_shard_imex.py), mirroring imex.make_imex_step_err line by
+    line so every path stays in bitwise lockstep.
+
+    y0: (nvars, R, nxp) strip (R = S + 2P). w: WRMS weights over the strip
+    interior, (nvars, S, nxp). Returns (ynew, err, ss_scalar) with ynew/err
+    full-strip and ss_scalar the combined WRMS-error + Newton-convergence
+    partial sum of the strip interior.
+    """
+    hg = h * imex.GAMMA
+    AE, AI, B, D = imex.AE, imex.AI, imex.B, imex.D
+
+    def jac_block(yb):
+        cols = []
+        for bv in range(nvars):
+            e = jnp.stack([jnp.ones_like(yb[0]) if v == bv
+                           else jnp.zeros_like(yb[0])
+                           for v in range(nvars)])
+            _, col = jax.jvp(f_im, (yb,), (e,))
+            cols.append(col)
+        return jnp.stack(cols, axis=1)   # (nvars_out, nvars_in, R, nxp)
+
+    eye = jnp.stack([
+        jnp.stack([jnp.ones_like(y0[0]) if a == b
+                   else jnp.zeros_like(y0[0]) for b in range(nvars)])
+        for a in range(nvars)])
+
+    kE = [f_ex(y0)]
+    kI = [f_im(y0)]
+    delta_ss = jnp.asarray(0.0, dtype)
+    for s in range(1, imex.STAGES):
+        rhs_known = y0
+        for j in range(s):
+            if AE[s][j] != 0.0:
+                rhs_known = rhs_known + (h * AE[s][j]) * kE[j]
+            if AI[s][j] != 0.0:
+                rhs_known = rhs_known + (h * AI[s][j]) * kI[j]
+        yi = rhs_known + hg * kI[s - 1]
+        dy = jnp.zeros_like(y0)
+        for _ in range(imex.NEWTON_ITERS):
+            m = eye - hg * jac_block(yi)
+            resid = yi - hg * f_im(yi) - rhs_known
+            dy = imex.solve_pointwise(m, -resid)
+            yi = yi + dy
+        sdy = dy[:, P:P + S, :] * w
+        delta_ss = delta_ss + jnp.sum(sdy * sdy)
+        kE.append(f_ex(yi))
+        kI.append((yi - rhs_known) / hg)
+
+    ynew = y0
+    err = jnp.zeros_like(y0)
+    for s in range(imex.STAGES):
+        k_sum = kE[s] + kI[s]
+        if B[s] != 0.0:
+            ynew = ynew + (h * B[s]) * k_sum
+        if D[s] != 0.0:
+            err = err + (h * D[s]) * k_sum
+
+    scaled = err[:, P:P + S, :] * w
+    pen = (1.0 / imex.NEWTON_TOL) ** 2
+    ss = jnp.sum(scaled * scaled) + pen * delta_ss
+    return ynew, err, ss
+
+
 def build_fused_imex_step(problem, dtype=jnp.float32,
                           interpret: bool = False) -> FusedImexStep:
     cfg = problem.cfg
@@ -105,11 +171,6 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P, pad_cols)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
     ex_block_of, im_block_of = make_split_block(kind, model, just_diffusion)
-
-    AE, AI, B, C, D = imex.AE, imex.AI, imex.B, imex.C, imex.D
-    GAMMA = imex.GAMMA
-    NEWTON_ITERS = imex.NEWTON_ITERS
-    PEN = (1.0 / imex.NEWTON_TOL) ** 2
 
     def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
                y_hbm, ynew_ref, ss_ref, yv, sems):
@@ -150,7 +211,6 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
             dma.wait()
 
         h = h_ref[0, 0]
-        hg = h * GAMMA
         stencil, b_rows, live_rows = read_strip_constants(
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
@@ -161,55 +221,11 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
         def f_im(yb):
             return im_block_of(yb, b_rows, live_rows)
 
-        def jac_block(yb):
-            cols = []
-            for bv in range(nvars):
-                e = jnp.stack([jnp.ones_like(yb[0]) if v == bv
-                               else jnp.zeros_like(yb[0])
-                               for v in range(nvars)])
-                _, col = jax.jvp(f_im, (yb,), (e,))
-                cols.append(col)
-            return jnp.stack(cols, axis=1)   # (nvars_out, nvars_in, R, nxp)
-
         y0 = yv[slot]
         y0c = y0[:, P:P + S, :]
         w = cm_ref[:, :] / (rtol * jnp.abs(y0c) + atol)
-
-        eye = jnp.stack([
-            jnp.stack([jnp.ones_like(y0[0]) if a == b
-                       else jnp.zeros_like(y0[0]) for b in range(nvars)])
-            for a in range(nvars)])
-
-        kE = [f_ex(y0)]
-        kI = [f_im(y0)]
-        delta_ss = jnp.asarray(0.0, dtype)
-        for s in range(1, imex.STAGES):
-            rhs_known = y0
-            for j in range(s):
-                if AE[s][j] != 0.0:
-                    rhs_known = rhs_known + (h * AE[s][j]) * kE[j]
-                if AI[s][j] != 0.0:
-                    rhs_known = rhs_known + (h * AI[s][j]) * kI[j]
-            yi = rhs_known + hg * kI[s - 1]
-            dy = jnp.zeros_like(y0)
-            for _ in range(NEWTON_ITERS):
-                m = eye - hg * jac_block(yi)
-                resid = yi - hg * f_im(yi) - rhs_known
-                dy = imex.solve_pointwise(m, -resid)
-                yi = yi + dy
-            sdy = dy[:, P:P + S, :] * w
-            delta_ss = delta_ss + jnp.sum(sdy * sdy)
-            kE.append(f_ex(yi))
-            kI.append((yi - rhs_known) / hg)
-
-        ynew = y0
-        err = jnp.zeros_like(y0)
-        for s in range(imex.STAGES):
-            k_sum = kE[s] + kI[s]
-            if B[s] != 0.0:
-                ynew = ynew + (h * B[s]) * k_sum
-            if D[s] != 0.0:
-                err = err + (h * D[s]) * k_sum
+        ynew, _, ss = imex_block_step(y0, h, f_ex, f_im, nvars, dtype,
+                                      P, S, w)
 
         z = ynew[:, P:P + S, :]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
@@ -217,9 +233,7 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
         zr = jnp.roll(z, nx, axis=-1)
         z = jnp.where(jcol < P, zl, jnp.where(jcol >= P + nx, zr, z))
         ynew_ref[:, :, :] = z
-
-        scaled = err[:, P:P + S, :] * w
-        ss_ref[i, 0] = jnp.sum(scaled * scaled) + PEN * delta_ss
+        ss_ref[i, 0] = ss
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

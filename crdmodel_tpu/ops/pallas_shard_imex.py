@@ -27,8 +27,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from crdmodel_tpu.integrate import imex
-from crdmodel_tpu.ops.pallas_imex import _imex_strip_target
+from crdmodel_tpu.integrate import imex  # noqa: F401 (re-exported scheme)
+from crdmodel_tpu.ops.pallas_imex import _imex_strip_target, imex_block_step
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
     freeze_scalar, make_split_block, read_strip_constants)
@@ -81,11 +81,6 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
     b_is_field = cfg.vary_beta == 1
     has_freeze = (t_boundary > 0.0) and not just_diffusion
     ex_block_of, im_block_of = make_split_block(kind, model, just_diffusion)
-
-    AE, AI, B, D = imex.AE, imex.AI, imex.B, imex.D
-    GAMMA = imex.GAMMA
-    NEWTON_ITERS = imex.NEWTON_ITERS
-    PEN = (1.0 / imex.NEWTON_TOL) ** 2
 
     def pad(y_local):
         return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
@@ -204,7 +199,6 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
         wait_strip(i, slot)
 
         h = h_ref[0, 0]
-        hg = h * GAMMA
         stencil, b_rows, live_rows = read_strip_constants(
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
@@ -215,16 +209,6 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
         def f_im(yb):
             return im_block_of(yb, b_rows, live_rows)
 
-        def jac_block(yb):
-            cols = []
-            for bv in range(nvars):
-                e = jnp.stack([jnp.ones_like(yb[0]) if v == bv
-                               else jnp.zeros_like(yb[0])
-                               for v in range(nvars)])
-                _, col = jax.jvp(f_im, (yb,), (e,))
-                cols.append(col)
-            return jnp.stack(cols, axis=1)
-
         wrow = w_ref[:, pl.ds(row0, R), :]
         erow = e_ref[:, pl.ds(row0, R), :]
         y0 = jnp.concatenate(
@@ -233,45 +217,12 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
 
         y0c = y0[:, P:P + S, :]
         w = cm_ref[:, :] / (rtol * jnp.abs(y0c) + atol)
-        eye = jnp.stack([
-            jnp.stack([jnp.ones_like(y0[0]) if a == b
-                       else jnp.zeros_like(y0[0]) for b in range(nvars)])
-            for a in range(nvars)])
-
-        kE = [f_ex(y0)]
-        kI = [f_im(y0)]
-        delta_ss = jnp.asarray(0.0, dtype)
-        for s in range(1, imex.STAGES):
-            rhs_known = y0
-            for j in range(s):
-                if AE[s][j] != 0.0:
-                    rhs_known = rhs_known + (h * AE[s][j]) * kE[j]
-                if AI[s][j] != 0.0:
-                    rhs_known = rhs_known + (h * AI[s][j]) * kI[j]
-            yi = rhs_known + hg * kI[s - 1]
-            dy = jnp.zeros_like(y0)
-            for _ in range(NEWTON_ITERS):
-                m = eye - hg * jac_block(yi)
-                resid = yi - hg * f_im(yi) - rhs_known
-                dy = imex.solve_pointwise(m, -resid)
-                yi = yi + dy
-            sdy = dy[:, P:P + S, :] * w
-            delta_ss = delta_ss + jnp.sum(sdy * sdy)
-            kE.append(f_ex(yi))
-            kI.append((yi - rhs_known) / hg)
-
-        ynew = y0
-        err = jnp.zeros_like(y0)
-        for s in range(imex.STAGES):
-            k_sum = kE[s] + kI[s]
-            if B[s] != 0.0:
-                ynew = ynew + (h * B[s]) * k_sum
-            if D[s] != 0.0:
-                err = err + (h * D[s]) * k_sum
+        # the exact ARK step body shared with the single-chip kernel
+        ynew, _, ss = imex_block_step(y0, h, f_ex, f_im, nvars, dtype,
+                                      P, S, w)
 
         ynew_ref[:, :, :] = ynew[:, P:P + S, :]
-        scaled = err[:, P:P + S, :] * w
-        ss_ref[i, 0] = jnp.sum(scaled * scaled) + PEN * delta_ss
+        ss_ref[i, 0] = ss
 
     if kind == "torus":
         coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),

@@ -167,7 +167,8 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                 base.rhs, y0, params, 0.0, touts,
                 rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
                 max_steps=cfg.max_steps, breakpoints=breakpoints,
-                rhs_split=rhs_split, rho_fn=rho_fn)
+                rhs_split=rhs_split, rho_fn=rho_fn,
+                step_mode=cfg.step_mode)
 
     mode = _resolve_batch_mode(batch_mode)
     t0 = time.perf_counter()

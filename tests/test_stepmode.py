@@ -120,3 +120,89 @@ def test_normal_mode_other_steppers(method):
     np.testing.assert_allclose(np.asarray(r_n.trajectory),
                                np.asarray(r_t.trajectory),
                                rtol=0, atol=1e-4)
+
+
+def test_normal_breakpoint_coinciding_with_output():
+    """A tBoundary that lands exactly on an output time must stay an EXACT
+    stop in normal mode (merge_stops folds it into the output stop; the
+    free-running scan must detect and clamp it — review finding r2)."""
+    cfg = _cfg(t_boundary=1.0, step_mode="normal", output_timestep=4)
+    res = simulate(cfg)
+    assert res.ok
+    u = res.field(0)
+    for k in (1, 2):   # outputs at 0.5 and 1.0 are within/at the freeze
+        np.testing.assert_allclose(u[k, 0, :], u[0, 0, :], atol=1e-12)
+    assert np.max(np.abs(u[-1, 0, :] - u[0, 0, :])) > 1e-6
+    # and the whole run agrees with tstop mode at tolerance
+    r_t = simulate(_cfg(t_boundary=1.0, step_mode="tstop",
+                        output_timestep=4))
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(r_t.trajectory),
+                               rtol=0, atol=5e-5)
+
+
+def test_normal_no_overshoot_across_breakpoint():
+    """A free interval whose overshoot would cross a later breakpoint must
+    cap the step there: with a non-output tBoundary and coarse outputs, the
+    normal-mode run still matches tstop at integrator tolerance (the
+    uncapped bug integrates the frozen RHS past the release, an O(h) error
+    outside rtol)."""
+    kw = dict(t_boundary=0.9, output_timestep=2, t_final=2.0)
+    r_n = simulate(_cfg(step_mode="normal", **kw))
+    r_t = simulate(_cfg(step_mode="tstop", **kw))
+    assert r_n.ok and r_t.ok
+    np.testing.assert_allclose(np.asarray(r_n.trajectory),
+                               np.asarray(r_t.trajectory),
+                               rtol=0, atol=5e-5)
+
+
+def test_sweep_honors_step_mode():
+    """sweep_configs must run members in the config's step_mode (review
+    finding r2): normal-mode sweep members equal normal-mode single runs."""
+    import dataclasses
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg(step_mode="normal", t_final=1.0, output_timestep=2)
+    betas = [1.1, 1.25]
+    res = sweep_configs(cfg, [{"beta": b} for b in betas])
+    assert res.ok()
+    for i, b in enumerate(betas):
+        single = simulate(dataclasses.replace(cfg, beta=b))
+        np.testing.assert_allclose(np.asarray(res.trajectories[i]),
+                                   np.asarray(single.trajectory),
+                                   rtol=1e-7, atol=1e-8)
+
+
+def test_cli_run_normal_mode(tmp_path):
+    """`run --set step_mode=normal` must route to the batch driver instead
+    of crashing in the streaming driver (review finding r2)."""
+    import os
+    import subprocess
+    import sys as _sys
+    ini = tmp_path / "t.ini"
+    ini.write_text("""[Parameters]
+diffusion = 0.12
+beta = 1.25
+surfaceWidth = 20
+surfaceLength = 40
+waveLength = 0.1
+waveWidth = 0.5
+waveInside = 1
+outputTimestep = 2
+tBoundary = 0
+tFinal = 0.5
+xMesh = 10
+
+[System]
+includeAllVars = 0
+varyBeta = 0
+""")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, "-m", "crdmodel_tpu", "run", str(ini),
+         "--model", "fhn", "--surface", "flat", "--dtype", "float64",
+         "--set", "step_mode=normal",
+         "--outdir", str(tmp_path / "out"), "--quiet"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert (tmp_path / "out" / "FHNmodel_flat_u.000.txt").exists()
