@@ -130,6 +130,135 @@ def make_differentiable(cfg: SimConfig, n_steps: int,
         n_steps=n_steps)
 
 
+def record_adaptive_steps(cfg: SimConfig, n_max: int = 4096,
+                          problem: Optional[Problem] = None):
+    """Run the PRODUCTION adaptive solver 0 -> t_final once and record the
+    accepted step-size sequence, by threading a recording buffer through
+    the stepper's cross-step carry: the while_loop's reject path reverts
+    the carry, so exactly the ACCEPTED attempts' h values (as clamped and
+    actually taken) survive — zero changes to the adaptive loop itself.
+
+    Returns (h_seq (n_max,), n_accepted) with zeros past n_accepted.
+    Raises if the run fails or exceeds n_max accepted steps.
+    """
+    from crdmodel_tpu.integrate.erk import (
+        TABLEAUS, _initial_step, integrate_interval, make_default_step_err)
+    problem = problem if problem is not None else build_problem(cfg)
+    if cfg.method not in TABLEAUS:
+        raise ValueError("adaptive-replay gradients need an explicit "
+                         f"tableau method, got {cfg.method!r}")
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        raise ValueError("adaptive-replay gradients need t_boundary == 0 "
+                         "(the replay has no segment bookkeeping)")
+    dtype = jnp.dtype(cfg.dtype)
+    tableau = TABLEAUS[cfg.method]
+    step_err, init_carry = make_default_step_err(tableau, problem.rhs,
+                                                 cfg.rtol, cfg.atol)
+
+    def rec_step(t, y, h, params, carry):
+        c, buf, k = carry
+        y_new, ss, c2 = step_err(t, y, h, params, c)
+        buf = buf.at[k].set(h)
+        return y_new, ss, (c2, buf, k + 1)
+
+    @jax.jit
+    def run(y0, params):
+        t0 = jnp.asarray(0.0, dtype)
+        tout = jnp.asarray(cfg.t_final, dtype)
+        f0 = problem.rhs(t0, y0, params)
+        h0 = _initial_step(problem.rhs, t0, y0, f0, params, tout,
+                           cfg.rtol, cfg.atol, tableau.err_order,
+                           jnp.sum, y0.size)
+        carry0 = (init_carry(t0, y0, params),
+                  jnp.zeros((n_max,), dtype), jnp.asarray(0, jnp.int32))
+        t, y, h, ep, stats, fc = integrate_interval(
+            rec_step, t0, y0, h0, jnp.asarray(1.0, dtype), tout, params,
+            err_order=tableau.err_order, max_steps=cfg.max_steps,
+            global_size=y0.size, carry0=carry0, first_interval=True,
+            return_carry=True)
+        _, buf, k = fc
+        return y, buf, k, stats[-1]
+
+    y_final, h_seq, n_acc, status = run(problem.y0, problem.params)
+    if int(status) != 0:
+        raise RuntimeError(f"adaptive recording run failed (status "
+                           f"{int(status)})")
+    if int(n_acc) > n_max:
+        raise ValueError(f"run took {int(n_acc)} accepted steps > "
+                         f"n_max={n_max}; raise n_max")
+    return y_final, h_seq, int(n_acc)
+
+
+def make_replay_fn(cfg: SimConfig, h_seq, block_size: Optional[int] = None,
+                   problem: Optional[Problem] = None) -> Callable:
+    """Differentiable replay of a recorded adaptive run: fn(params, y0) ->
+    y_final, scanning the FIXED h sequence with the same FSAL stepper the
+    adaptive loop used, so the forward values reproduce the adaptive
+    trajectory exactly (rejected attempts never changed (t, y, carry);
+    zero-padded h entries are exact no-ops for any ERK step). Gradients are
+    therefore consistent with the PRODUCTION solution — the fixed-step
+    make_forward_fn differentiates a different (uniform-step) trajectory.
+
+    sqrt-checkpointed like make_forward_fn. h_seq is treated as a constant
+    (stop_gradient): the exact sensitivity would include dh/dparams terms
+    through the controller, which vanish at convergence order anyway.
+    """
+    from crdmodel_tpu.integrate.erk import TABLEAUS, make_default_step_err
+    problem = problem if problem is not None else build_problem(cfg)
+    dtype = jnp.dtype(cfg.dtype)
+    tableau = TABLEAUS[cfg.method]
+    n = int(np.asarray(h_seq).shape[0])
+    if block_size is None:
+        block_size = max(1, int(np.sqrt(n)))
+    n_blocks = -(-n // block_size)
+    pad = n_blocks * block_size - n
+    h_blocks = jnp.reshape(
+        jnp.concatenate([jax.lax.stop_gradient(jnp.asarray(h_seq, dtype)),
+                         jnp.zeros((pad,), dtype)]),
+        (n_blocks, block_size))
+    step_err, init_carry = make_default_step_err(tableau, problem.rhs,
+                                                 cfg.rtol, cfg.atol)
+
+    def replay(params, y0):
+        t0 = jnp.asarray(0.0, dtype)
+        fc0 = init_carry(t0, y0, params)
+
+        @jax.checkpoint
+        def block(carry, hs):
+            def body(c, h):
+                t, y, fc = c
+                y_new, _, fc2 = step_err(t, y, h, params, fc)
+                return (t + h, y_new, fc2), None
+            c2, _ = jax.lax.scan(body, carry, hs)
+            return c2, None
+
+        (_, y_final, _), _ = jax.lax.scan(block, (t0, y0, fc0), h_blocks)
+        return y_final
+
+    return replay
+
+
+def adaptive_value_and_grad(cfg: SimConfig, loss_fn: Callable,
+                            n_max: int = 4096,
+                            problem: Optional[Problem] = None):
+    """Gradients consistent with the ADAPTIVE production solve: record the
+    accepted h sequence once, then differentiate its exact replay.
+
+    Returns (value_and_grad_fn, y_final_adaptive): the jitted fn maps
+    (params, y0) -> (loss, dloss/dparams) along the recorded step sequence;
+    y_final_adaptive is the recording run's final state (the replay at the
+    recorded params reproduces it exactly — asserted in tests).
+    """
+    problem = problem if problem is not None else build_problem(cfg)
+    y_final, h_seq, n_acc = record_adaptive_steps(cfg, n_max, problem)
+    replay = make_replay_fn(cfg, h_seq, problem=problem)
+
+    def objective(params, y0):
+        return loss_fn(replay(params, y0))
+
+    return jax.jit(jax.value_and_grad(objective)), y_final
+
+
 def validate_steps(cfg: SimConfig, n_steps: int, atol: float,
                    problem: Optional[Problem] = None) -> float:
     """Max |fixed-step final field - adaptive final field|; raises if above

@@ -262,7 +262,7 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
                        *, err_order, max_steps, global_size,
                        reduce_fn=jnp.sum, carry0=(),
                        first_interval=False, status0=None,
-                       h_limit_fn=None):
+                       h_limit_fn=None, return_carry=False):
     """Integrate from (t0, y0) to tout with adaptive steps.
 
     step_err(t, y, h, params, carry) -> (y_new, err_ss, new_carry) where
@@ -358,11 +358,15 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     one = jnp.asarray(1.0, dtype)
     state0 = (t0.astype(dtype), y0, h_init.astype(dtype),
               (err_prev_init.astype(dtype), one), carry0, zero, zero, zero, s0)
-    t, y, h, (ep, _), _, nstep, nacc, nrej, status = jax.lax.while_loop(
+    t, y, h, (ep, _), fc, nstep, nacc, nrej, status = jax.lax.while_loop(
         cond, body, state0)
     # max-steps exhaustion without reaching tout
     status = jnp.where((t < tout) & (status == 0), jnp.asarray(1, jnp.int32),
                        status)
+    if return_carry:
+        # the stepper's final cross-step cache — e.g. the h-sequence
+        # recorder threaded through the carry (differentiable.py replay)
+        return t, y, h, ep, (nstep, nacc, nrej, status), fc
     return t, y, h, ep, (nstep, nacc, nrej, status)
 
 

@@ -114,3 +114,45 @@ def test_gradient_descent_recovers_beta():
         loss, g = sim.value_and_grad({"b": b}, y0)
         b = b - lr * g["b"]
     assert abs(float(b) - target_beta) < 1e-3, float(b)
+
+
+def test_adaptive_replay_reproduces_adaptive_exactly():
+    """The recorded-h replay must reproduce the recording run's final state
+    bitwise: rejected attempts never changed (t, y, carry), the recorder
+    rides the reverted carry, and zero-padded h entries are exact no-ops."""
+    from crdmodel_tpu.differentiable import (make_replay_fn,
+                                             record_adaptive_steps)
+    cfg = _cfg(t_final=1.0)
+    p = build_problem(cfg)
+    y_final, h_seq, n_acc = record_adaptive_steps(cfg, n_max=512, problem=p)
+    assert 0 < n_acc < 512
+    assert float(jnp.sum(jnp.asarray(h_seq)[n_acc:])) == 0.0
+    replay = jax.jit(make_replay_fn(cfg, h_seq, problem=p))
+    y_replay = replay(p.params, p.y0)
+    np.testing.assert_array_equal(np.asarray(y_replay), np.asarray(y_final))
+
+
+def test_adaptive_grad_matches_finite_differences():
+    from crdmodel_tpu.differentiable import adaptive_value_and_grad
+    cfg = _cfg(t_final=0.5)
+    p = build_problem(cfg)
+    vag, y_final = adaptive_value_and_grad(
+        cfg, lambda y: jnp.sum(y[0] ** 2), n_max=512, problem=p)
+    loss0, g = vag(dict(p.params), p.y0)
+    np.testing.assert_allclose(float(loss0),
+                               float(jnp.sum(y_final[0] ** 2)), rtol=1e-12)
+    eps = 1e-6
+    def loss_at(b):
+        return float(vag({"b": jnp.asarray(b, jnp.float64)}, p.y0)[0])
+    fd = (loss_at(cfg.beta + eps) - loss_at(cfg.beta - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g["b"]), fd, rtol=1e-5)
+
+
+def test_adaptive_replay_guards():
+    from crdmodel_tpu.differentiable import record_adaptive_steps
+    with pytest.raises(ValueError, match="tableau"):
+        record_adaptive_steps(_cfg(method="rkc2"))
+    with pytest.raises(ValueError, match="t_boundary"):
+        record_adaptive_steps(_cfg(t_boundary=0.2))
+    with pytest.raises(ValueError, match="n_max"):
+        record_adaptive_steps(_cfg(t_final=2.0), n_max=8)
