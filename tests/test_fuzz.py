@@ -15,13 +15,19 @@ rng = random.Random(20260816)
 
 
 def _random_cfg():
-    model = rng.choice(["fhn", "goldbeter", "barkley"])
+    model = rng.choice(["fhn", "goldbeter", "barkley", "lambdaomega", "sir"])
     surface = rng.choice(["flat", "torus"])
-    vary_beta = rng.choice([0, 1]) if model != "barkley" else 0
+    vary_beta = rng.choice([0, 1]) if model in ("fhn", "goldbeter") else 0
     beta = {"fhn": rng.uniform(0.5, 2.0),
             "goldbeter": rng.uniform(0.1, 1.0),
-            "barkley": rng.uniform(0.02, 0.2)}[model]
+            "barkley": rng.uniform(0.02, 0.2),
+            "lambdaomega": rng.uniform(0.0, 1.0),
+            "sir": rng.uniform(1.0, 3.0)}[model]
     width = rng.choice([10.0, 20.0])
+    # rkc2 needs jac_bound (all these have it); ark324/step_mode stack on
+    # every other axis here, fuzzing the new integrator and output modes
+    method = rng.choice(["bs32", "zonneveld43", "dopri54", "rkc2", "ark324"])
+    step_mode = rng.choice(["tstop", "tstop", "normal"])
     return SimConfig(
         model=model, surface=surface,
         x_mesh=rng.choice([8, 12, 17, 24]),
@@ -39,13 +45,13 @@ def _random_cfg():
         output_timestep=rng.choice([1, 2, 3]),
         just_diffusion=rng.choice([0, 0, 1]),
         include_all_vars=rng.choice([0, 1]),
-        method=rng.choice(["bs32", "zonneveld43", "dopri54", "rkc2"]),
+        method=method, step_mode=step_mode,
         rng_seed=rng.randrange(1000),
         dtype="float64", rtol=1e-5, atol=1e-9,
     )
 
 
-CASES = [_random_cfg() for _ in range(12)]
+CASES = [_random_cfg() for _ in range(16)]
 
 
 @pytest.mark.parametrize("idx", range(len(CASES)))
