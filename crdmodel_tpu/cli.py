@@ -179,13 +179,15 @@ def _run_simulation(args, cfg, problem):
                                          checkpoint_every=args.checkpoint_every,
                                          checkpoint_dir=args.checkpoint,
                                          resume_dir=args.resume,
-                                         checkpoint_backend=args.checkpoint_backend)
+                                         checkpoint_backend=args.checkpoint_backend,
+                                         host_offload=args.host_offload)
     elif args.resume:
         from crdmodel_tpu.io.checkpoint import resume_streaming
         res = resume_streaming(cfg, args.resume, problem=problem,
                                progress=not args.quiet,
                                checkpoint_every=args.checkpoint_every,
-                               checkpoint_path=args.checkpoint)
+                               checkpoint_path=args.checkpoint,
+                               host_offload=args.host_offload)
     else:
         res = simulate_streaming(cfg, problem=problem,
                                  progress=not args.quiet,

@@ -114,11 +114,21 @@ def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
 
     os.makedirs(dirpath, exist_ok=True)
     pid = jax.process_index()
+    # crash-safety: every file is written to a temp name then atomically
+    # renamed, and every shard carries the round id (k_out) that the loader
+    # cross-checks against the manifest — a crash mid-overwrite can
+    # therefore leave stale-round shards behind but NEVER an undetectably
+    # mixed state (the loader refuses on round mismatch)
     for n, shard in enumerate(y.addressable_shards):
         starts = [s.start or 0 for s in shard.index]
-        np.savez_compressed(
-            os.path.join(dirpath, f"y.p{pid:03d}.s{n:03d}.npz"),
-            data=np.asarray(shard.data), starts=np.asarray(starts))
+        path = os.path.join(dirpath, f"y.p{pid:03d}.s{n:03d}.npz")
+        # prefix-named temp: np.savez appends .npz to unknown suffixes, and
+        # the loader's y.p*.npz glob must never match an in-flight temp
+        tmp = os.path.join(dirpath, f"tmp.y.p{pid:03d}.s{n:03d}.npz")
+        np.savez_compressed(tmp, data=np.asarray(shard.data),
+                            starts=np.asarray(starts),
+                            k_out=np.asarray(int(k_out)))
+        os.replace(tmp, path)
     if pid == 0:
         manifest = {
             "fingerprint": config_fingerprint(cfg),
@@ -128,8 +138,10 @@ def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
             "global_shape": [int(s) for s in y.shape],
             "stats": {k: np.asarray(v).tolist() for k, v in stats.items()},
         }
-        with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+        mpath = os.path.join(dirpath, "manifest.json")
+        with open(mpath + ".tmp", "w") as fh:
             json.dump(manifest, fh, indent=1)
+        os.replace(mpath + ".tmp", mpath)
     return dirpath
 
 
@@ -163,6 +175,12 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
     shards = {}
     for f in glob.glob(os.path.join(dirpath, "y.p*.s*.npz")):
         with np.load(f) as z:
+            if "k_out" in z and int(z["k_out"]) != int(manifest["k_out"]):
+                raise ValueError(
+                    f"checkpoint {dirpath} is MIXED: shard {os.path.basename(f)} "
+                    f"is from round {int(z['k_out'])} but the manifest says "
+                    f"{int(manifest['k_out'])} — a save was interrupted; "
+                    "refusing to resume from a corrupted state")
             shards[tuple(int(v) for v in z["starts"])] = z["data"]
 
     shape = tuple(manifest["global_shape"])

@@ -98,7 +98,12 @@ class ShardedReferenceWriter:
     """
 
     def __init__(self, outdir: str, cfg, model, mesh,
-                 include_all_vars: Optional[bool] = None):
+                 include_all_vars: Optional[bool] = None,
+                 append: bool = False):
+        """append=True preserves existing rank files and appends to them —
+        REQUIRED when resuming a checkpointed run into the same outdir
+        (the default would truncate every previously streamed row on the
+        first post-resume snapshot)."""
         self.outdir = outdir
         self.cfg = cfg
         self.model = model
@@ -109,6 +114,7 @@ class ShardedReferenceWriter:
         self._rank_of = {id(d): i
                          for i, d in enumerate(mesh.devices.flat)}
         os.makedirs(outdir, exist_ok=True)
+        self.append = append
         self._started = set()
 
     def _shard_rank(self, shard) -> int:
@@ -125,11 +131,12 @@ class ShardedReferenceWriter:
         with open(spath, "w") as fh:
             fh.write(f"{cfg.nx}  {cfg.ny}  {i0}  {i1}  {j0}  {j1} "
                      f"{cfg.xmin:f} {cfg.xmax:f} {cfg.t_final:f}\n")
-        for v in range(self.nvars_out):
-            name = self.model.var_names[v]
-            open(os.path.join(self.outdir,
-                              f"{self.prog}_{name}.{rank:03d}.txt"),
-                 "w").close()
+        if not self.append:
+            for v in range(self.nvars_out):
+                name = self.model.var_names[v]
+                open(os.path.join(self.outdir,
+                                  f"{self.prog}_{name}.{rank:03d}.txt"),
+                     "w").close()
         self._started.add(rank)
 
     def __call__(self, k: int, y) -> None:

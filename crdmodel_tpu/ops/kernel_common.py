@@ -162,6 +162,180 @@ def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
                            b_is_field=b_is_field, has_freeze=has_freeze)
 
 
+def load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i):
+    """The single-chip kernels' shared input schedule: double-buffered
+    scratch, three wrapped-row DMAs per strip (top halo | body | bottom
+    halo), program i prefetching strip i+1 while computing strip i. All
+    offsets are multiples of 8 (S, P, ny are). The wrap windows
+    [iS-P, iS) / [iS+S, iS+S+P) are contiguous only when S >= P or
+    n_strips == 1 — callers' is_supported must guarantee it. Returns the
+    scratch slot holding strip i (resident rows [iS-P, iS+S+P) mod ny)."""
+
+    def strip_dmas(strip, slot):
+        r0 = pl.multiple_of(strip * S, 8)
+        tops = pl.multiple_of((r0 - P) % ny, 8)
+        bots = pl.multiple_of((r0 + S) % ny, 8)
+        return (
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(tops, P), :],
+                yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(r0, S), :],
+                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(bots, P), :],
+                yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
+        )
+
+    two = jnp.asarray(2, i.dtype)   # x64-safe under the interpreter
+    slot = jax.lax.rem(i, two)
+    nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+    @pl.when(i == 0)
+    def _():
+        for dma in strip_dmas(0, 0):
+            dma.start()
+
+    @pl.when(i + 1 < n_strips)
+    def _():
+        for dma in strip_dmas(i + 1, nslot):
+            dma.start()
+
+    for dma in strip_dmas(i, slot):
+        dma.wait()
+    return slot
+
+
+def load_edge_strips(y_hbm, yv, sems, nyl, S, P, n_strips, i,
+                     lo_ref, hi_ref):
+    """The sharded kernels' shared input schedule: strip rows [iS-P,
+    iS+S+P) of the LOCAL block are contiguous in HBM (no wrap); the
+    first/last P halo rows at the block edges come instead from the thin
+    ppermuted row inputs lo_ref/hi_ref (immediate vector copies). Requires
+    S >= P (strip windows must not cross both edges). Returns the scratch
+    slot holding strip i."""
+
+    def start_strip(strip, slot):
+        r0s = pl.multiple_of(strip * S, 8)
+
+        @pl.when(strip == 0)
+        def _():
+            yv[slot, :, 0:P, :] = lo_ref[:, :, :]
+
+        @pl.when(strip > 0)
+        def _():
+            top0 = pl.multiple_of(jnp.maximum(r0s - P, 0), 8)
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(top0, P), :],
+                yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).start()
+
+        pltpu.make_async_copy(
+            y_hbm.at[:, pl.ds(r0s, S), :],
+            yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
+
+        @pl.when(strip == n_strips - 1)
+        def _():
+            yv[slot, :, P + S:S + 2 * P, :] = hi_ref[:, :, :]
+
+        @pl.when(strip < n_strips - 1)
+        def _():
+            bot0 = pl.multiple_of(jnp.minimum(r0s + S, max(nyl - P, 0)), 8)
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(bot0, P), :],
+                yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).start()
+
+    def wait_strip(strip, slot):
+        @pl.when(strip > 0)
+        def _():
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(0, P), :],
+                yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            y_hbm.at[:, pl.ds(0, S), :],
+            yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
+
+        @pl.when(strip < n_strips - 1)
+        def _():
+            pltpu.make_async_copy(
+                y_hbm.at[:, pl.ds(0, P), :],
+                yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).wait()
+
+    two = jnp.asarray(2, i.dtype)
+    slot = jax.lax.rem(i, two)
+    nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+    @pl.when(i == 0)
+    def _():
+        start_strip(i, slot)
+
+    @pl.when(i + 1 < n_strips)
+    def _():
+        start_strip(i + 1, nslot)
+
+    wait_strip(i, slot)
+    return slot
+
+
+def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
+                            b_is_field, has_freeze, axis_y, axis_x):
+    """(pad, unpad, splice_inputs, prepare_params) shared by the sharded
+    kernels — the v3 splice transport (thin ppermute strips + in-kernel
+    column splice; design/traffic rationale in ops/pallas_shard_step.py's
+    module docstring). splice_inputs and prepare_params must run INSIDE
+    shard_map over (axis_y, axis_x)."""
+    from jax import lax
+
+    from crdmodel_tpu.parallel.halo import (_shift_from_next,
+                                            _shift_from_prev,
+                                            halo_pad_cols, halo_pad_rows)
+    fill = nxp - (nxl + 2 * P)
+
+    def pad(y_local):
+        return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
+
+    def unpad(yp):
+        return yp[..., P:P + nxl]
+
+    def splice_inputs(yp):
+        w_cols = _shift_from_prev(
+            lax.slice_in_dim(yp, nxl, P + nxl, axis=2), axis_x)
+        e_cols = _shift_from_next(
+            lax.slice_in_dim(yp, P, 2 * P, axis=2), axis_x)
+        w_ext = halo_pad_rows(w_cols, axis_y, P)
+        e_ext = halo_pad_rows(e_cols, axis_y, P)
+        lo_rows = _shift_from_prev(yp[:, nyl - P:, :], axis_y)
+        hi_rows = _shift_from_next(yp[:, :P, :], axis_y)
+        return w_ext, e_ext, lo_rows, hi_rows
+
+    def prepare_params(params):
+        out = dict(params)
+        coeffs = params["coeffs"]
+        if kind == "torus":
+            cs = []
+            for c in coeffs:
+                prof = jnp.asarray(c, dtype).reshape(1, nxl)
+                prof = halo_pad_cols(prof, axis_x, P)
+                if fill:
+                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
+                cs.append(prof)
+            out["_fused_coeffs"] = tuple(cs)
+        else:
+            out["_fused_coeffs"] = tuple(
+                jnp.reshape(jnp.asarray(c, dtype), (1, 1)) for c in coeffs)
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    return pad, unpad, splice_inputs, prepare_params
+
+
 def freeze_scalar(params, has_freeze: bool, t_boundary: float, dtype):
     """1.0 while the integration segment lies in the frozen piece
     (t < tBoundary), derived from params['_seg_end'] — segments never

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
-    freeze_scalar, make_rhs_block, prepare_constants,
+    freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
     read_strip_constants)
 
 
@@ -133,38 +133,7 @@ def build_fused_kstep(problem, tableau: Tableau, k: int,
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
 
-        def strip_dmas(strip, slot):
-            r0 = pl.multiple_of(strip * S, 8)
-            tops = pl.multiple_of((r0 - P) % ny, 8)
-            bots = pl.multiple_of((r0 + S) % ny, 8)
-            return (
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(tops, P), :],
-                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(r0, S), :],
-                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(bots, P), :],
-                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
-            )
-
-        two = jnp.asarray(2, i.dtype)
-        slot = jax.lax.rem(i, two)
-        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
-
-        @pl.when(i == 0)
-        def _():
-            for dma in strip_dmas(0, 0):
-                dma.start()
-
-        @pl.when(i + 1 < n_strips)
-        def _():
-            for dma in strip_dmas(i + 1, nslot):
-                dma.start()
-
-        for dma in strip_dmas(i, slot):
-            dma.wait()
+        slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i)
 
         h = h_ref[0, 0]
         n_commit = nc_ref[0, 0]

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.pallas_step import _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
-    freeze_scalar, make_rhs_block, prepare_constants,
+    freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
     read_strip_constants)
 
 P_RKC = 24                  # halo depth: s + 1 evaluation rings, s <= 23
@@ -64,8 +64,15 @@ def is_rkc_supported(problem, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
-    if _pick_strip(cfg.ny,
-                   target=_strip_target(cfg.nx, problem.model.nvars)) is None:
+    S = _pick_strip(cfg.ny,
+                    target=_strip_target(cfg.nx, problem.model.nvars))
+    if S is None:
+        return False
+    # multi-strip wrapped-row DMA windows [iS-P, iS) / [iS+S, iS+S+P) are
+    # contiguous only when S >= P (strip 0 / last strip wrap cleanly); a
+    # shallower strip would clamp/overrun pl.ds and load WRONG halo rows —
+    # the sharded twin guards identically (pallas_shard_rkc.py)
+    if cfg.ny // S > 1 and S < P_RKC:
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
@@ -138,6 +145,10 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     S = _pick_strip(ny, target=_strip_target(nx, nvars))
     if S is None:
         raise ValueError(f"ny={ny} has no usable strip divisor")
+    if ny // S > 1 and S < P:
+        raise ValueError(f"strip S={S} < halo P={P} with multiple strips: "
+                         "wrapped halo DMA windows would not be contiguous "
+                         "(see is_rkc_supported)")
     n_strips = ny // S
     R = S + 2 * P
     nxp = ((nx + 2 * P + 127) // 128) * 128
@@ -163,38 +174,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
 
-        def strip_dmas(strip, slot):
-            r0 = pl.multiple_of(strip * S, 8)
-            tops = pl.multiple_of((r0 - P) % ny, 8)
-            bots = pl.multiple_of((r0 + S) % ny, 8)
-            return (
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(tops, P), :],
-                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(r0, S), :],
-                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(bots, P), :],
-                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
-            )
-
-        two = jnp.asarray(2, i.dtype)
-        slot = jax.lax.rem(i, two)
-        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
-
-        @pl.when(i == 0)
-        def _():
-            for dma in strip_dmas(0, 0):
-                dma.start()
-
-        @pl.when(i + 1 < n_strips)
-        def _():
-            for dma in strip_dmas(i + 1, nslot):
-                dma.start()
-
-        for dma in strip_dmas(i, slot):
-            dma.wait()
+        slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i)
 
         h = h_ref[0, 0]
         s = s_ref[0, 0]

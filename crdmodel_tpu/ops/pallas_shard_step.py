@@ -50,16 +50,13 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
-    freeze_scalar, make_rhs_block, read_strip_constants)
-from crdmodel_tpu.parallel.halo import (_shift_from_next, _shift_from_prev,
-                                        halo_pad_cols, halo_pad_rows)
+    freeze_scalar, load_edge_strips, make_shard_halo_helpers, make_rhs_block, read_strip_constants)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 
@@ -139,58 +136,10 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     has_freeze = (t_boundary > 0.0) and not just_diffusion
     rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
-    def pad(y_local):
-        """(nvars, nyl, nxl) -> lane-padded loop state (halo lanes zero;
-        they are refreshed from neighbours at the top of every step)."""
-        return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
-
-    def unpad(yp):
-        return yp[..., P:P + nxl]
-
-    def splice_inputs(yp):
-        """Thin halo strips for the in-kernel splice — NO pass over the
-        state. Column halos: two (nvars, nyl, P) ppermutes, row-halo-padded
-        to (nvars, nyl+2P, P) so the kernel can splice every resident row
-        (their own row halos carry the diagonal neighbours' corners —
-        two-phase). Row halos: two (nvars, P, nxp) ppermutes of the state's
-        edge rows; their stale column lanes are fixed by the same in-kernel
-        splice."""
-        w_cols = _shift_from_prev(
-            lax.slice_in_dim(yp, nxl, P + nxl, axis=2), axis_x)
-        e_cols = _shift_from_next(
-            lax.slice_in_dim(yp, P, 2 * P, axis=2), axis_x)
-        w_ext = halo_pad_rows(w_cols, axis_y, P)
-        e_ext = halo_pad_rows(e_cols, axis_y, P)
-        lo_rows = _shift_from_prev(yp[:, nyl - P:, :], axis_y)
-        hi_rows = _shift_from_next(yp[:, :P, :], axis_y)
-        return w_ext, e_ext, lo_rows, hi_rows
-
-    def prepare_params(params):
-        """Halo-pad the static per-shard arrays once per dispatch."""
-        out = dict(params)
-        coeffs = params["coeffs"]
-        if kind == "torus":
-            cs = []
-            for c in coeffs:
-                prof = jnp.asarray(c, dtype).reshape(1, nxl)
-                prof = halo_pad_cols(prof, axis_x, P)
-                if fill:
-                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
-                cs.append(prof)
-            out["_fused_coeffs"] = tuple(cs)
-        else:
-            out["_fused_coeffs"] = tuple(
-                jnp.reshape(jnp.asarray(c, dtype), (1, 1)) for c in coeffs)
-        b = params["b"]
-        if b_is_field:
-            out["_fused_b"] = halo_pad_rows(
-                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
-        else:
-            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
-        if has_freeze:
-            out["_fused_live"] = halo_pad_rows(
-                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
-        return out
+    # v3 splice transport shared by the sharded kernels
+    pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
+        kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
+        axis_y, axis_x)
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
@@ -209,69 +158,8 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
         # at the block edges come from the thin lo/hi VMEM inputs instead
         # (immediate vector copies), everything else via up-to-3 DMAs.
         # Program i prefetches strip i+1 while computing strip i.
-        def start_strip(strip, slot):
-            r0s = pl.multiple_of(strip * S, 8)
-
-            @pl.when(strip == 0)
-            def _():
-                yv[slot, :, 0:P, :] = lo_ref[:, :, :]
-
-            @pl.when(strip > 0)
-            def _():
-                top0 = pl.multiple_of(
-                    jnp.maximum(r0s - P, 0), 8)
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(top0, P), :],
-                    yv.at[slot, :, pl.ds(0, P), :],
-                    sems.at[slot, 0]).start()
-
-            pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(r0s, S), :],
-                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
-
-            @pl.when(strip == n_strips - 1)
-            def _():
-                yv[slot, :, P + S:R, :] = hi_ref[:, :, :]
-
-            @pl.when(strip < n_strips - 1)
-            def _():
-                bot0 = pl.multiple_of(
-                    jnp.minimum(r0s + S, max(nyl - P, 0)), 8)
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(bot0, P), :],
-                    yv.at[slot, :, pl.ds(P + S, P), :],
-                    sems.at[slot, 2]).start()
-
-        def wait_strip(strip, slot):
-            @pl.when(strip > 0)
-            def _():
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(0, P), :],
-                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(0, S), :],
-                yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
-
-            @pl.when(strip < n_strips - 1)
-            def _():
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(0, P), :],
-                    yv.at[slot, :, pl.ds(P + S, P), :],
-                    sems.at[slot, 2]).wait()
-
-        two = jnp.asarray(2, i.dtype)
-        slot = jax.lax.rem(i, two)
-        nslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
-
-        @pl.when(i == 0)
-        def _():
-            start_strip(i, slot)
-
-        @pl.when(i + 1 < n_strips)
-        def _():
-            start_strip(i + 1, nslot)
-
-        wait_strip(i, slot)
+        slot = load_edge_strips(y_hbm, yv, sems, nyl, S, P,
+                                n_strips, i, lo_ref, hi_ref)
 
         h = h_ref[0, 0]
         stencil, b_rows, live_rows = read_strip_constants(

@@ -53,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.kernel_common import (
-    freeze_scalar, make_rhs_block, prepare_constants, read_strip_constants)
+    freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
+    read_strip_constants)
 
 HALO = 8  # >= stages for every supported tableau; multiple of 8 for alignment
 
@@ -147,42 +148,9 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
 
-        # Double-buffered input: scratch yv holds two strip slots; program i
-        # prefetches strip i+1 into the other slot while computing strip i
-        # (scratch persists across the sequential grid programs). Three
-        # wrapped-row DMAs per strip: top halo | body | bottom halo (full
-        # width). All offsets are multiples of 8 (S, P, ny are), hinted.
-        def strip_dmas(strip, slot):
-            r0 = pl.multiple_of(strip * S, 8)
-            tops = pl.multiple_of((r0 - P) % ny, 8)
-            bots = pl.multiple_of((r0 + S) % ny, 8)
-            return (
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(tops, P), :],
-                    yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(r0, S), :],
-                    yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    y_hbm.at[:, pl.ds(bots, P), :],
-                    yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
-            )
-
-        slot = jax.lax.rem(i, 2)
-        nslot = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i == 0)
-        def _():
-            for dma in strip_dmas(0, 0):
-                dma.start()
-
-        @pl.when(i + 1 < n_strips)
-        def _():
-            for dma in strip_dmas(i + 1, nslot):
-                dma.start()
-
-        for dma in strip_dmas(i, slot):
-            dma.wait()
+        # Double-buffered wrapped-row input schedule, shared by all
+        # single-chip kernels (kernel_common.load_wrap_strips)
+        slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i)
 
         h = h_ref[0, 0]
         stencil, b_rows, live_rows = read_strip_constants(

@@ -88,8 +88,15 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                                checkpoint_every: Optional[int] = None,
                                checkpoint_dir: Optional[str] = None,
                                resume_dir: Optional[str] = None,
-                               checkpoint_backend: str = "orbax"):
+                               checkpoint_backend: str = "orbax",
+                               host_offload: bool = False):
     """Streaming sharded run on a (possibly) process-spanning mesh.
+
+    host_offload=True (with gather=True) keeps each allgathered snapshot in
+    HOST memory so device memory stays bounded by the solver state
+    regardless of Nt (see sim.simulate_streaming); gather=False needs no
+    offload — snapshots stay device-sharded and trajectory rows live in
+    the streamed per-shard files.
 
     Every process executes the same program; progress prints on process 0
     only. gather=True allgathers each snapshot to every host (fine for
@@ -137,8 +144,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         if not gather:
             return arr
         from jax.experimental import multihost_utils
-        return jnp.asarray(multihost_utils.process_allgather(
-            arr, tiled=True))
+        g = multihost_utils.process_allgather(arr, tiled=True)
+        return np.asarray(g) if host_offload else jnp.asarray(g)
 
     nt = len(touts)
     t_start = time.perf_counter()
@@ -212,7 +219,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         maybe_checkpoint(k_out + 1, y)
         if progress and is_lead:
             elapsed = time.perf_counter() - t_start
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            # post-resume elapsed over post-resume intervals only
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
             print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
                   f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
                   f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
@@ -222,7 +230,16 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         print("\n   ----------------------")
 
     wall = time.perf_counter() - t_start
-    traj = jnp.stack(snaps) if gather else snaps
+    # gather=False keeps the per-snapshot DEVICE-SHARDED arrays in
+    # SimResult.snapshots and leaves trajectory EMPTY — at pod scale the
+    # rows live in the streamed per-shard files (never materialise a
+    # host-gathered trajectory); field()/writers on the empty trajectory
+    # yield empty results rather than a type error
+    if gather and snaps:
+        traj = (np.stack([np.asarray(s) for s in snaps]) if host_offload
+                else jnp.stack(snaps))
+    else:
+        traj = jnp.zeros((0,) + tuple(y.shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
@@ -234,4 +251,5 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
     return SimResult(cfg=cfg, problem=problem,
                      trajectory=traj,
                      touts=touts_out,
-                     stats=stats, wall_time=wall)
+                     stats=stats, wall_time=wall,
+                     snapshots=None if gather else snaps)

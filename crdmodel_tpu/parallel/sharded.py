@@ -130,23 +130,38 @@ def _local_block_shape(cfg, mesh: Mesh) -> tuple:
     return cfg.ny // shape[AXIS_Y], cfg.nx // shape[AXIS_X]
 
 
+def _shard_kernel_eligible(cfg, mesh: Mesh, interpret: bool) -> bool:
+    """Shard-kernel selection policy: explicit use_pallas wins; auto
+    compares the LOCAL block size against the measured crossover (the
+    per-chip work is nyl*nxl — gating on the global grid would enable the
+    kernel for tiny per-device blocks where launch overhead loses to XLA).
+    interpret=True (CPU-mesh tests) requires explicit use_pallas."""
+    if interpret:
+        return cfg.use_pallas is True
+    if cfg.use_pallas is False:
+        return False
+    if cfg.use_pallas is None:
+        from crdmodel_tpu.config import PALLAS_AUTO_POINTS
+        nyl, nxl = _local_block_shape(cfg, mesh)
+        if nyl * nxl < PALLAS_AUTO_POINTS:
+            return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return True
+
+
 def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
                            interpret: bool = False):
     """The fused multi-stage shard kernel (ops/pallas_shard_step.py) when the
-    configuration supports it, else None (XLA per-stage path).
-
-    Selection mirrors the single-chip policy (_pallas_eligible): explicit
-    use_pallas wins; auto selects the kernel above the measured crossover.
-    interpret=True forces the Pallas interpreter (CPU-mesh tests).
-    """
-    from crdmodel_tpu.sim import _pallas_eligible
+    configuration supports it, else None (XLA per-stage path)."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
         return None
-    if not interpret and not _pallas_eligible(cfg):
-        return None
-    if interpret and cfg.use_pallas is not True:
+    if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_step
     tableau = TABLEAUS[cfg.method]
@@ -163,13 +178,10 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
                           interpret: bool = False):
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
     production configuration for diffusion-limited large grids on a mesh."""
-    from crdmodel_tpu.sim import _pallas_eligible
     cfg = problem.cfg
     if cfg.method != "rkc2":
         return None
-    if not interpret and not _pallas_eligible(cfg):
-        return None
-    if interpret and cfg.use_pallas is not True:
+    if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_rkc
     nyl, nxl = _local_block_shape(cfg, mesh)
@@ -184,13 +196,10 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
                            interpret: bool = False):
     """Sharded fused IMEX step (ops/pallas_shard_imex.py) when supported —
     one halo exchange per ark324 step, shard-local Newton in-kernel."""
-    from crdmodel_tpu.sim import _pallas_eligible
     cfg = problem.cfg
     if cfg.method != "ark324" or cfg.step_mode != "tstop":
         return None
-    if not interpret and not _pallas_eligible(cfg):
-        return None
-    if interpret and cfg.use_pallas is not True:
+    if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_imex
     nyl, nxl = _local_block_shape(cfg, mesh)
@@ -524,7 +533,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         maybe_checkpoint(k_out + 1, y)
         if progress:
             elapsed = time.perf_counter() - t_start
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            # post-resume elapsed over post-resume intervals only
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
             print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
                   f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
                   f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
@@ -534,8 +544,13 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         print("\n   ----------------------")
 
     wall = time.perf_counter() - t_start
-    traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
-        else jnp.stack(snaps)
+    if snaps:
+        traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
+            else jnp.stack(snaps)
+    else:
+        # resumed run whose first interval failed: no snapshots, but the
+        # caller still gets a SimResult carrying the failure stats
+        traj = jnp.zeros((0,) + tuple(y.shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),

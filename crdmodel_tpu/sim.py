@@ -33,6 +33,10 @@ class SimResult:
     touts: np.ndarray         # (Nt+1,), starting at T0
     stats: SolveStats
     wall_time: float
+    # multihost gather=False only: the per-snapshot DEVICE-SHARDED arrays
+    # (trajectory is then empty — at pod scale the rows live in the
+    # streamed per-shard output files, parallel/multihost.py)
+    snapshots: Optional[list] = None
 
     @property
     def ok(self) -> bool:
@@ -457,7 +461,9 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         maybe_checkpoint(k_out + 1)
         if progress:
             elapsed = time.perf_counter() - t_start
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1)
+            # elapsed covers post-resume work only: normalise by the
+            # intervals completed THIS run, not the checkpointed total
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
             print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
                   f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
                   f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "

@@ -231,3 +231,67 @@ def test_streaming_host_offload_matches(tmp_path):
     assert res.ok
     np.testing.assert_array_equal(np.asarray(res.trajectory),
                                   np.asarray(full.trajectory))
+
+
+def test_sharded_checkpoint_detects_mixed_rounds(tmp_path):
+    """A save interrupted mid-overwrite leaves shards from two rounds; the
+    loader must refuse (every shard carries its round id — review
+    finding)."""
+    import glob
+    import os
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from crdmodel_tpu.io.checkpoint import (load_sharded_checkpoint,
+                                            save_sharded_checkpoint)
+    from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=16, surface_width=20,
+                    surface_length=40, dtype="float64")
+    mesh = make_mesh(shape=(2, 4))
+    import jax.numpy as jnp
+    y = jax.device_put(
+        jnp.zeros((2, cfg.ny, cfg.nx)),
+        NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
+    d = str(tmp_path / "ck")
+    stats = {k: np.zeros(2, np.int64)
+             for k in ("steps", "accepted", "rejected", "status")}
+    save_sharded_checkpoint(d, cfg, mesh, 2, y, 0.5, 0.01, 1.0, stats)
+    # simulate an interrupted later save: ONE shard advanced to round 4
+    f = sorted(glob.glob(os.path.join(d, "y.p*.npz")))[0]
+    with np.load(f) as z:
+        data, starts = z["data"], z["starts"]
+    np.savez_compressed(f, data=data, starts=starts,
+                        k_out=np.asarray(4))
+    with pytest.raises(ValueError, match="MIXED"):
+        load_sharded_checkpoint(d, cfg, mesh)
+
+
+def test_sharded_writer_append_mode(tmp_path):
+    """append=True must preserve previously streamed rows (the resume
+    workflow; the default truncates — review finding)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from crdmodel_tpu.io.trajectory import (ShardedReferenceWriter,
+                                            read_reference_files)
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=16, surface_width=20,
+                    surface_length=40, dtype="float64", include_all_vars=0)
+    p = build_problem(cfg)
+    mesh = make_mesh(shape=(2, 4))
+    sh = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+    d = str(tmp_path / "out")
+    w1 = ShardedReferenceWriter(d, cfg, p.model, mesh)
+    y0 = jax.device_put(p.y0, sh)
+    w1(0, y0)
+    w1(1, jax.device_put(p.y0 + 1.0, sh))
+    # fresh writer (a resumed process) appending rows 2..
+    w2 = ShardedReferenceWriter(d, cfg, p.model, mesh, append=True)
+    w2(2, jax.device_put(p.y0 + 2.0, sh))
+    traj, _ = read_reference_files(d, cfg.program_name, "u")
+    assert traj.shape[0] == 3
+    np.testing.assert_allclose(traj[2] - traj[0], 2.0, atol=1e-12)
+    # and the default still truncates (fresh-run semantics)
+    w3 = ShardedReferenceWriter(d, cfg, p.model, mesh)
+    w3(0, y0)
+    traj, _ = read_reference_files(d, cfg.program_name, "u")
+    assert traj.shape[0] == 1

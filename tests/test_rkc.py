@@ -113,3 +113,26 @@ def test_rkc_streaming():
                     dtype="float64", rtol=1e-6, atol=1e-10)
     res = simulate_streaming(cfg)
     assert res.ok
+
+
+def test_fused_rkc_rejects_shallow_strips():
+    """Multi-strip wrapped-row DMAs need strip depth >= halo P=24; grids
+    whose largest admissible strip divisor is shallower must fall back to
+    the XLA path instead of silently loading wrong halo rows (review
+    finding: ny=1616 picks S=16 < 24 with 101 strips)."""
+    import jax.numpy as jnp
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.ops import pallas_rkc
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=404,
+                    surface_width=20, surface_length=80,
+                    beta=1.25, dtype="float32", rtol=1e-5, atol=1e-8,
+                    method="rkc2")
+    p = build_problem(cfg)
+    assert cfg.ny == 1616
+    assert not pallas_rkc.is_rkc_supported(p, jnp.float32)
+    # a clean power-of-two grid still qualifies
+    cfg2 = SimConfig(model="fhn", surface="torus", x_mesh=256,
+                     surface_width=20, surface_length=80,
+                     beta=1.25, dtype="float32", rtol=1e-5, atol=1e-8,
+                     method="rkc2")
+    assert pallas_rkc.is_rkc_supported(build_problem(cfg2), jnp.float32)
