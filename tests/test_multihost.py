@@ -225,3 +225,52 @@ def test_two_process_sharded_writer(tmp_path):
         arr, _ = read_reference_files(outdir, cfg.program_name, var=name)
         np.testing.assert_allclose(
             arr, np.asarray(single.trajectory)[:, v], rtol=0, atol=1e-15)
+
+
+CHILD4 = CHILD.replace('assert jax.local_device_count() == 4',
+                       'assert jax.local_device_count() == 2'
+                       ).replace(
+    'rtol=1e-6, atol=1e-10)',
+    'rtol=1e-6, atol=1e-10, method="ark324")')
+
+
+@pytest.mark.slow
+def test_four_process_mesh_matches_single_process(tmp_path):
+    """4 coordinated processes x 2 devices = the same 8-device mesh; run
+    through the IMEX stepper (shard-local Newton) for good measure. The
+    stronger DCN analogue: 4 'nodes' like the reference's mpirun -np 4
+    (util/ShellScripts/runFHNmodelTorus.sh:6)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    out = str(tmp_path / "mh4.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD4, str(pid), "4", port, out],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1, 2, 3)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+    with np.load(out) as z:
+        traj_mh = z["trajectory"]
+        steps_mh = z["steps"]
+
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=2, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.2, dtype="float64",
+                    rtol=1e-6, atol=1e-10, method="ark324")
+    ref = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert ref.ok
+    np.testing.assert_allclose(traj_mh, np.asarray(ref.trajectory),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(steps_mh, np.asarray(ref.stats.steps))
