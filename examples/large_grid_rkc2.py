@@ -11,7 +11,12 @@ Measured on one TPU v5e: 6400x1600 grid (10.2M points), Tf=10 in ~17 s.
     python examples/large_grid_rkc2.py
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crdmodel_tpu import SimConfig
 from crdmodel_tpu.sim import print_banner, simulate_streaming

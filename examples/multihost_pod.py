@@ -12,9 +12,13 @@ coordinator and the mesh spans all chips over ICI+DCN. For a local
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crdmodel_tpu import SimConfig
 from crdmodel_tpu.parallel import multihost
