@@ -27,7 +27,7 @@ ops/pallas_step.py); the error estimate is RKC's order-2
 est = 0.8(y - y_new) + 0.4h(F0 + F(y_new)), WRMS-scaled per strip.
 
 float32, single-chip periodic wrap (the lane-halo refresh trick of
-ops/pallas_step.py). Sharded RKC keeps the XLA path for now.
+ops/pallas_step.py). The sharded variant is ops/pallas_shard_rkc.py.
 """
 
 from __future__ import annotations
