@@ -728,7 +728,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          breakpoints=(), step_err=None, init_carry=None,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
                          kstep_call=None, h_limit_fn=None, rhs_split=None,
-                         step_mode="tstop"):
+                         step_mode="tstop", err_order=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -770,9 +770,13 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         step_err, init_carry, err_order = make_stepper(
             method, rhs, rtol, atol, rho_fn, rhs_split)
     else:
-        err_order = (TABLEAUS[method].err_order if isinstance(method, str)
-                     and method in TABLEAUS else method.err_order
-                     if hasattr(method, "err_order") else 3)
+        # caller-supplied steppers (fused kernels) should pass err_order
+        # explicitly; the fallback covers the tableau name
+        if err_order is None:
+            err_order = (TABLEAUS[method].err_order
+                         if isinstance(method, str) and method in TABLEAUS
+                         else method.err_order
+                         if hasattr(method, "err_order") else 3)
         if init_carry is None:
             init_carry = lambda t, y, params: ()
     if y_loop0 is None:

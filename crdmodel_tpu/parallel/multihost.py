@@ -177,57 +177,43 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
             on_snapshot(0, y if not gather else np.asarray(snaps[0]))
     status = jnp.asarray(0, jnp.int32)
 
-    def maybe_checkpoint(k_done, y_now):
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+
+    def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_dir and \
                 k_done % checkpoint_every == 0 and k_done < nt:
             from crdmodel_tpu.io.checkpoint import (save_orbax_checkpoint,
                                                     save_sharded_checkpoint)
             save = (save_orbax_checkpoint if checkpoint_backend == "orbax"
                     else save_sharded_checkpoint)
-            save(checkpoint_dir, cfg, mesh, k_done, y_now,
-                 float(t), float(h), float(errp), acc)
+            save(checkpoint_dir, cfg, mesh, k_done, state["y"],
+                 float(state["t"]), float(state["h"]),
+                 float(state["errp"]), acc)
 
-    k_out = k_start
-    outs_skipped = 0
-    first = resume_dir is None
-    for stop, is_out in zip(stop_times, is_output):
-        # resume skips deterministically by count (see sim.py); breakpoints
-        # at/before the checkpointed t compare in the run dtype
-        if is_out:
-            if outs_skipped < k_start:
-                outs_skipped += 1
-                continue
-        elif float(jnp.asarray(stop, dtype)) <= float(t):
-            continue
-        t, y, h, errp, (ns, na, nr, status) = one_interval(
-            t, y, h, errp, status, jnp.asarray(stop, dtype),
+    def step_to(stop, first, k_out):
+        (state["t"], state["y"], state["h"], state["errp"],
+         (ns, na, nr, state["status"])) = one_interval(
+            state["t"], state["y"], state["h"], state["errp"],
+            state["status"], jnp.asarray(stop, dtype),
             jnp.asarray(first), params)
-        first = False
         acc["steps"][k_out] += int(ns)
         acc["accepted"][k_out] += int(na)
         acc["rejected"][k_out] += int(nr)
-        acc["status"][k_out] = max(acc["status"][k_out], int(status))
-        if int(status) != 0:
-            if is_lead:
-                print("\nSolver failure, stopping integration")
-            break
-        if not is_out:
-            continue
-        snaps.append(snap(y))
+        acc["status"][k_out] = max(acc["status"][k_out],
+                                   int(state["status"]))
+        return int(state["status"])
+
+    def on_output(k_done):
+        snaps.append(snap(state["y"]))
         if on_snapshot is not None and (is_lead or not gather):
-            on_snapshot(k_out + 1, y if not gather else np.asarray(snaps[-1]))
-        maybe_checkpoint(k_out + 1, y)
-        if progress and is_lead:
-            elapsed = time.perf_counter() - t_start
-            # post-resume elapsed over post-resume intervals only
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
-            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
-                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
-                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
-                  f"remaining", end="", flush=True)
-        k_out += 1
-    if progress and is_lead:
-        print("\n   ----------------------")
+            on_snapshot(k_done,
+                        state["y"] if not gather else np.asarray(snaps[-1]))
+
+    from crdmodel_tpu.sim import drive_stream_loop
+    drive_stream_loop(list(zip(stop_times, is_output)), nt, k_start,
+                      resume_dir is None, dtype, step_to,
+                      lambda: float(state["t"]), on_output,
+                      maybe_checkpoint, progress, t_start, lead=is_lead)
 
     wall = time.perf_counter() - t_start
     # gather=False keeps the per-snapshot DEVICE-SHARDED arrays in
@@ -239,7 +225,7 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         traj = (np.stack([np.asarray(s) for s in snaps]) if host_offload
                 else jnp.stack(snaps))
     else:
-        traj = jnp.zeros((0,) + tuple(y.shape), dtype)
+        traj = jnp.zeros((0,) + tuple(state["y"].shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),

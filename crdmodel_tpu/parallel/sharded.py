@@ -265,16 +265,20 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                     (*fused.step_err(t, y, h, p), ()),
                 y_loop0=fused.pad(y0), capture=fused.unpad)
         elif fimex is not None:
+            from crdmodel_tpu.integrate import imex
             params_run = fimex.prepare_params(params)
             kw = dict(
                 step_err=lambda t, y, h, p, carry:
                     (*fimex.step_err(t, y, h, p), ()),
                 init_carry=lambda t, y, p: (),
+                err_order=imex.ERR_ORDER,
                 y_loop0=fimex.pad(y0), capture=fimex.unpad)
         elif frkc is not None:
+            from crdmodel_tpu.integrate import rkc as _rkc
             params_run = frkc.prepare_params(params)
             kw = dict(step_err=frkc.step_err,
                       y_loop0=frkc.pad(y0), capture=frkc.unpad,
+                      err_order=_rkc.ERR_ORDER,
                       h_limit_fn=frkc.h_limit)
         return integrate_to_outputs(
             local_rhs, y0, params_run, 0.0, touts,
@@ -490,58 +494,42 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
             on_snapshot(0, y)
     status = jnp.asarray(0, jnp.int32)
 
-    def maybe_checkpoint(k_done, y_now):
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+
+    def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_dir and \
                 k_done % checkpoint_every == 0 and k_done < nt:
             from crdmodel_tpu.io.checkpoint import (save_orbax_checkpoint,
                                                     save_sharded_checkpoint)
             save = (save_orbax_checkpoint if checkpoint_backend == "orbax"
                     else save_sharded_checkpoint)
-            save(checkpoint_dir, cfg, mesh, k_done, y_now,
-                 float(t), float(h), float(errp), acc)
+            save(checkpoint_dir, cfg, mesh, k_done, state["y"],
+                 float(state["t"]), float(state["h"]),
+                 float(state["errp"]), acc)
 
-    k_out = k_start
-    outs_skipped = 0
-    first = resume_dir is None
-    for stop, is_out in zip(stop_times, is_output):
-        # resume skips deterministically by count (see sim.py); breakpoints
-        # at/before the checkpointed t compare in the run dtype
-        if is_out:
-            if outs_skipped < k_start:
-                outs_skipped += 1
-                continue
-        elif float(jnp.asarray(stop, dtype)) <= float(t):
-            continue
-        t, y, h, errp, (ns, na, nr, status) = one_interval(
-            t, y, h, errp, status, jnp.asarray(stop, dtype),
+    def step_to(stop, first, k_out):
+        (state["t"], state["y"], state["h"], state["errp"],
+         (ns, na, nr, state["status"])) = one_interval(
+            state["t"], state["y"], state["h"], state["errp"],
+            state["status"], jnp.asarray(stop, dtype),
             jnp.asarray(first), params)
-        first = False
         acc["steps"][k_out] += int(ns)
         acc["accepted"][k_out] += int(na)
         acc["rejected"][k_out] += int(nr)
-        acc["status"][k_out] = max(acc["status"][k_out], int(status))
-        if int(status) != 0:
-            # a failed interval emits no output row — the reference breaks
-            # before writing (src/FHNmodel_torus.cpp:430-435)
-            print("\nSolver failure, stopping integration")
-            break
-        if not is_out:
-            continue
-        snaps.append(np.asarray(y) if host_offload else y)
+        acc["status"][k_out] = max(acc["status"][k_out],
+                                   int(state["status"]))
+        return int(state["status"])
+
+    def on_output(k_done):
+        snaps.append(np.asarray(state["y"]) if host_offload else state["y"])
         if on_snapshot is not None:
-            on_snapshot(k_out + 1, y)
-        maybe_checkpoint(k_out + 1, y)
-        if progress:
-            elapsed = time.perf_counter() - t_start
-            # post-resume elapsed over post-resume intervals only
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
-            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
-                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
-                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
-                  f"remaining", end="", flush=True)
-        k_out += 1
-    if progress:
-        print("\n   ----------------------")
+            on_snapshot(k_done, state["y"])
+
+    from crdmodel_tpu.sim import drive_stream_loop
+    drive_stream_loop(list(zip(stop_times, is_output)), nt, k_start,
+                      resume_dir is None, dtype, step_to,
+                      lambda: float(state["t"]), on_output,
+                      maybe_checkpoint, progress, t_start)
 
     wall = time.perf_counter() - t_start
     if snaps:
@@ -550,7 +538,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     else:
         # resumed run whose first interval failed: no snapshots, but the
         # caller still gets a SimResult carrying the failure stats
-        traj = jnp.zeros((0,) + tuple(y.shape), dtype)
+        traj = jnp.zeros((0,) + tuple(state["y"].shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
@@ -574,7 +562,10 @@ def simulate_sharded(cfg: SimConfig, mesh: Optional[Mesh] = None,
     run, touts = make_sharded_simulation_fn(problem, mesh)
     t_start = time.perf_counter()
     traj, stats = run(problem.y0, params)
-    traj = jax.block_until_ready(traj)
+    # block_until_ready is a NO-OP on the axon TPU backend; sync by pulling
+    # a scalar (utils/profiling.py::device_sync)
+    from crdmodel_tpu.utils.profiling import device_sync
+    device_sync(traj)
     wall = time.perf_counter() - t_start
     full_traj = jnp.concatenate([problem.y0[None], traj], axis=0)
     return SimResult(cfg=cfg, problem=problem, trajectory=full_traj,

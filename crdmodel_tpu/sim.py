@@ -111,7 +111,9 @@ def make_simulation_fn(problem: Problem):
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype))
-        if _pallas_eligible(cfg):
+        # ARK_NORMAL mode needs the plain state representation, like the
+        # other fused branches below
+        if cfg.step_mode == "tstop" and _pallas_eligible(cfg):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
                 frkc = pallas_rkc.build_fused_rkc_step(
@@ -171,16 +173,20 @@ def make_simulation_fn(problem: Problem):
         elif frkc is not None:
             # fused RKC2: all Chebyshev stages in one pass; h hard-capped to
             # the kernel's stage budget (ops/pallas_rkc.py)
+            from crdmodel_tpu.integrate import rkc
             kw = dict(step_err=frkc.step_err,
                       y_loop0=frkc.pad(y0), capture=frkc.unpad,
+                      err_order=rkc.ERR_ORDER,
                       h_limit_fn=lambda t, y, p: frkc.h_limit(t, y, p))
         elif fimex is not None:
             # fused IMEX: stencils + Newton stages in one HBM pass
             # (ops/pallas_imex.py)
+            from crdmodel_tpu.integrate import imex
             kw = dict(
                 step_err=lambda t, y, h, p, carry:
                     (*fimex.step_err(t, y, h, p), ()),
                 init_carry=lambda t, y, p: (),
+                err_order=imex.ERR_ORDER,
                 y_loop0=fimex.pad(y0), capture=fimex.unpad)
         return integrate_to_outputs(
             problem.rhs, y0, params, 0.0, touts,
@@ -200,7 +206,10 @@ def simulate(cfg: SimConfig, problem: Optional[Problem] = None,
     t_start = time.perf_counter()
     traj, stats = run(problem.y0, problem.params)
     if block:
-        traj = jax.block_until_ready(traj)
+        # block_until_ready is a NO-OP on this image's axon TPU backend
+        # (utils/profiling.py); only a device->host transfer synchronises
+        from crdmodel_tpu.utils.profiling import device_sync
+        device_sync(traj)
     wall = time.perf_counter() - t_start
     full_traj = jnp.concatenate([problem.y0[None], traj], axis=0)
     return SimResult(
@@ -277,10 +286,9 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     breakpoints = []
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = [cfg.t_boundary]
-    stops = sorted({(float(t), True) for t in touts}
-                   | {(float(b), False) for b in breakpoints
-                      if 0.0 < b < touts[-1]
-                      and not any(np.isclose(b, t) for t in touts)})
+    from crdmodel_tpu.integrate.erk import merge_stops
+    stop_times, is_output = merge_stops(touts, breakpoints)
+    stops = list(zip(stop_times.tolist(), is_output.tolist()))
 
     if "stream_fns" in problem.cache:
         one_interval, h0_fn, pad, unpad = problem.cache["stream_fns"]
@@ -378,6 +386,59 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             host_offload, _resume)
 
 
+def drive_stream_loop(stops, nt, k_start, first0, dtype, step_to, current_t,
+                      on_output, maybe_checkpoint, progress, t_start,
+                      lead=True):
+    """The shared streaming bookkeeping used by all three streaming drivers
+    (this module, parallel/sharded.py, parallel/multihost.py): resume
+    skip-by-COUNT for output stops (the checkpointed t is rounded to the
+    run dtype, so comparing times re-runs completed intervals for
+    non-representable touts), dtype-faithful breakpoint skip, sticky
+    failure (a failed interval emits no output row — the reference breaks
+    before writing, src/FHNmodel_torus.cpp:430-435), and the reference's
+    `% | elapsed | remaining` progress line with post-resume ETA
+    normalisation.
+
+    The caller's closures own the solver state:
+      step_to(stop, first, k_out) -> int status  (advance + accumulate)
+      current_t() -> float                        (for the breakpoint skip)
+      on_output(k_out_done)                       (snapshot/stream row)
+      maybe_checkpoint(k_out_done)
+    Returns the completed output count k_out.
+    """
+    k_out = k_start
+    outs_skipped = 0
+    first = first0
+    for stop, is_out in stops:
+        if is_out:
+            if outs_skipped < k_start:
+                outs_skipped += 1
+                continue
+        elif float(jnp.asarray(stop, dtype)) <= current_t():
+            continue
+        status = step_to(stop, first, k_out)
+        first = False
+        if status != 0:
+            if lead:
+                print("\nSolver failure, stopping integration")
+            break
+        if not is_out:
+            continue
+        on_output(k_out + 1)
+        maybe_checkpoint(k_out + 1)
+        if progress and lead:
+            elapsed = time.perf_counter() - t_start
+            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
+            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
+                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
+                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
+                  f"remaining", end="", flush=True)
+        k_out += 1
+    if progress and lead:
+        print("\n   ----------------------")
+    return k_out
+
+
 def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                         pad, unpad, on_snapshot, progress,
                         checkpoint_every, checkpoint_path, host_offload,
@@ -412,65 +473,40 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
             on_snapshot(0, np.asarray(problem.y0))
     status = jnp.asarray(0, jnp.int32)
 
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+
     def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_path and \
                 k_done % checkpoint_every == 0 and k_done < nt:
             from crdmodel_tpu.io.checkpoint import save_checkpoint
             save_checkpoint(checkpoint_path, cfg, k_done,
-                            np.asarray(unpad(y)),
-                            float(t), float(h), float(errp),
+                            np.asarray(unpad(state["y"])),
+                            float(state["t"]), float(state["h"]),
+                            float(state["errp"]),
                             np.stack([np.asarray(s) for s in snaps]),
                             stats_acc)
 
-    k_out = k_start
-    outs_skipped = 0
-    first = _resume is None  # etamx1 applies to the run's true start only
-    for stop, is_out in stops:
-        # Resume skips deterministically by COUNT, not by comparing times:
-        # the checkpointed t is rounded to the run dtype, so a float64 stop
-        # like 1.4 can compare > the f32 t of the same instant and re-run a
-        # completed interval (duplicating its snapshot). Skip the k_start
-        # output stops already in the checkpoint, and breakpoints at or
-        # before the checkpointed t compared in the run dtype.
-        if is_out:
-            if outs_skipped < k_start:
-                outs_skipped += 1
-                continue
-        elif float(jnp.asarray(stop, dtype)) <= float(t):
-            continue
-        t, y, h, errp, (ns, na, nr, status) = one_interval(
-            t, y, h, errp, status, jnp.asarray(stop, dtype),
-            jnp.asarray(first))
-        first = False
+    def step_to(stop, first, k_out):
+        (state["t"], state["y"], state["h"], state["errp"],
+         (ns, na, nr, state["status"])) = one_interval(
+            state["t"], state["y"], state["h"], state["errp"],
+            state["status"], jnp.asarray(stop, dtype), jnp.asarray(first))
         stats_acc["steps"][k_out] += int(ns)
         stats_acc["accepted"][k_out] += int(na)
         stats_acc["rejected"][k_out] += int(nr)
         stats_acc["status"][k_out] = max(stats_acc["status"][k_out],
-                                         int(status))
-        if int(status) != 0:
-            # a failed interval emits no output row — the reference breaks
-            # before writing (src/FHNmodel_torus.cpp:430-435)
-            print("\nSolver failure, stopping integration")
-            break
-        if not is_out:
-            continue
-        snap = unpad(y)
+                                         int(state["status"]))
+        return int(state["status"])
+
+    def on_output(k_done):
+        snap = unpad(state["y"])
         snaps.append(np.asarray(snap) if host_offload else snap)
         if on_snapshot is not None:
-            on_snapshot(k_out + 1, np.asarray(snaps[-1]))
-        maybe_checkpoint(k_out + 1)
-        if progress:
-            elapsed = time.perf_counter() - t_start
-            # elapsed covers post-resume work only: normalise by the
-            # intervals completed THIS run, not the checkpointed total
-            eta = (nt - (k_out + 1)) * elapsed / (k_out + 1 - k_start)
-            print(f"\r   {100 * (k_out + 1) // nt:3d} % | "
-                  f"{int(elapsed // 60):3d} min {int(elapsed % 60):2d} sec "
-                  f"elapsed | {int(eta // 60):3d} min {int(eta % 60):2d} sec "
-                  f"remaining", end="", flush=True)
-        k_out += 1
-    if progress:
-        print("\n   ----------------------")
+            on_snapshot(k_done, np.asarray(snaps[-1]))
+
+    drive_stream_loop(stops, nt, k_start, _resume is None, dtype,
+                      step_to, lambda: float(state["t"]),
+                      on_output, maybe_checkpoint, progress, t_start)
 
     wall = time.perf_counter() - t_start
     traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \

@@ -182,7 +182,10 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
         traj = jnp.stack([o[0] for o in outs])
         stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                        *[o[1] for o in outs])
-    traj = jax.block_until_ready(traj)
+    # block_until_ready is a NO-OP on the axon TPU backend; sync by pulling
+    # a scalar (utils/profiling.py::device_sync)
+    from crdmodel_tpu.utils.profiling import device_sync
+    device_sync(traj)
     wall = time.perf_counter() - t0
     full = jnp.concatenate([y0s[:, None], traj], axis=1)
     betas = np.asarray([p.cfg.beta for p in problems], dtype=np.float64)
