@@ -13,6 +13,16 @@ from typing import Callable, Dict, Tuple
 
 # kinetics(state, b) -> dstate  where state/dstate are (nvars, ...) arrays
 # and b is the (possibly spatially varying) bifurcation parameter field.
+#
+# AUTONOMY CONTRACT: kinetics take no time argument — every registered model
+# is autonomous, like all four reference RHS's (time enters the reference's
+# f() only through the t<tBoundary freeze, SURVEY.md C7, which the framework
+# applies outside kinetics). The fused Pallas kernels rely on this: they
+# evaluate kinetics without per-stage times (e.g. ops/pallas_imex.py
+# step_err discards t), which is exactly equivalent to the XLA steppers'
+# ti = t + C[i]*h stage times ONLY for autonomous kinetics. Extending the
+# API with time-dependent kinetics requires revisiting every fused-kernel
+# eligibility gate first.
 KineticsFn = Callable[..., object]
 # steady_state(beta) -> tuple of nvars floats
 SteadyStateFn = Callable[[float], Tuple[float, ...]]

@@ -57,6 +57,13 @@ def _pick_strip(ny: int, target: int) -> int | None:
 
 
 def is_imex_supported(problem, dtype) -> bool:
+    """Eligibility gate for the fused ark324 kernel.
+
+    Assumes AUTONOMOUS kinetics (the ReactionModel API contract,
+    models/base.py): the kernel's step_err discards stage times, which
+    matches the XLA stepper's ti = t + C[i]*h evaluation only because no
+    registered model's kinetics depend on t. A time-dependent-kinetics
+    extension must return False here (fall back to the XLA path)."""
     if jnp.dtype(dtype) != jnp.float32:
         return False
     return _pick_strip(problem.cfg.ny,

@@ -3,7 +3,7 @@
 The golden oracles elsewhere pin individual pieces (stencils per point,
 kinetics vs scipy); this suite diffs the COMPLETE composed RHS — diffusion +
 reaction + beta ramp + boundary freeze + justDiffusion — against
-native/refrhs.cpp, a g++-compiled transcription of the four reference
+tests/ref_oracle/refrhs.cpp, a g++-compiled transcription of the four reference
 routines (src/FHNmodel_torus.cpp:504-667, src/FHNmodel_flat.cpp:469-616,
 src/GoldbeterModel_torus.cpp:561-721, src/GoldbeterModel_flat.cpp:537-686),
 at randomized states in float64.
@@ -18,7 +18,7 @@ import pytest
 
 from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.problem import build_problem
-from crdmodel_tpu.native.build import load_refrhs, reference_rhs
+from tests.ref_oracle import load_refrhs, reference_rhs
 
 pytestmark = pytest.mark.skipif(load_refrhs() is None,
                                 reason="g++ unavailable; oracle not built")
