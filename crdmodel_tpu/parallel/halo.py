@@ -41,7 +41,62 @@ def _shift_from_next(x, axis_name):
     return lax.ppermute(x, axis_name, [(i, (i - 1) % n) for i in range(n)])
 
 
-def halo_pad(u, axis_y: str = AXIS_Y, axis_x: str = AXIS_X, p: int = 1):
+def _seam_fix(up, u, axis_name, p, seam, axis):
+    """Repair the periodic wrap of a PADDED axis (parallel/padding.py).
+
+    When the grid is padded to divide the mesh, the array wrap (delivered by
+    the ppermute ring above) is not the physical wrap: the last physical
+    index n-1 lives mid-array at (seam_shard, seam_local). Two extra
+    point-to-point ppermute legs carry the true seam values:
+
+      leg A: shard 0's first p physical rows -> seam_shard, overwriting
+             padded-block rows seam_local+p+1 .. seam_local+2p (the +1..+p
+             neighbours physical row n-1 actually reads — in-shard pad rows
+             or the received halo, one uniform slice covers both);
+      leg B: seam_shard's last p physical rows -> shard 0's low halo
+             (physical row 0's -1..-p neighbours).
+
+    `axis` is -2 (rows) or -1 (cols); `up` is the ring-padded block, `u` the
+    raw local block. Pad cells themselves read garbage neighbours, but their
+    RHS is masked to zero every evaluation so nothing propagates (the
+    5-point stencil also never reads corners, so the seam corner cells need
+    no diagonal fix)."""
+    s_star, q = seam
+    if q + 1 < p:
+        raise ValueError(
+            f"seam halo width {p} spans shards (last shard holds only "
+            f"{q + 1} physical rows); use the XLA width-1 path")
+    n_dev = lax.axis_size(axis_name)
+
+    def take(a, lo, hi):
+        return a[..., lo:hi, :] if axis == -2 else a[..., :, lo:hi]
+
+    def put(a, lo, hi, val):
+        idx = ((Ellipsis, slice(lo, hi), slice(None)) if axis == -2
+               else (Ellipsis, slice(None), slice(lo, hi)))
+        return a.at[idx].set(val)
+
+    me = lax.axis_index(axis_name)
+    # leg A: physical rows 0..p-1 (shard 0's low edge) -> seam shard.
+    # Every shard computes the slice; ppermute selects the (0 -> s_star) leg
+    # (non-receivers get zeros, discarded by the where).
+    rows_lo = take(u, 0, p)
+    recv_a = (rows_lo if n_dev == 1
+              else lax.ppermute(rows_lo, axis_name, [(0, s_star)]))
+    fixed = put(up, q + p + 1, q + 2 * p + 1,
+                jnp.where(me == s_star, recv_a, take(up, q + p + 1,
+                                                     q + 2 * p + 1)))
+    # leg B: physical rows n-p..n-1 (seam shard, local q-p+1..q) -> shard 0.
+    rows_hi = take(u, q - p + 1, q + 1)
+    recv_b = (rows_hi if n_dev == 1
+              else lax.ppermute(rows_hi, axis_name, [(s_star, 0)]))
+    fixed = put(fixed, 0, p,
+                jnp.where(me == 0, recv_b, take(fixed, 0, p)))
+    return fixed
+
+
+def halo_pad(u, axis_y: str = AXIS_Y, axis_x: str = AXIS_X, p: int = 1,
+             seam_y=None, seam_x=None):
     """Pad a local block (..., nyl, nxl) to (..., nyl+2p, nxl+2p) with
     neighbour halos (periodic). With a 1-device axis this degenerates to the
     single-device periodic wrap — one code path for both.
@@ -50,19 +105,28 @@ def halo_pad(u, axis_y: str = AXIS_Y, axis_x: str = AXIS_X, p: int = 1):
     (ops/pallas_shard_step.py): one exchange of width p >= #stages replaces
     per-stage width-1 exchanges, the structural analogue of the reference's
     per-RHS-call Exchange (src/FHNmodel_torus.cpp:521) hoisted out of the
-    stage loop."""
+    stage loop.
+
+    seam_y/seam_x: (seam_shard, seam_local) from a PadSpec when the global
+    grid is padded to divide the mesh — repairs the physical periodic wrap
+    (see _seam_fix)."""
     # phase 1: rows (y). south halo rows = south neighbour's north edge.
     north_edge = u[..., -p:, :]
     south_edge = u[..., :p, :]
     south_halo = _shift_from_prev(north_edge, axis_y)
     north_halo = _shift_from_next(south_edge, axis_y)
     up = jnp.concatenate([south_halo, u, north_halo], axis=-2)
+    if seam_y is not None:
+        up = _seam_fix(up, u, axis_y, p, seam_y, axis=-2)
     # phase 2: columns (x) of the row-padded block -> corners correct too.
     east_edge = up[..., :, -p:]
     west_edge = up[..., :, :p]
     west_halo = _shift_from_prev(east_edge, axis_x)
     east_halo = _shift_from_next(west_edge, axis_x)
-    return jnp.concatenate([west_halo, up, east_halo], axis=-1)
+    out = jnp.concatenate([west_halo, up, east_halo], axis=-1)
+    if seam_x is not None:
+        out = _seam_fix(out, up, axis_x, p, seam_x, axis=-1)
+    return out
 
 
 def halo_pad_rows(u, axis_y: str = AXIS_Y, p: int = 1):

@@ -20,23 +20,30 @@ AXIS_X = "px"
 
 
 def balanced_dims(n: int, ny: int, nx: int) -> tuple:
-    """Pick (py, px) with py*px == n, both dividing (ny, nx), preferring the
-    most balanced split — the jax analogue of MPI_Dims_create's
-    auto-factorisation (src/FHNmodel_torus.cpp:724) with the extra constraint
-    that shard_map needs evenly divisible blocks."""
+    """Pick (py, px) with py*px == n — the jax analogue of MPI_Dims_create's
+    auto-factorisation (src/FHNmodel_torus.cpp:724). Accepts ANY (devices,
+    grid) pair, like the reference's SetupDecomp uneven block partition
+    (src/FHNmodel_torus.cpp:750-755): a grid that doesn't divide the mesh is
+    padded-and-masked (parallel/padding.py). Preference order: exactly
+    dividing factorisations first (no padding), then the most balanced
+    split, then least padded waste."""
     best = None
     for py in range(1, n + 1):
         if n % py:
             continue
         px = n // py
-        if ny % py or nx % px:
+        if py > ny or px > nx:
             continue
+        exact = 0 if (ny % py == 0 and nx % px == 0) else 1
         balance = abs(np.log(py / px))
-        if best is None or balance < best[0]:
-            best = (balance, py, px)
+        waste = (-(-ny // py) * py) * (-(-nx // px) * px) - ny * nx
+        key = (exact, balance, waste)
+        if best is None or key < best[0]:
+            best = (key, py, px)
     if best is None:
         raise ValueError(
-            f"no (py, px) factorisation of {n} devices divides grid {ny}x{nx}")
+            f"no (py, px) factorisation of {n} devices fits grid {ny}x{nx} "
+            "(need py <= ny and px <= nx)")
     return best[1], best[2]
 
 

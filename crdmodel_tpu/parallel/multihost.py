@@ -130,8 +130,14 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
     dtype = jnp.dtype(cfg.dtype)
     is_lead = jax.process_index() == 0
 
-    params_host, specs = sharded_params(problem)
+    from crdmodel_tpu.parallel.sharded import mesh_pad_spec
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    params_host, specs = sharded_params(problem, pad_spec)
     params = distribute_params(mesh, params_host, specs)
+
+    def physical(arr):
+        # see sharded.simulate_sharded_streaming: snapshots are PHYSICAL
+        return pad_spec.unpad_field(arr) if pad_spec is not None else arr
 
     one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
     touts = output_times(cfg)
@@ -165,16 +171,19 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         snaps = []
     else:
         k_start = 0
-        y = distribute(mesh, P(None, AXIS_Y, AXIS_X), np.asarray(problem.y0))
+        y0_full = (pad_spec.pad_field(np.asarray(problem.y0))
+                   if pad_spec is not None else np.asarray(problem.y0))
+        y = distribute(mesh, P(None, AXIS_Y, AXIS_X), y0_full)
         t = jnp.asarray(0.0, dtype)
         h = h0_fn(y, {**params,
                       "_h0_tout": jnp.asarray(stop_times[0], dtype)})
         errp = jnp.asarray(1.0, dtype)
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
-        snaps = [snap(y)]
+        snaps = [snap(physical(y))]
         if on_snapshot is not None and (is_lead or not gather):
-            on_snapshot(0, y if not gather else np.asarray(snaps[0]))
+            on_snapshot(0, physical(y) if not gather
+                        else np.asarray(snaps[0]))
     status = jnp.asarray(0, jnp.int32)
 
     state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
@@ -204,10 +213,10 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         return int(state["status"])
 
     def on_output(k_done):
-        snaps.append(snap(state["y"]))
+        snaps.append(snap(physical(state["y"])))
         if on_snapshot is not None and (is_lead or not gather):
-            on_snapshot(k_done,
-                        state["y"] if not gather else np.asarray(snaps[-1]))
+            on_snapshot(k_done, physical(state["y"]) if not gather
+                        else np.asarray(snaps[-1]))
 
     from crdmodel_tpu.sim import drive_stream_loop
     drive_stream_loop(list(zip(stop_times, is_output)), nt, k_start,
@@ -225,7 +234,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         traj = (np.stack([np.asarray(s) for s in snaps]) if host_offload
                 else jnp.stack(snaps))
     else:
-        traj = jnp.zeros((0,) + tuple(state["y"].shape), dtype)
+        traj = jnp.zeros(
+            (0, problem.model.nvars, cfg.ny, cfg.nx), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),

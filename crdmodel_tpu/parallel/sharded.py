@@ -37,30 +37,42 @@ from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
 from crdmodel_tpu.sim import SimResult, output_times
 
 
-def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
+def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
+                   pad_spec=None):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
       params["coeffs"]: stencil coefficient profiles ((nx,) arrays or scalars)
       params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
       params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
+      params["valid"]: (nyp, nxp) bool, False on pad cells (padded grids)
 
     split=True returns (rhs_ex, rhs_im) for the ark324 IMEX integrator: the
     implicit (reaction) part is pointwise — NO halo exchange, so the whole
     Newton stage solve is shard-local (integrate/imex.py design note).
+
+    pad_spec: PadSpec when the grid doesn't divide the mesh
+    (parallel/padding.py) — the halo exchange carries the physical-seam
+    legs and every returned derivative is zeroed on pad cells, so pad
+    values never move and error norms exclude them for free.
     """
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
     has_freeze = (t_boundary > 0.0) and not just_diffusion
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
+    padded = pad_spec is not None and pad_spec.active
+    seam_y = pad_spec.seam_y() if padded else None
+    seam_x = pad_spec.seam_x() if padded else None
 
     def diffusion_terms(state, coeffs, params=None):
         out = []
         for v in range(model.nvars):
             if v in dvars:
                 r = ratios[dvars.index(v)]
-                term = laplacian_from_padded(halo_pad(state[v]), coeffs, kind)
+                term = laplacian_from_padded(
+                    halo_pad(state[v], seam_y=seam_y, seam_x=seam_x),
+                    coeffs, kind)
                 out.append(term if r == 1.0 else r * term)
             else:
                 out.append(jnp.zeros_like(state[v]))
@@ -78,23 +90,28 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
         frozen = jnp.where(params["interior"], ydot, 0.0)
         return jnp.where(freeze_now, frozen, ydot)
 
+    def mask_pads(params, ydot):
+        if not padded:
+            return ydot
+        return jnp.where(params["valid"], ydot, 0.0)
+
     def rhs(t, state, params):
         diff = diffusion_terms(state, params["coeffs"], params)
         if just_diffusion:
-            return diff
+            return mask_pads(params, diff)
         ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
             ydot = apply_freeze(t, params, ydot)
-        return ydot
+        return mask_pads(params, ydot)
 
     if not split:
         return rhs
 
     def rhs_ex(t, state, params):
         diff = diffusion_terms(state, params["coeffs"], params)
-        if just_diffusion or not has_freeze:
-            return diff
-        return apply_freeze(t, params, diff)
+        if not just_diffusion and has_freeze:
+            diff = apply_freeze(t, params, diff)
+        return mask_pads(params, diff)
 
     def rhs_im(t, state, params):
         if just_diffusion:
@@ -102,30 +119,58 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False):
         ydot = model.kinetics(state, params["b"])
         if has_freeze:
             ydot = apply_freeze(t, params, ydot)
-        return ydot
+        return mask_pads(params, ydot)
 
     return rhs_ex, rhs_im
 
 
-def sharded_params(problem: Problem):
-    """Global parameter arrays + their PartitionSpecs."""
+def mesh_pad_spec(cfg, mesh: Mesh):
+    """PadSpec for running cfg's grid on this mesh (parallel/padding.py);
+    None when the grid divides the mesh evenly (no padding machinery)."""
+    from crdmodel_tpu.parallel.padding import compute_pad_spec
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = compute_pad_spec(cfg.ny, cfg.nx, shape[AXIS_Y], shape[AXIS_X])
+    return spec if spec.active else None
+
+
+def sharded_params(problem: Problem, pad_spec=None):
+    """Global parameter arrays + their PartitionSpecs.
+
+    With pad_spec (uneven grid), the spatial parameter arrays are wrap-
+    padded to the mesh-divisible shape and a `valid` mask marks the
+    physical cells; wrap fill keeps pad-cell kinetics/coefficients inside
+    the physical value range (they are masked out of the dynamics, but
+    spectral-radius bounds still see their values)."""
     cfg = problem.cfg
     dtype = jnp.dtype(cfg.dtype)
+    padded = pad_spec is not None and pad_spec.active
     coeffs = problem.geometry.stencil_coeffs(dtype)
+    if padded:
+        coeffs = tuple(
+            pad_spec.pad_cols(c) if getattr(c, "ndim", 0) == 1 else c
+            for c in coeffs)
     coeff_spec = tuple(
         P(AXIS_X) if getattr(c, "ndim", 0) == 1 else P() for c in coeffs)
     b = beta_field(cfg, dtype)
+    if padded and getattr(b, "ndim", 0) == 2:
+        b = pad_spec.pad_rows(b)
     b_spec = P(AXIS_Y, None) if getattr(b, "ndim", 0) == 2 else P()
-    interior = np.ones((cfg.ny, 1), dtype=bool)
+    ny_arr = pad_spec.y.n_pad if padded else cfg.ny
+    interior = np.ones((ny_arr, 1), dtype=bool)
     interior[0, 0] = False
-    interior[-1, 0] = False
+    interior[cfg.ny - 1, 0] = False   # last PHYSICAL row, not last array row
     params = {"coeffs": coeffs, "b": b, "interior": jnp.asarray(interior)}
     specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
+    if padded:
+        params["valid"] = jnp.asarray(pad_spec.valid_mask())
+        specs["valid"] = P(AXIS_Y, AXIS_X)
     return params, specs
 
 
-def _local_block_shape(cfg, mesh: Mesh) -> tuple:
+def _local_block_shape(cfg, mesh: Mesh, pad_spec=None) -> tuple:
     """(nyl, nxl) of one shard on the mesh."""
+    if pad_spec is not None and pad_spec.active:
+        return pad_spec.y.blk, pad_spec.x.blk
     shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     return cfg.ny // shape[AXIS_Y], cfg.nx // shape[AXIS_X]
 
@@ -154,11 +199,15 @@ def _shard_kernel_eligible(cfg, mesh: Mesh, interpret: bool) -> bool:
 
 
 def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
-                           interpret: bool = False):
+                           interpret: bool = False, pad_spec=None):
     """The fused multi-stage shard kernel (ops/pallas_shard_step.py) when the
-    configuration supports it, else None (XLA per-stage path)."""
+    configuration supports it, else None (XLA per-stage path). Padded
+    (uneven) grids always take the XLA path: the fused kernels' deep-halo
+    splice transport assumes the array wrap IS the physical wrap."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
+    if pad_spec is not None and pad_spec.active:
+        return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
@@ -175,10 +224,12 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
 
 
 def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
-                          interpret: bool = False):
+                          interpret: bool = False, pad_spec=None):
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
     production configuration for diffusion-limited large grids on a mesh."""
     cfg = problem.cfg
+    if pad_spec is not None and pad_spec.active:
+        return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
@@ -193,10 +244,12 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
 
 
 def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
-                           interpret: bool = False):
+                           interpret: bool = False, pad_spec=None):
     """Sharded fused IMEX step (ops/pallas_shard_imex.py) when supported —
     one halo exchange per ark324 step, shard-local Newton in-kernel."""
     cfg = problem.cfg
+    if pad_spec is not None and pad_spec.active:
+        return None   # see maybe_fused_shard_step
     if cfg.method != "ark324" or cfg.step_mode != "tstop":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
@@ -209,6 +262,36 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
         return None
     return pallas_shard_imex.build_fused_shard_imex(
         problem, nyl, nxl, dtype, interpret=interpret)
+
+
+def _make_reduce(params):
+    """psum-reduction for WRMS norms. With padded params (uneven grid),
+    cell-shaped inputs (ndim >= 2: the full-field norms of the initial
+    step-size heuristic) are masked to the physical cells; already-reduced
+    scalar partial sums pass through (the XLA steppers' err_ss is built
+    from the pad-masked RHS, so pad cells contribute exactly zero)."""
+    valid = params.get("valid") if params is not None else None
+
+    def reduce_fn(x):
+        if valid is not None and getattr(x, "ndim", 0) >= 2:
+            x = jnp.where(valid, x, 0.0)
+        return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
+
+    return reduce_fn
+
+
+def _mask_rho(rho0):
+    """Spectral-radius bound over the PHYSICAL cells only: pad cells hold
+    frozen IC values whose kinetics Jacobian bound could exceed the live
+    field's as it evolves; substitute each shard's own (0,0) cell so the
+    pmax sees physical values. (On pad-dominated shards that cell is itself
+    a frozen wrap-copied IC — finite and conservative: the max over a
+    superset of physical values can only add stages, never lose them.)"""
+    def rho(t, y, params):
+        y = jnp.where(params["valid"], y, y[..., :1, :1])
+        return rho0(t, y, params)
+
+    return rho
 
 
 def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
@@ -224,15 +307,16 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
     model = problem.model
     kind = problem.geometry.kind
     touts = output_times(cfg)
-    local_rhs = make_local_rhs(cfg, model, kind)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    padded = pad_spec is not None
+    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec)
+    # PHYSICAL cell count: pad cells contribute exactly zero to every norm
+    # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = model.nvars * cfg.ny * cfg.nx
 
     breakpoints = ()
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = (cfg.t_boundary,)
-
-    def reduce_fn(x):
-        return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
 
     rho_fn = None
     if cfg.method == "rkc2":
@@ -241,21 +325,28 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+        if padded:
+            rho_fn = _mask_rho(rho_fn)
 
-    rhs_split = (make_local_rhs(cfg, model, kind, split=True)
+    rhs_split = (make_local_rhs(cfg, model, kind, split=True,
+                                pad_spec=pad_spec)
                  if cfg.method == "ark324" else None)
 
     if cfg.step_mode == "normal":
         fused = frkc = fimex = None  # ARK_NORMAL mode uses the plain loop
     else:
         fused = maybe_fused_shard_step(problem, mesh,
-                                       interpret=interpret_pallas)
+                                       interpret=interpret_pallas,
+                                       pad_spec=pad_spec)
         frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
-                                     interpret=interpret_pallas)
+                                     interpret=interpret_pallas,
+                                     pad_spec=pad_spec)
         fimex = maybe_fused_shard_imex(problem, mesh,
-                                       interpret=interpret_pallas)
+                                       interpret=interpret_pallas,
+                                       pad_spec=pad_spec)
 
     def run_local(y0, params):
+        reduce_fn = _make_reduce(params if padded else None)
         kw = {}
         params_run = params
         if fused is not None:
@@ -287,7 +378,7 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
             rhs_split=rhs_split, step_mode=cfg.step_mode, **kw)
 
-    _, param_specs = sharded_params(problem)
+    _, param_specs = sharded_params(problem, pad_spec)
     if extra_param_specs:
         param_specs = {**param_specs, **extra_param_specs}
     state_spec = P(None, AXIS_Y, AXIS_X)
@@ -332,12 +423,11 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                          "simulate_sharded() for ARK_NORMAL mode")
     model = problem.model
     kind = problem.geometry.kind
-    local_rhs = make_local_rhs(cfg, model, kind)
-    global_size = model.nvars * cfg.ny * cfg.nx
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    padded = pad_spec is not None
+    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec)
+    global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
-
-    def reduce_fn(x):
-        return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
 
     rho_fn = None
     if cfg.method == "rkc2":
@@ -345,11 +435,16 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, dtype,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+        if padded:
+            rho_fn = _mask_rho(rho_fn)
 
-    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas)
+    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
     frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
-                                 interpret=interpret_pallas)
-    fimex = maybe_fused_shard_imex(problem, mesh, interpret=interpret_pallas)
+                                 interpret=interpret_pallas,
+                                 pad_spec=pad_spec)
+    fimex = maybe_fused_shard_imex(problem, mesh, interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
     h_limit_fn = None
     if fused is not None:
         from crdmodel_tpu.integrate.erk import TABLEAUS
@@ -368,18 +463,20 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         err_order = _rkc.ERR_ORDER
         h_limit_fn = frkc.h_limit
     else:
-        rhs_split = (make_local_rhs(cfg, model, kind, split=True)
+        rhs_split = (make_local_rhs(cfg, model, kind, split=True,
+                                    pad_spec=pad_spec)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)
 
     kernel = next((k for k in (fused, fimex, frkc) if k is not None), None)
-    _, param_specs = sharded_params(problem)
+    _, param_specs = sharded_params(problem, pad_spec)
     state_spec = P(None, AXIS_Y, AXIS_X)
     scalar = P()
     stats_spec = (scalar, scalar, scalar, scalar)
 
     def one_interval_local(t, y, h, errp, status, tout, first, params):
+        reduce_fn = _make_reduce(params if padded else None)
         p = {**params, "_seg_end": tout}
         if kernel is not None:
             p = kernel.prepare_params(p)
@@ -403,6 +500,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     ))
 
     def h0_local(y, params):
+        reduce_fn = _make_reduce(params if padded else None)
         t0 = jnp.asarray(0.0, dtype)
         tout0 = params["_h0_tout"]
         p = {**{k: v for k, v in params.items() if k != "_h0_tout"},
@@ -450,8 +548,14 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     if mesh is None:
         mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
     dtype = jnp.dtype(cfg.dtype)
-    params, _ = sharded_params(problem)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    params, _ = sharded_params(problem, pad_spec)
     one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
+
+    def physical(y):
+        # snapshots/trajectory rows are PHYSICAL fields; the padded array
+        # stays internal to the stepping state and checkpoints
+        return pad_spec.unpad_field(y) if pad_spec is not None else y
     touts = output_times(cfg)
 
     from crdmodel_tpu.integrate.erk import SolveStats, merge_stops
@@ -481,17 +585,19 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         # commit the initial state to the mesh sharding up front so shard
         # consumers (ShardedReferenceWriter, checkpoints) see device shards
         # from snapshot 0 on
+        y0_full = (pad_spec.pad_field(problem.y0) if pad_spec is not None
+                   else problem.y0)
         y = jax.device_put(
-            problem.y0,
+            y0_full,
             jax.sharding.NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
         t = jnp.asarray(0.0, dtype)
         h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
         errp = jnp.asarray(1.0, dtype)
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
-        snaps = [np.asarray(y) if host_offload else y]
+        snaps = [np.asarray(physical(y)) if host_offload else physical(y)]
         if on_snapshot is not None:
-            on_snapshot(0, y)
+            on_snapshot(0, physical(y))
     status = jnp.asarray(0, jnp.int32)
 
     state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
@@ -521,9 +627,10 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         return int(state["status"])
 
     def on_output(k_done):
-        snaps.append(np.asarray(state["y"]) if host_offload else state["y"])
+        snap = physical(state["y"])
+        snaps.append(np.asarray(snap) if host_offload else snap)
         if on_snapshot is not None:
-            on_snapshot(k_done, state["y"])
+            on_snapshot(k_done, snap)
 
     from crdmodel_tpu.sim import drive_stream_loop
     drive_stream_loop(list(zip(stop_times, is_output)), nt, k_start,
@@ -538,7 +645,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     else:
         # resumed run whose first interval failed: no snapshots, but the
         # caller still gets a SimResult carrying the failure stats
-        traj = jnp.zeros((0,) + tuple(state["y"].shape), dtype)
+        traj = jnp.zeros(
+            (0, problem.model.nvars, cfg.ny, cfg.nx), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
@@ -558,15 +666,20 @@ def simulate_sharded(cfg: SimConfig, mesh: Optional[Mesh] = None,
     problem = problem if problem is not None else build_problem(cfg)
     if mesh is None:
         mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
-    params, _ = sharded_params(problem)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    params, _ = sharded_params(problem, pad_spec)
     run, touts = make_sharded_simulation_fn(problem, mesh)
+    y0 = (pad_spec.pad_field(problem.y0) if pad_spec is not None
+          else problem.y0)
     t_start = time.perf_counter()
-    traj, stats = run(problem.y0, params)
+    traj, stats = run(y0, params)
     # block_until_ready is a NO-OP on the axon TPU backend; sync by pulling
     # a scalar (utils/profiling.py::device_sync)
     from crdmodel_tpu.utils.profiling import device_sync
     device_sync(traj)
     wall = time.perf_counter() - t_start
+    if pad_spec is not None:
+        traj = pad_spec.unpad_field(traj)
     full_traj = jnp.concatenate([problem.y0[None], traj], axis=0)
     return SimResult(cfg=cfg, problem=problem, trajectory=full_traj,
                      touts=np.concatenate([[0.0], touts]), stats=stats,

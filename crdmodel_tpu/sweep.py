@@ -132,7 +132,7 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
 
     if mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
-            make_sharded_simulation_fn, sharded_params)
+            make_sharded_simulation_fn, mesh_pad_spec, sharded_params)
         base_xla = build_problem(dataclasses.replace(cfg, use_pallas=False))
         extra = None
         if sweep_d:
@@ -140,7 +140,14 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
             extra = {"dscale": P()}
         run_sharded, _ = make_sharded_simulation_fn(
             base_xla, mesh, extra_param_specs=extra)
-        params0, _ = sharded_params(base_xla)
+        pad_spec = mesh_pad_spec(cfg, mesh)
+        params0, _ = sharded_params(base_xla, pad_spec)
+        if pad_spec is not None:
+            # uneven grid: member states (and any 2-D ramp field) padded to
+            # the mesh-divisible shape; trajectories unpadded below
+            y0s = jax.vmap(pad_spec.pad_field)(y0s)
+            if b_batch.ndim > 1:
+                b_batch = jax.vmap(pad_spec.pad_rows)(b_batch)
 
         def run_one(y0, b, ds):
             p = {**params0, "b": b}
@@ -187,6 +194,9 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
     from crdmodel_tpu.utils.profiling import device_sync
     device_sync(traj)
     wall = time.perf_counter() - t0
+    if mesh is not None and pad_spec is not None:
+        y0s = pad_spec.unpad_field(y0s)
+        traj = pad_spec.unpad_field(traj)
     full = jnp.concatenate([y0s[:, None], traj], axis=1)
     betas = np.asarray([p.cfg.beta for p in problems], dtype=np.float64)
     return SweepResult(cfg=cfg, betas=betas, trajectories=full,

@@ -29,8 +29,15 @@ def test_balanced_dims():
     assert balanced_dims(8, 1600, 400) in [(4, 2), (2, 4), (8, 1)]
     py, px = balanced_dims(8, 1600, 400)
     assert 1600 % py == 0 and 400 % px == 0
+    # ANY (devices, grid) pair is accepted (reference SetupDecomp semantics,
+    # src/FHNmodel_torus.cpp:750-755): non-dividing grids pad-and-mask
+    assert balanced_dims(7, 10, 10) in [(7, 1), (1, 7)]
+    py, px = balanced_dims(8, 39, 17)   # prefers balance among non-exact
+    assert py * px == 8 and py <= 39 and px <= 17
+    # exactly dividing factorisations still win when they exist
+    assert balanced_dims(8, 40, 17) == (8, 1)
     with pytest.raises(ValueError):
-        balanced_dims(7, 10, 10)  # 7 divides neither
+        balanced_dims(64, 4, 4)   # no factorisation fits the grid
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 4), (4, 2), (8, 1), (1, 8)])

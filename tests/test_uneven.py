@@ -1,0 +1,166 @@
+"""Uneven-grid (pad-and-mask) decomposition: grids that do NOT divide the
+device mesh must run and match the single-device solution.
+
+The reference's SetupDecomp splits any grid over any rank count with uneven
+integer blocks (src/FHNmodel_torus.cpp:750-755); shard_map requires equal
+blocks, so the framework pads the grid to the mesh-divisible size, masks pad
+cells out of the dynamics and norms, and repairs the physical periodic seam
+with two extra ppermute legs (parallel/padding.py, parallel/halo.py seam fix,
+parallel/sharded.py plumbing). These tests pin equivalence against the
+single-device roll-based path at f64 on the 8 virtual CPU devices.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.parallel.halo import halo_pad
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+from crdmodel_tpu.parallel.padding import compute_pad_spec
+from crdmodel_tpu.parallel.sharded import simulate_sharded
+from crdmodel_tpu.sim import simulate
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+# 39x13 on a 2x4 mesh pads to 40x16: both axes uneven (VERDICT r2 item 2's
+# canonical example shape)
+UNEVEN = dict(model="fhn", surface="torus", x_mesh=13, surface_width=20,
+              surface_length=60, beta=1.25, t_final=1.0, output_timestep=2,
+              dtype="float64", rtol=1e-6, atol=1e-10)
+
+
+def test_pad_spec_geometry():
+    spec = compute_pad_spec(39, 13, 2, 4)
+    assert spec.active and spec.padded_shape == (40, 16)
+    assert spec.y.blk == 20 and spec.x.blk == 4
+    # last physical row 38 -> shard 1 local 18; last col 12 -> shard 3 local 0
+    assert spec.seam_y() == (1, 18)
+    assert spec.seam_x() == (3, 0)
+    m = spec.valid_mask()
+    assert m.shape == (40, 16) and m[:39, :13].all()
+    assert not m[39:].any() and not m[:, 13:].any()
+    # wrap fill + unpad roundtrip
+    a = np.arange(39 * 13, dtype=np.float64).reshape(39, 13)
+    ap = np.asarray(spec.pad_field(a))
+    assert ap.shape == (40, 16)
+    np.testing.assert_array_equal(ap[39, :13], a[0])   # wrap rows
+    np.testing.assert_array_equal(ap[:39, 13:16], a[:, :3])   # wrap cols
+    np.testing.assert_array_equal(np.asarray(spec.unpad_field(ap)), a)
+    # even grids are inactive
+    assert not compute_pad_spec(40, 16, 2, 4).active
+
+
+def test_pad_spec_rejects_degenerate_axis():
+    with pytest.raises(ValueError):
+        compute_pad_spec(1, 16, 2, 4)
+
+
+def test_seam_halo_matches_physical_wrap():
+    """halo_pad with seam legs: every PHYSICAL cell of the padded sharded
+    block must see the same neighbourhood as jnp.pad(mode='wrap') of the
+    physical grid."""
+    ny, nx = 39, 13
+    spec = compute_pad_spec(ny, nx, 2, 4)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((ny, nx))
+    up = jnp.asarray(spec.pad_field(u))
+    mesh = make_mesh(shape=(2, 4))
+
+    blocks = jax.jit(jax.shard_map(
+        lambda x: halo_pad(x, seam_y=spec.seam_y(), seam_x=spec.seam_x())[None],
+        mesh=mesh, in_specs=P(AXIS_Y, AXIS_X),
+        out_specs=P(None, AXIS_Y, AXIS_X)))(up)
+    blocks = np.asarray(blocks)   # (1, 40+2*2, 16+2*4) block-concatenated
+
+    want = np.pad(u, 1, mode="wrap")
+    blk_y, blk_x = spec.y.blk, spec.x.blk
+    for sy in range(2):
+        for sx in range(4):
+            blk = blocks[0][sy * (blk_y + 2):(sy + 1) * (blk_y + 2),
+                            sx * (blk_x + 2):(sx + 1) * (blk_x + 2)]
+            for ly in range(blk_y):
+                for lx in range(blk_x):
+                    gy, gx = sy * blk_y + ly, sx * blk_x + lx
+                    if gy >= ny or gx >= nx:
+                        continue   # pad cell: neighbourhood unused
+                    # centre + the 4 stencil neighbours (halo-padded coords)
+                    got = np.array([blk[ly + 1, lx + 1], blk[ly, lx + 1],
+                                    blk[ly + 2, lx + 1], blk[ly + 1, lx],
+                                    blk[ly + 1, lx + 2]])
+                    ref = np.array([want[gy + 1, gx + 1], want[gy, gx + 1],
+                                    want[gy + 2, gx + 1], want[gy + 1, gx],
+                                    want[gy + 1, gx + 2]])
+                    np.testing.assert_array_equal(got, ref,
+                                                  err_msg=f"cell {gy},{gx}")
+
+
+@pytest.mark.parametrize("name,changes,mesh_shape", [
+    ("bs32", {}, (2, 4)),
+    ("rkc2", {"method": "rkc2"}, (2, 4)),
+    ("ark324", {"method": "ark324"}, (2, 4)),
+    ("ramp+freeze", {"vary_beta": 1, "beta_min": 0.7, "beta_max": 1.7,
+                     "t_boundary": 0.5}, (4, 2)),
+    ("normal-mode", {"step_mode": "normal"}, (2, 4)),
+    ("goldbeter-justdiff", {"model": "goldbeter", "beta": 0.4,
+                            "just_diffusion": 1}, (2, 4)),
+    ("x-even-y-uneven", {"x_mesh": 16, "surface_length": 65}, (2, 4)),
+])
+def test_uneven_matches_single_device(name, changes, mesh_shape):
+    cfg = dataclasses.replace(SimConfig(**UNEVEN), **changes)
+    r1 = simulate(cfg)
+    r8 = simulate_sharded(cfg, mesh=make_mesh(shape=mesh_shape))
+    assert r1.ok and r8.ok
+    assert np.asarray(r8.trajectory).shape == np.asarray(r1.trajectory).shape
+    np.testing.assert_allclose(np.asarray(r8.trajectory),
+                               np.asarray(r1.trajectory),
+                               rtol=1e-9, atol=1e-12)
+    assert np.abs(np.asarray(r8.stats.steps)
+                  - np.asarray(r1.stats.steps)).max() <= 2
+
+
+def test_uneven_streaming_matches_batch():
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(**UNEVEN)
+    mesh = make_mesh(shape=(2, 4))
+    rb = simulate_sharded(cfg, mesh=mesh)
+    rs = simulate_sharded_streaming(cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(rs.trajectory),
+                                  np.asarray(rb.trajectory))
+
+
+def test_uneven_streaming_checkpoint_resume(tmp_path):
+    """Save mid-run on an uneven grid, resume on the same mesh, match the
+    uninterrupted run exactly."""
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = dataclasses.replace(SimConfig(**UNEVEN), output_timestep=4)
+    mesh = make_mesh(shape=(2, 4))
+    full = simulate_sharded_streaming(cfg, mesh=mesh)
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir)
+    resumed = simulate_sharded_streaming(cfg, mesh=mesh, resume_dir=ckdir)
+    # resumed rows are the post-resume tail of the full trajectory
+    tail = np.asarray(full.trajectory)[-resumed.trajectory.shape[0]:]
+    np.testing.assert_array_equal(np.asarray(resumed.trajectory), tail)
+
+
+def test_uneven_sweep_on_mesh():
+    from crdmodel_tpu.sweep import sweep_beta
+    cfg = dataclasses.replace(SimConfig(**UNEVEN), t_final=0.5,
+                              output_timestep=1)
+    betas = [1.1, 1.35]
+    mesh = make_mesh(shape=(2, 4))
+    swept = sweep_beta(cfg, betas, mesh=mesh)
+    for i, b in enumerate(betas):
+        r1 = simulate(dataclasses.replace(cfg, beta=b))
+        assert np.asarray(swept.trajectories[i]).shape == \
+            np.asarray(r1.trajectory).shape
+        np.testing.assert_allclose(np.asarray(swept.trajectories[i]),
+                                   np.asarray(r1.trajectory),
+                                   rtol=1e-8, atol=1e-10)
