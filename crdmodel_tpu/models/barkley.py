@@ -48,7 +48,7 @@ def jac_bound(state, b):
     thr = (v + b) / A
     g_u = (1.0 / EPS) * ((1.0 - 2.0 * u) * (u - thr) + u * (1.0 - u))
     g_v = (1.0 / EPS) * u * (1.0 - u) / A
-    row1 = jnp.max(jnp.abs(g_u) + jnp.abs(g_v))
+    row1 = jnp.abs(g_u) + jnp.abs(g_v)
     return jnp.maximum(row1, 2.0)
 
 

@@ -41,9 +41,11 @@ class ReactionModel:
     # framework generalisation.
     diffusive_vars: Tuple[int, ...] = (0,)
     diffusion_ratios: Tuple[float, ...] = (1.0,)
-    # jac_bound(state, b) -> scalar Gershgorin bound on the kinetics
-    # Jacobian's spectral radius over the grid (used by the RKC2 stabilized
-    # integrator's stage selection); None disables rkc2 for the model
+    # jac_bound(state, b) -> POINTWISE Gershgorin bound on the kinetics
+    # Jacobian's spectral radius, same trailing shape as state[0] (used by
+    # the RKC2 stabilized integrator's stage selection; the grid max — or
+    # per-member max for batched sweeps — is taken by make_rho_bound);
+    # None disables rkc2 for the model
     jac_bound: Callable = None
 
 

@@ -51,7 +51,7 @@ def jac_bound(state, b):
     uu = u * u
     row1 = jnp.abs(uv2 - (b + 1.0)) + uu
     row2 = jnp.abs(b - uv2) + uu
-    return jnp.max(jnp.maximum(row1, row2))
+    return jnp.maximum(row1, row2)
 
 
 MODEL = register_model(

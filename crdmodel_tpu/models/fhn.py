@@ -36,7 +36,7 @@ def jac_bound(state, b):
     """Gershgorin bound on the kinetics Jacobian
     J = [[3-3u^2, -1], [eps, 0]] over the grid."""
     u = state[0]
-    row1 = jnp.max(jnp.abs(3.0 - 3.0 * u * u)) + 1.0
+    row1 = jnp.abs(3.0 - 3.0 * u * u) + 1.0
     return jnp.maximum(row1, EPSILON)
 
 

@@ -137,7 +137,7 @@ def jac_bound(state, b):
     dv3_dY = 2.0 * VM3 * gZ * (KR * KR) * Y / (KR * KR + Y2) ** 2
     row1 = jnp.abs(-dv2 + dv3_dZ - K) + jnp.abs(dv3_dY + KF)
     row2 = jnp.abs(dv2 - dv3_dZ) + jnp.abs(dv3_dY + KF)
-    return jnp.max(jnp.maximum(row1, row2))
+    return jnp.maximum(row1, row2)
 
 
 MODEL = register_model(

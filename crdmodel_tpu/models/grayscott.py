@@ -43,7 +43,7 @@ def jac_bound(state, b):
     uv2 = 2.0 * jnp.abs(u * v)
     row1 = v2 + b + uv2
     row2 = v2 + uv2 + b + K_REMOVAL
-    return jnp.max(jnp.maximum(row1, row2))
+    return jnp.maximum(row1, row2)
 
 
 MODEL = register_model(

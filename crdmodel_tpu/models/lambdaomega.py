@@ -56,7 +56,7 @@ def jac_bound(state, b):
     u, v = state[0], state[1]
     r2 = u * u + v * v
     coef = 2.0 * (1.0 + jnp.abs(b)) + jnp.sqrt(2.0 + 2.0 * b * b)
-    return jnp.max(1.0 + coef * r2)
+    return 1.0 + coef * r2
 
 
 MODEL = register_model(

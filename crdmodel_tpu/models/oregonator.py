@@ -57,7 +57,7 @@ def jac_bound(state, b):
     upq = u + Q
     j11 = (1.0 / EPS) * (1.0 - 2.0 * u - b * v * 2.0 * Q / (upq * upq))
     j12 = (1.0 / EPS) * b * jnp.abs(u - Q) / jnp.abs(upq)
-    row1 = jnp.max(jnp.abs(j11) + j12)
+    row1 = jnp.abs(j11) + j12
     return jnp.maximum(row1, 2.0)
 
 

@@ -50,7 +50,7 @@ def jac_bound(state, b):
     bs = jnp.abs(b * s)
     row1 = bi + bs
     row2 = bi + jnp.abs(bs - G_RECOVERY) + G_RECOVERY
-    return jnp.max(jnp.maximum(row1, row2))
+    return jnp.maximum(row1, row2)
 
 
 MODEL = register_model(

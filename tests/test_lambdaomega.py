@@ -90,7 +90,7 @@ def test_jac_bound_dominates_true_jacobian():
     rng = np.random.default_rng(0)
     s = jnp.asarray(rng.uniform(-1.5, 1.5, (2, 8, 8)))
     b = 0.7
-    bound = float(m.jac_bound(s, b))
+    bound = float(jnp.max(m.jac_bound(s, b)))
     import jax
     for i in range(8):
         for j in range(8):
