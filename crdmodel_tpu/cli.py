@@ -349,9 +349,11 @@ def main(argv=None):
     p.add_argument("--wave-widths", default=None, metavar="LO:HI:N")
     p.add_argument("--wave-lengths", default=None, metavar="LO:HI:N")
     p.add_argument("--batch-mode", default="auto",
-                   choices=["auto", "vmap", "serial"],
-                   help="auto: vmap off-TPU, serial (one compiled member "
-                        "program, host loop) on TPU")
+                   choices=["auto", "vmap", "serial", "members"],
+                   help="auto: vmap off-TPU, members (member axis hand-"
+                        "batched inside one while_loop — the TPU-resident "
+                        "batched sweep) on TPU; serial = one compiled "
+                        "member program, host loop")
     p.add_argument("--npz", default=None)
     p.set_defaults(fn=cmd_sweep)
 

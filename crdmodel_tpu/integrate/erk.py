@@ -128,6 +128,15 @@ class SolveStats(NamedTuple):
     status: jnp.ndarray    # 0 ok; 1 max-steps exceeded; 2 dt underflow
 
 
+def _sel(c, a, b):
+    """jnp.where(c, a, b) with a member-batched flag c broadcast against
+    state arrays: c (B,) selects along the leading axis of a (B, ...).
+    Scalar c (the single-run case) is plain where."""
+    if getattr(c, "ndim", 0) and getattr(a, "ndim", 0) > c.ndim:
+        c = c.reshape(c.shape + (1,) * (a.ndim - c.ndim))
+    return jnp.where(c, a, b)
+
+
 def wrms_norm(e, y, rtol, atol, reduce_fn=jnp.sum, global_size=None):
     """SUNDIALS weighted RMS norm of error e with weights from solution y."""
     w = 1.0 / (rtol * jnp.abs(y) + atol)
@@ -289,6 +298,15 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     stage budget, ops/pallas_rkc.py). The controller may propose larger h;
     every attempt is clamped before stepping, so t advances by the clamped
     amount and the error test sees the step actually taken.
+
+    Member-batched mode (the TPU sweep path, integrate_to_outputs
+    n_members): t0/h_init/err_prev_init/status0 may be (B,) vectors with
+    y0 (B, ...) and a member-vmapped step_err returning (B,) err sums —
+    ONE while_loop carries every member, each keeping its own step size,
+    accept/reject decisions and failure status (masked once finished), so
+    per-member step sequences are identical to B separate runs. reduce_fn
+    must then be the identity (the vmapped stepper already reduced each
+    member's grid axes) and the loop runs until every member reaches tout.
     """
     dtype = y0.dtype
     inv_q = 1.0 / float(err_order)
@@ -298,11 +316,15 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 
     def cond(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
-        return (t < tout) & (status == 0) & (nstep < max_steps)
+        return jnp.any((t < tout) & (status == 0) & (nstep < max_steps))
 
     def body(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
         ep, epp = errs
+        # per-member liveness: in the scalar case `cond` already guarantees
+        # this is True, so the masking below is free; in member-batched mode
+        # a finished/failed member's state must stay frozen
+        active = (t < tout) & (status == 0) & (nstep < max_steps)
         hs = jnp.where(t + h >= tout, tout - t, h)
         if h_limit_fn is not None:
             hs = jnp.minimum(hs, h_limit_fn(t, y, params).astype(dtype))
@@ -311,7 +333,8 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
         y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
         err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
-        accept = err <= 1.0
+        raw_accept = err <= 1.0
+        accept = raw_accept & active
 
         # ARKode-style PID step-size update (biased error history)
         err_c = jnp.maximum(err, 1e-10)
@@ -333,31 +356,35 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
         # collapses h and a single rejection near hmin fakes a dt underflow)
         h_grow = hs * eta_acc
         h_acc = jnp.where(last, jnp.maximum(h, h_grow), h_grow)
-        h_next = jnp.where(accept, h_acc, hs * eta_rej)
+        h_next = jnp.where(active, jnp.where(raw_accept, h_acc, hs * eta_rej),
+                           h)
 
         t_next = jnp.where(accept, jnp.where(last, tout, t + hs), t)
-        y_next = jnp.where(accept, y_new, y)
+        y_next = _sel(accept, y_new, y)
         ep_next = jnp.where(accept, err_c, ep)
         epp_next = jnp.where(accept, ep, epp)
         fc_next = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(accept, new, old), fc_new, fc)
+            lambda new, old: _sel(accept, new, old), fc_new, fc)
 
         # dt underflow: step no longer advances time
         hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
-        status_next = jnp.where((~accept) & (h_next < hmin),
+        status_next = jnp.where(active & (~raw_accept) & (h_next < hmin),
                                 jnp.asarray(2, jnp.int32), status)
 
         return (t_next, y_next, h_next, (ep_next, epp_next), fc_next,
-                nstep + 1,
+                nstep + active.astype(jnp.int32),
                 nacc + accept.astype(jnp.int32),
-                nrej + (~accept).astype(jnp.int32),
+                nrej + (active & ~raw_accept).astype(jnp.int32),
                 status_next)
 
-    zero = jnp.asarray(0, jnp.int32)
-    s0 = zero if status0 is None else jnp.asarray(status0, jnp.int32)
-    one = jnp.asarray(1.0, dtype)
+    t0 = jnp.asarray(t0)
+    zero = jnp.zeros(jnp.shape(t0), jnp.int32)
+    s0 = (zero if status0 is None
+          else jnp.broadcast_to(jnp.asarray(status0, jnp.int32), zero.shape))
+    err_prev_init = jnp.asarray(err_prev_init, dtype)
+    one = jnp.ones_like(err_prev_init)
     state0 = (t0.astype(dtype), y0, h_init.astype(dtype),
-              (err_prev_init.astype(dtype), one), carry0, zero, zero, zero, s0)
+              (err_prev_init, one), carry0, zero, zero, zero, s0)
     t, y, h, (ep, _), fc, nstep, nacc, nrej, status = jax.lax.while_loop(
         cond, body, state0)
     # max-steps exhaustion without reaching tout
@@ -728,7 +755,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          breakpoints=(), step_err=None, init_carry=None,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
                          kstep_call=None, h_limit_fn=None, rhs_split=None,
-                         step_mode="tstop", err_order=None):
+                         step_mode="tstop", err_order=None,
+                         n_members=0, params_axes=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -761,11 +789,23 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     behaviour we deliberately improve on). "normal" requires the plain
     state representation (no y_loop0/capture/spec_k).
 
+    n_members=B: member-batched mode (the TPU parameter-sweep path,
+    sweep.py batch_mode="members"). y0 is (B, *state_shape); params is a
+    dict whose member-varying entries carry a leading B axis, marked by
+    params_axes (a pytree of 0/None matching params, vmap convention). The
+    single-member stepper is vmapped ONLY over the step function — the
+    adaptive while_loop itself carries (B,) control state with per-member
+    masking (see integrate_interval) — sidestepping the pathological
+    XLA-TPU compile of jax.vmap over the whole loop nest
+    (sweep.py::_resolve_batch_mode, measured 2026-08-17). Per-member step
+    sequences match B separate runs; returns traj (Nt, B, *state_shape)
+    and per-member stats arrays (Nt, B).
+
     Fully jittable; the scan body shares one compiled while_loop.
     """
     dtype = y0.dtype
     if global_size is None:
-        global_size = y0.size
+        global_size = y0[0].size if n_members else y0.size
     if step_err is None:
         step_err, init_carry, err_order = make_stepper(
             method, rhs, rtol, atol, rho_fn, rhs_split)
@@ -779,6 +819,31 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          if hasattr(method, "err_order") else 3)
         if init_carry is None:
             init_carry = lambda t, y, params: ()
+    if n_members:
+        # member-batched mode: vmap the STEPPER over the member axis, keep
+        # the while_loop hand-batched (see docstring). Fused kernels /
+        # speculative batching keep their own representations and are not
+        # member-foldable here.
+        if (y_loop0 is not None or capture is not None or spec_k
+                or kstep_call is not None or h_limit_fn is not None):
+            raise ValueError("n_members needs the plain XLA state "
+                             "representation (no fused kernel / spec_k / "
+                             "h_limit_fn)")
+        if step_mode != "tstop":
+            raise ValueError("n_members supports step_mode='tstop' only")
+        if not isinstance(params, dict):
+            raise ValueError("n_members needs dict params (with params_axes "
+                             "marking the member-batched entries)")
+        pax = (params_axes if params_axes is not None
+               else {k: None for k in params})
+        pax_seg = {**pax, "_seg_end": None}
+        rhs_one = rhs
+        rhs = jax.vmap(rhs_one, in_axes=(0, 0, pax_seg))
+        step_err = jax.vmap(step_err, in_axes=(0, 0, 0, pax_seg, 0))
+        init_carry = jax.vmap(init_carry, in_axes=(0, 0, pax_seg))
+        # the vmapped stepper already reduced each member's grid axes to a
+        # (B,) sum; the loop's reduce must keep the member axis
+        reduce_fn = lambda x: x
     if y_loop0 is None:
         y_loop0 = y0
     if capture is None:
@@ -805,12 +870,25 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
 
     t0 = jnp.asarray(t0, dtype)
     tout0 = jnp.asarray(stop_times[0], dtype)
-    f0 = rhs(t0, y0, seg_params(tout0))
-    h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
-                       rtol, atol, err_order, reduce_fn, global_size)
-    if h_limit_fn is not None:
-        h0 = jnp.minimum(h0, h_limit_fn(t0, y_loop0,
-                                        seg_params(tout0)).astype(dtype))
+    if n_members:
+        t0s = jnp.full((n_members,), t0, dtype)
+        p0 = seg_params(tout0)
+        f0 = rhs(t0s, y0, p0)
+        t0_sc, pax_h0 = t0, {**(params_axes or {k: None for k in params}),
+                             "_seg_end": None}
+        h0 = jax.vmap(
+            lambda y, f, p: _initial_step(
+                rhs_one, t0_sc, y, f, p, tout0, rtol, atol, err_order,
+                jnp.sum, global_size),
+            in_axes=(0, 0, pax_h0))(y0, f0, p0)
+        t0 = t0s
+    else:
+        f0 = rhs(t0, y0, seg_params(tout0))
+        h0 = _initial_step(rhs, t0, y0, f0, seg_params(tout0), tout0,
+                           rtol, atol, err_order, reduce_fn, global_size)
+        if h_limit_fn is not None:
+            h0 = jnp.minimum(h0, h_limit_fn(t0, y_loop0,
+                                            seg_params(tout0)).astype(dtype))
 
     if step_mode not in ("tstop", "normal"):
         raise ValueError(f"step_mode must be tstop|normal, got {step_mode!r}")
@@ -917,8 +995,9 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                 first_interval=is_first, h_limit_fn=h_limit_fn)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)
 
-    errp0 = jnp.asarray(1.0, dtype)
-    zero = jnp.asarray(0, jnp.int32)
+    bshape = (n_members,) if n_members else ()
+    errp0 = jnp.ones(bshape, dtype)
+    zero = jnp.zeros(bshape, jnp.int32)
     is_first = jnp.arange(len(stop_times)) == 0  # etamx1 on the run's start
     (_, _, _, _, _), (traj, nstep, nacc, nrej, status) = jax.lax.scan(
         scan_body, (t0, y_loop0, h0, errp0, zero),

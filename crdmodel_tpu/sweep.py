@@ -60,23 +60,36 @@ SWEEPABLE_FIELDS = ("beta", "diffusion", "wave_length", "wave_width",
                     "wave_inside", "ic_type", "rng_seed")
 
 
-def _resolve_batch_mode(batch_mode: str) -> str:
-    """"auto" picks per backend: "vmap" (one batched program) off-TPU,
-    "serial" (ONE compiled single-member program, host loop over members) on
-    TPU — measured 2026-08-17: XLA-TPU compile of the vmapped adaptive
-    while_loop is pathological (267 s cold for a 10x40 toy vs 65 s for the
-    single-member program; lax.map is worse still), while at production grid
-    sizes one member saturates the chip anyway, so serial loses almost no
-    throughput and compiles 4x+ faster. The persistent compilation cache
-    makes REPEAT sweeps cheap in either mode."""
+def _resolve_batch_mode(batch_mode: str, mesh=None) -> str:
+    """"auto" picks per backend: "vmap" (jax.vmap over the whole run) off-
+    TPU; on TPU "members" (single-device) or "serial" (spatially sharded
+    sweeps).
+
+    Why three modes: XLA-TPU compile of jax.vmap over the whole adaptive
+    loop nest is pathological (measured 2026-08-17: 267 s cold for a 10x40
+    toy vs 65 s for the single-member program; lax.map worse still). The
+    "members" mode instead hand-batches the member axis INSIDE one
+    lax.while_loop (integrate_to_outputs n_members: per-member step size,
+    accept/reject and status masking — step sequences identical to separate
+    runs) and vmaps only the stepper, which compiles like the single-member
+    program. "serial" (ONE compiled single-member program, host loop over
+    members) remains for sharded sweeps, whose shard_map closure is not
+    member-foldable on a fixed device mesh."""
     if batch_mode == "auto":
         try:
-            return "serial" if jax.default_backend() == "tpu" else "vmap"
+            on_tpu = jax.default_backend() == "tpu"
         except Exception:
+            on_tpu = False
+        if not on_tpu:
             return "vmap"
-    if batch_mode not in ("vmap", "serial"):
-        raise ValueError(f"batch_mode must be auto|vmap|serial, "
+        return "serial" if mesh is not None else "members"
+    if batch_mode not in ("vmap", "serial", "members"):
+        raise ValueError(f"batch_mode must be auto|vmap|serial|members, "
                          f"got {batch_mode!r}")
+    if batch_mode == "members" and mesh is not None:
+        raise ValueError("batch_mode='members' folds the member axis into "
+                         "the single-device program; sharded sweeps take "
+                         "batch_mode='vmap' (CPU mesh) or 'serial'")
     return batch_mode
 
 
@@ -177,11 +190,37 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                 rhs_split=rhs_split, rho_fn=rho_fn,
                 step_mode=cfg.step_mode)
 
-    mode = _resolve_batch_mode(batch_mode)
+    mode = _resolve_batch_mode(batch_mode, mesh)
+    if mode == "members" and cfg.step_mode != "tstop" and batch_mode == "auto":
+        mode = "serial"   # ARK_NORMAL members not foldable; keep auto working
     t0 = time.perf_counter()
     if mode == "vmap":
         run = jax.jit(jax.vmap(run_one))
         traj, stats = run(y0s, b_batch, dscale)
+    elif mode == "members":
+        # hand-batched member axis inside ONE while_loop (the TPU-resident
+        # batched sweep; see _resolve_batch_mode and integrate_to_outputs)
+        params_m = {"b": b_batch}
+        pax = {"b": 0}
+        if sweep_d:
+            params_m["dscale"] = dscale
+            pax["dscale"] = 0
+        nm = len(problems)
+
+        @jax.jit
+        def run_members(y0s, params_m):
+            return integrate_to_outputs(
+                base.rhs, y0s, params_m, 0.0, touts,
+                rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
+                max_steps=cfg.max_steps, breakpoints=breakpoints,
+                rhs_split=rhs_split, rho_fn=rho_fn,
+                step_mode=cfg.step_mode, n_members=nm, params_axes=pax)
+
+        traj_t, stats_t = run_members(y0s, params_m)
+        # (Nt, B, ...) -> (B, Nt, ...) to match the vmap layout
+        traj = jnp.moveaxis(traj_t, 0, 1)
+        stats = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1),
+                                       stats_t)
     else:
         run1 = jax.jit(run_one)   # one compile, every member reuses it
         outs = [run1(y0s[i], b_batch[i], dscale[i])

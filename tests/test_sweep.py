@@ -230,3 +230,50 @@ def test_sweep_serial_matches_vmap():
                                   np.asarray(v.stats.steps))
     with pytest.raises(ValueError, match="batch_mode"):
         sweep_configs(cfg, members, batch_mode="nope")
+
+
+def test_sweep_members_matches_vmap():
+    """batch_mode='members' (the TPU-resident batched sweep: member axis
+    hand-batched inside ONE lax.while_loop, integrate_to_outputs n_members)
+    must reproduce the vmapped batch exactly — same trajectories AND the
+    same per-member step/accept/reject sequences (the lockstep masking
+    keeps every member's adaptive decisions identical to a solo run)."""
+    from crdmodel_tpu.sweep import sweep_configs
+    cfg = _cfg(t_boundary=0.4)   # include a breakpoint segment
+    members = [{"beta": 0.9, "diffusion": 0.06}, {"beta": 1.25},
+               {"beta": 1.8, "diffusion": 0.12}]
+    v = sweep_configs(cfg, members, batch_mode="vmap")
+    m = sweep_configs(cfg, members, batch_mode="members")
+    assert v.ok() and m.ok()
+    np.testing.assert_array_equal(np.asarray(m.trajectories),
+                                  np.asarray(v.trajectories))
+    for field in ("steps", "accepted", "rejected", "status"):
+        np.testing.assert_array_equal(np.asarray(getattr(m.stats, field)),
+                                      np.asarray(getattr(v.stats, field)))
+
+
+@pytest.mark.parametrize("method", ["rkc2", "ark324"])
+def test_sweep_members_methods(method):
+    """The member-batched loop must serve every stepper protocol: the RKC2
+    Chebyshev stage loop (per-member traced stage counts under the stepper
+    vmap) and the ark324 IMEX Newton stages."""
+    from crdmodel_tpu.sweep import sweep_beta
+    cfg = _cfg(method=method)
+    betas = [0.9, 1.4]
+    v = sweep_beta(cfg, betas, batch_mode="vmap")
+    m = sweep_beta(cfg, betas, batch_mode="members")
+    assert v.ok() and m.ok()
+    np.testing.assert_array_equal(np.asarray(m.trajectories),
+                                  np.asarray(v.trajectories))
+    np.testing.assert_array_equal(np.asarray(m.stats.steps),
+                                  np.asarray(v.stats.steps))
+
+
+def test_sweep_members_rejects_mesh():
+    """members mode folds the batch into the single-device program; a
+    sharded sweep must be asked for explicitly (vmap/serial)."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.sweep import sweep_configs
+    with pytest.raises(ValueError, match="members"):
+        sweep_configs(_cfg(), [{"beta": 0.9}], mesh=make_mesh(shape=(2, 4)),
+                      batch_mode="members")
