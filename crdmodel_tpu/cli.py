@@ -153,20 +153,6 @@ def cmd_run(args):
 def _run_simulation(args, cfg, problem):
     from crdmodel_tpu.sim import simulate_streaming
 
-    if cfg.step_mode == "normal":
-        # ARK_NORMAL mode runs on the batch drivers (the streaming drivers
-        # need exact interval boundaries for checkpoint/resume)
-        if args.resume or args.checkpoint_every or args.host_offload:
-            sys.exit("error: step_mode=normal is incompatible with "
-                     "--resume/--checkpoint-every/--host-offload "
-                     "(batch driver only)")
-        if args.devices and args.devices > 1:
-            from crdmodel_tpu.parallel.sharded import simulate_sharded
-            return simulate_sharded(cfg, n_devices=args.devices,
-                                    problem=problem)
-        from crdmodel_tpu.sim import simulate
-        return simulate(cfg, problem=problem)
-
     if args.devices and args.devices > 1:
         # streaming variant: bounded device-time per dispatch (large
         # single-dispatch runs can exceed runtime execution limits).

@@ -786,8 +786,11 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     (src/FHNmodel_torus.cpp:423). Breakpoints stay exact stops in both
     modes (the RHS is discontinuous there; interpolating across one would
     be wrong — and the reference's brute-forcing of tBoundary is the
-    behaviour we deliberately improve on). "normal" requires the plain
-    state representation (no y_loop0/capture/spec_k).
+    behaviour we deliberately improve on). "normal" composes with the
+    fused-kernel loop representations (the bracket is carried in loop
+    representation; dense output interpolates the capture()-ed plain
+    fields with 2 plain-RHS evals per output time) but not with
+    speculative K-step batching.
 
     n_members=B: member-batched mode (the TPU parameter-sweep path,
     sweep.py batch_mode="members"). y0 is (B, *state_shape); params is a
@@ -893,9 +896,10 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     if step_mode not in ("tstop", "normal"):
         raise ValueError(f"step_mode must be tstop|normal, got {step_mode!r}")
     if step_mode == "normal":
-        if (y_loop0 is not y0) or spec_k or kstep_call is not None:
-            raise ValueError("step_mode='normal' needs the plain state "
-                             "representation (no fused kernel / spec_k)")
+        if spec_k or kstep_call is not None:
+            raise ValueError("step_mode='normal' does not support "
+                             "speculative K-step batching (its h sequence "
+                             "is already output-schedule-free)")
         # breakpoints must stay EXACT stops even in free-running mode: a
         # stop coinciding with one is clamped (merge_stops keeps such a
         # stop as output-only, so is_output alone cannot detect it), and
@@ -942,7 +946,11 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
             else:
                 out = jax.lax.cond(free_f, free_fn, clamp_fn, args)
             t, y, h, errp, br_t, br_y, ns, na, nr, status = out
-            snap = hermite_interpolate(rhs, br_t, br_y, t, y, tout, p)
+            # the bracket lives in the LOOP representation (a fused kernel's
+            # lane-padded state); dense output interpolates on the plain
+            # fields — 2 plain-RHS evals per OUTPUT time, negligible
+            snap = hermite_interpolate(rhs, br_t, capture(br_y),
+                                       t, capture(y), tout, p)
             return ((t, y, h, errp, status, br_t, br_y),
                     (snap, ns, na, nr, status))
 
@@ -951,7 +959,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
         is_first = jnp.arange(len(stop_times)) == 0
         (_, (traj, nstep, nacc, nrej, status)) = jax.lax.scan(
             scan_body_normal,
-            (t0, y0, h0, errp0, zero, t0, y0),
+            (t0, y_loop0, h0, errp0, zero, t0, y_loop0),
             (jnp.asarray(stop_times, dtype), jnp.asarray(use_free),
              jnp.asarray(caps, dtype), is_first))
         if len(stops) != len(touts_np):

@@ -34,7 +34,7 @@ _PHYSICS_FIELDS = (
     "surface_length", "wave_length", "wave_width", "wave_inside",
     "output_timestep", "t_boundary", "t_final", "x_mesh", "beta_min",
     "beta_max", "vary_beta", "just_diffusion", "ic_type", "rng_seed",
-    "rtol", "atol", "method",
+    "rtol", "atol", "method", "step_mode",
 )
 
 
@@ -46,8 +46,17 @@ def config_fingerprint(cfg: SimConfig) -> str:
 
 def save_checkpoint(path: str, cfg: SimConfig, k_out: int,
                     y, t: float, h: float, err_prev: float,
-                    snapshots, stats: dict):
-    """Write a resumable checkpoint after output interval k_out."""
+                    snapshots, stats: dict, br_t=None, br_y=None):
+    """Write a resumable checkpoint after output interval k_out.
+
+    br_t/br_y: ARK_NORMAL streaming only — the dense-output bracket (start
+    of the last accepted step), so a resumed run interpolates the next
+    snapshot identically even when the checkpointed t overshot the output
+    boundary (sim.simulate_streaming step_mode="normal")."""
+    extra = {}
+    if br_t is not None:
+        extra["br_t"] = float(br_t)
+        extra["br_y"] = np.asarray(br_y)
     np.savez_compressed(
         path,
         fingerprint=config_fingerprint(cfg),
@@ -56,6 +65,7 @@ def save_checkpoint(path: str, cfg: SimConfig, k_out: int,
         t=float(t), h=float(h), err_prev=float(err_prev),
         snapshots=np.asarray(snapshots),
         **{f"stats_{k}": np.asarray(v) for k, v in stats.items()},
+        **extra,
     )
     return path
 
@@ -102,33 +112,41 @@ def resume_streaming(cfg: SimConfig, path: str, problem=None,
 # ---------------------------------------------------------------------------
 
 
-def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
-                            y, t: float, h: float, err_prev: float,
-                            stats: dict) -> str:
-    """Per-shard checkpoint of the solver state after output interval k_out.
-
-    y: a sharded jax.Array (nvars, ny, nx). Every process writes its
-    addressable shards; process 0 writes the manifest.
-    """
-    import jax
-
-    os.makedirs(dirpath, exist_ok=True)
-    pid = jax.process_index()
+def _write_shards(dirpath: str, name: str, arr, pid: int, k_out: int):
     # crash-safety: every file is written to a temp name then atomically
     # renamed, and every shard carries the round id (k_out) that the loader
     # cross-checks against the manifest — a crash mid-overwrite can
     # therefore leave stale-round shards behind but NEVER an undetectably
     # mixed state (the loader refuses on round mismatch)
-    for n, shard in enumerate(y.addressable_shards):
+    for n, shard in enumerate(arr.addressable_shards):
         starts = [s.start or 0 for s in shard.index]
-        path = os.path.join(dirpath, f"y.p{pid:03d}.s{n:03d}.npz")
+        path = os.path.join(dirpath, f"{name}.p{pid:03d}.s{n:03d}.npz")
         # prefix-named temp: np.savez appends .npz to unknown suffixes, and
-        # the loader's y.p*.npz glob must never match an in-flight temp
-        tmp = os.path.join(dirpath, f"tmp.y.p{pid:03d}.s{n:03d}.npz")
+        # the loader's {name}.p*.npz glob must never match an in-flight temp
+        tmp = os.path.join(dirpath, f"tmp.{name}.p{pid:03d}.s{n:03d}.npz")
         np.savez_compressed(tmp, data=np.asarray(shard.data),
                             starts=np.asarray(starts),
                             k_out=np.asarray(int(k_out)))
         os.replace(tmp, path)
+
+
+def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
+                            y, t: float, h: float, err_prev: float,
+                            stats: dict, br_t=None, br_y=None) -> str:
+    """Per-shard checkpoint of the solver state after output interval k_out.
+
+    y: a sharded jax.Array (nvars, ny, nx). Every process writes its
+    addressable shards; process 0 writes the manifest. br_t/br_y: the
+    ARK_NORMAL dense-output bracket (see save_checkpoint), br_y sharded
+    like y.
+    """
+    import jax
+
+    os.makedirs(dirpath, exist_ok=True)
+    pid = jax.process_index()
+    _write_shards(dirpath, "y", y, pid, k_out)
+    if br_y is not None:
+        _write_shards(dirpath, "bry", br_y, pid, k_out)
     if pid == 0:
         manifest = {
             "fingerprint": config_fingerprint(cfg),
@@ -138,6 +156,9 @@ def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
             "global_shape": [int(s) for s in y.shape],
             "stats": {k: np.asarray(v).tolist() for k, v in stats.items()},
         }
+        if br_t is not None:
+            manifest["br_t"] = float(br_t)
+            manifest["has_br_y"] = br_y is not None
         mpath = os.path.join(dirpath, "manifest.json")
         with open(mpath + ".tmp", "w") as fh:
             json.dump(manifest, fh, indent=1)
@@ -145,11 +166,33 @@ def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
     return dirpath
 
 
+def _regrid_for_mesh(arr_np, cfg, saved_mesh_shape, mesh):
+    """Re-layout a saved global state array for a DIFFERENT mesh shape
+    (elastic resume): strip the saved mesh's pad cells back to the physical
+    grid, then pad for the new mesh (parallel/padding.py). Identity when
+    neither mesh needs padding."""
+    from crdmodel_tpu.parallel.padding import compute_pad_spec
+    old = compute_pad_spec(cfg.ny, cfg.nx, *(int(s) for s in
+                                             saved_mesh_shape))
+    if old.active:
+        arr_np = np.asarray(old.unpad_field(arr_np))
+    new = compute_pad_spec(cfg.ny, cfg.nx, *(int(s) for s in
+                                             mesh.devices.shape))
+    if new.active:
+        arr_np = np.asarray(new.pad_field(arr_np))
+    return arr_np
+
+
 def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
-    """Reassemble the solver state on (the same shape of) mesh.
+    """Reassemble the solver state on mesh.
 
     Returns {k_out, t, h, err_prev, stats, y} with y a global sharded
-    jax.Array. Refuses fingerprint or mesh-shape mismatches.
+    jax.Array. Refuses fingerprint mismatches (different physics). A
+    DIFFERENT mesh shape is fine — elastic resume: the saved shards are
+    reassembled into the global array, pad cells re-laid-out for the new
+    mesh, and the state sharded onto it (device count changes between
+    sessions are routine at pod scale). All per-process shard files must
+    be visible (shared storage).
     """
     import glob
 
@@ -166,44 +209,68 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
             f"checkpoint {dirpath} was written for a different problem "
             f"(fingerprint {manifest['fingerprint']} != {want}); "
             "refusing to resume")
-    if list(manifest["mesh_shape"]) != [int(s) for s in mesh.devices.shape]:
-        raise ValueError(
-            f"checkpoint {dirpath} was written on mesh "
-            f"{manifest['mesh_shape']}, resuming on "
-            f"{list(mesh.devices.shape)} is not supported")
+    same_mesh = (list(manifest["mesh_shape"])
+                 == [int(s) for s in mesh.devices.shape])
 
-    shards = {}
-    for f in glob.glob(os.path.join(dirpath, "y.p*.s*.npz")):
-        with np.load(f) as z:
-            if "k_out" in z and int(z["k_out"]) != int(manifest["k_out"]):
-                raise ValueError(
-                    f"checkpoint {dirpath} is MIXED: shard {os.path.basename(f)} "
-                    f"is from round {int(z['k_out'])} but the manifest says "
-                    f"{int(manifest['k_out'])} — a save was interrupted; "
-                    "refusing to resume from a corrupted state")
-            shards[tuple(int(v) for v in z["starts"])] = z["data"]
+    def reassemble(name):
+        shards = {}
+        for f in glob.glob(os.path.join(dirpath, f"{name}.p*.s*.npz")):
+            with np.load(f) as z:
+                if "k_out" in z and int(z["k_out"]) != int(manifest["k_out"]):
+                    raise ValueError(
+                        f"checkpoint {dirpath} is MIXED: shard "
+                        f"{os.path.basename(f)} is from round "
+                        f"{int(z['k_out'])} but the manifest says "
+                        f"{int(manifest['k_out'])} — a save was interrupted; "
+                        "refusing to resume from a corrupted state")
+                shards[tuple(int(v) for v in z["starts"])] = z["data"]
 
-    shape = tuple(manifest["global_shape"])
-    sharding = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+        shape = tuple(manifest["global_shape"])
+        sharding = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
 
-    def shard_for(index):
-        key = tuple((s.start or 0) for s in index)
-        if key not in shards:
+        if same_mesh:
+            def shard_for(index):
+                key = tuple((s.start or 0) for s in index)
+                if key not in shards:
+                    raise ValueError(
+                        f"checkpoint {dirpath} is missing the {name} shard "
+                        f"at {key} (written by another process? copy all "
+                        "per-process files to shared storage)")
+                return shards[key]
+
+            return jax.make_array_from_callback(shape, sharding, shard_for)
+
+        # elastic resume: assemble the saved global array from its disjoint
+        # shard tiling, re-layout pad cells for the new mesh, shard onto it
+        if not shards:
+            raise ValueError(f"checkpoint {dirpath} has no {name} shards")
+        total = 0
+        full = np.empty(shape, next(iter(shards.values())).dtype)
+        for starts, data in shards.items():
+            sl = tuple(slice(s, s + n) for s, n in zip(starts, data.shape))
+            full[sl] = data
+            total += data.size
+        if total != full.size:
             raise ValueError(
-                f"checkpoint {dirpath} is missing the shard at {key} "
-                "(written by another process? copy all per-process files "
-                "to shared storage)")
-        return shards[key]
+                f"checkpoint {dirpath} {name} shards cover {total} of "
+                f"{full.size} elements — missing per-process files? copy "
+                "all of them to shared storage before an elastic resume")
+        full = _regrid_for_mesh(full, cfg, manifest["mesh_shape"], mesh)
+        return jax.device_put(full, sharding)
 
-    y = jax.make_array_from_callback(shape, sharding, shard_for)
-    return {
+    out = {
         "k_out": int(manifest["k_out"]),
         "t": manifest["t"], "h": manifest["h"],
         "err_prev": manifest["err_prev"],
         "stats": {k: np.asarray(v, dtype=np.int64)
                   for k, v in manifest["stats"].items()},
-        "y": y,
+        "y": reassemble("y"),
     }
+    if "br_t" in manifest:
+        out["br_t"] = manifest["br_t"]
+        out["br_y"] = (reassemble("bry") if manifest.get("has_br_y")
+                       else None)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -221,19 +288,23 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
 
 def save_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
                           y, t: float, h: float, err_prev: float,
-                          stats: dict) -> str:
+                          stats: dict, br_t=None, br_y=None) -> str:
     """Orbax checkpoint of the solver state after output interval k_out.
 
     y: a (possibly sharded) jax.Array (nvars, ny, nx). Every process must
     call this (orbax save is collective); process 0 writes the manifest.
+    br_t/br_y: the ARK_NORMAL dense-output bracket (see save_checkpoint).
     """
     import jax
     import orbax.checkpoint as ocp
 
     dirpath = os.path.abspath(dirpath)
     os.makedirs(dirpath, exist_ok=True)
+    tree = {"y": y}
+    if br_y is not None:
+        tree["br_y"] = br_y
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(dirpath, "y"), {"y": y}, force=True)
+        ckptr.save(os.path.join(dirpath, "y"), tree, force=True)
     if jax.process_index() == 0:
         manifest = {
             "fingerprint": config_fingerprint(cfg),
@@ -243,6 +314,9 @@ def save_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
             "global_shape": [int(s) for s in y.shape],
             "stats": {k: np.asarray(v).tolist() for k, v in stats.items()},
         }
+        if br_t is not None:
+            manifest["br_t"] = float(br_t)
+            manifest["has_br_y"] = br_y is not None
         with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=1)
     return dirpath
@@ -251,8 +325,10 @@ def save_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
 def load_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh=None) -> dict:
     """Restore an orbax checkpoint; with mesh, y comes back sharded
     (nvars replicated, rows over AXIS_Y, cols over AXIS_X) and each process
-    reads only the chunks its devices need. Refuses fingerprint or
-    mesh-shape mismatches like load_sharded_checkpoint."""
+    reads only the chunks its devices need. Refuses fingerprint mismatches
+    (different physics); a different MESH SHAPE is an elastic resume —
+    orbax re-shards natively when the global shape is unchanged, and
+    pad-layout changes are re-laid-out on host (_regrid_for_mesh)."""
     import jax
     import orbax.checkpoint as ocp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -268,28 +344,55 @@ def load_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh=None) -> dict:
             f"checkpoint {dirpath} was written for a different problem "
             f"(fingerprint {manifest['fingerprint']} != {want}); "
             "refusing to resume")
-    if mesh is not None and \
-            list(manifest["mesh_shape"]) != [int(s) for s in mesh.devices.shape]:
-        raise ValueError(
-            f"checkpoint {dirpath} was written on mesh "
-            f"{manifest['mesh_shape']}, resuming on "
-            f"{list(mesh.devices.shape)} is not supported")
+    # the saved global shape is the SAVED mesh's padded layout; the new
+    # mesh may need a different pad — restore to host in that case
+    if mesh is not None:
+        from crdmodel_tpu.parallel.padding import compute_pad_spec
+        new_spec = compute_pad_spec(cfg.ny, cfg.nx,
+                                    *(int(s) for s in mesh.devices.shape))
+        nvars = int(manifest["global_shape"][0])
+        need_shape = ((nvars,) + new_spec.padded_shape if new_spec.active
+                      else (nvars, cfg.ny, cfg.nx))
+        direct = tuple(manifest["global_shape"]) == need_shape
+    else:
+        direct = False
 
     ypath = os.path.join(dirpath, "y")
     with ocp.StandardCheckpointer() as ckptr:
-        meta = ckptr.metadata(ypath).item_metadata.tree["y"]
-        abstract = jax.ShapeDtypeStruct(tuple(meta.shape), np.dtype(meta.dtype))
-        if mesh is not None:
-            abstract = jax.ShapeDtypeStruct(
-                abstract.shape, abstract.dtype,
-                sharding=NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
-        y = ckptr.restore(ypath, {"y": abstract})["y"]
+        tree_meta = ckptr.metadata(ypath).item_metadata.tree
 
-    return {
+        def abstract_for(name):
+            meta = tree_meta[name]
+            abstract = jax.ShapeDtypeStruct(tuple(meta.shape),
+                                            np.dtype(meta.dtype))
+            if mesh is not None and direct:
+                abstract = jax.ShapeDtypeStruct(
+                    abstract.shape, abstract.dtype,
+                    sharding=NamedSharding(mesh, P(None, AXIS_Y, AXIS_X)))
+            return abstract
+
+        want = {"y": abstract_for("y")}
+        if manifest.get("has_br_y"):
+            want["br_y"] = abstract_for("br_y")
+        restored = ckptr.restore(ypath, want)
+
+    if mesh is not None and not direct:
+        sharding = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+        restored = {
+            k: jax.device_put(
+                _regrid_for_mesh(np.asarray(v), cfg,
+                                 manifest["mesh_shape"], mesh), sharding)
+            for k, v in restored.items()}
+
+    out = {
         "k_out": int(manifest["k_out"]),
         "t": manifest["t"], "h": manifest["h"],
         "err_prev": manifest["err_prev"],
         "stats": {k: np.asarray(v, dtype=np.int64)
                   for k, v in manifest["stats"].items()},
-        "y": y,
+        "y": restored["y"],
     }
+    if "br_t" in manifest:
+        out["br_t"] = manifest["br_t"]
+        out["br_y"] = restored.get("br_y")
+    return out

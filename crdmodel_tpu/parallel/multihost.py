@@ -139,12 +139,17 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         # see sharded.simulate_sharded_streaming: snapshots are PHYSICAL
         return pad_spec.unpad_field(arr) if pad_spec is not None else arr
 
-    one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
+    one_interval, h0_fn, one_interval_free, snap_at = \
+        make_sharded_interval_fn(problem, mesh)
+    normal = cfg.step_mode == "normal"
     touts = output_times(cfg)
     breakpoints = []
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = [cfg.t_boundary]
     stop_times, is_output = merge_stops(touts, breakpoints)
+    from crdmodel_tpu.sim import make_normal_stream_plan
+    plan = (make_normal_stream_plan(zip(stop_times, is_output), breakpoints)
+            if normal else None)
 
     def snap(arr):
         if not gather:
@@ -166,6 +171,9 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         t = jnp.asarray(ck["t"], dtype)
         h = jnp.asarray(ck["h"], dtype)
         errp = jnp.asarray(ck["err_prev"], dtype)
+        br_t = jnp.asarray(ck.get("br_t", ck["t"]), dtype)
+        br_y = (jnp.asarray(ck["br_y"], dtype) if ck.get("br_y") is not None
+                else y)
         acc = {k: np.array(ck["stats"][k], dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = []
@@ -178,6 +186,7 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         h = h0_fn(y, {**params,
                       "_h0_tout": jnp.asarray(stop_times[0], dtype)})
         errp = jnp.asarray(1.0, dtype)
+        br_t, br_y = t, y
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = [snap(physical(y))]
@@ -186,7 +195,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                         else np.asarray(snaps[0]))
     status = jnp.asarray(0, jnp.int32)
 
-    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status,
+             "br_t": br_t, "br_y": br_y}
 
     def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_dir and \
@@ -197,14 +207,28 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                     else save_sharded_checkpoint)
             save(checkpoint_dir, cfg, mesh, k_done, state["y"],
                  float(state["t"]), float(state["h"]),
-                 float(state["errp"]), acc)
+                 float(state["errp"]), acc,
+                 br_t=float(state["br_t"]) if normal else None,
+                 br_y=state["br_y"] if normal else None)
 
     def step_to(stop, first, k_out):
-        (state["t"], state["y"], state["h"], state["errp"],
-         (ns, na, nr, state["status"])) = one_interval(
-            state["t"], state["y"], state["h"], state["errp"],
-            state["status"], jnp.asarray(stop, dtype),
-            jnp.asarray(first), params)
+        if normal and plan[float(stop)][0]:
+            cap = jnp.asarray(plan[float(stop)][1], dtype)
+            (state["t"], state["y"], state["h"], state["errp"],
+             state["br_t"], state["br_y"],
+             (ns, na, nr, state["status"])) = one_interval_free(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first), state["br_t"], state["br_y"], cap,
+                params)
+        else:
+            (state["t"], state["y"], state["h"], state["errp"],
+             (ns, na, nr, state["status"])) = one_interval(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first), params)
+            if normal:
+                state["br_t"], state["br_y"] = state["t"], state["y"]
         acc["steps"][k_out] += int(ns)
         acc["accepted"][k_out] += int(na)
         acc["rejected"][k_out] += int(nr)
@@ -213,9 +237,15 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         return int(state["status"])
 
     def on_output(k_done):
-        snaps.append(snap(physical(state["y"])))
+        if normal:
+            cur = physical(snap_at(
+                state["br_t"], state["br_y"], state["t"], state["y"],
+                jnp.asarray(float(touts[k_done - 1]), dtype), params))
+        else:
+            cur = physical(state["y"])
+        snaps.append(snap(cur))
         if on_snapshot is not None and (is_lead or not gather):
-            on_snapshot(k_done, physical(state["y"]) if not gather
+            on_snapshot(k_done, cur if not gather
                         else np.asarray(snaps[-1]))
 
     from crdmodel_tpu.sim import drive_stream_loop

@@ -250,7 +250,7 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
-    if cfg.method != "ark324" or cfg.step_mode != "tstop":
+    if cfg.method != "ark324":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
@@ -332,18 +332,15 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                                 pad_spec=pad_spec)
                  if cfg.method == "ark324" else None)
 
-    if cfg.step_mode == "normal":
-        fused = frkc = fimex = None  # ARK_NORMAL mode uses the plain loop
-    else:
-        fused = maybe_fused_shard_step(problem, mesh,
-                                       interpret=interpret_pallas,
-                                       pad_spec=pad_spec)
-        frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
-                                     interpret=interpret_pallas,
-                                     pad_spec=pad_spec)
-        fimex = maybe_fused_shard_imex(problem, mesh,
-                                       interpret=interpret_pallas,
-                                       pad_spec=pad_spec)
+    fused = maybe_fused_shard_step(problem, mesh,
+                                   interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
+    frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
+                                 interpret=interpret_pallas,
+                                 pad_spec=pad_spec)
+    fimex = maybe_fused_shard_imex(problem, mesh,
+                                   interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
 
     def run_local(y0, params):
         reduce_fn = _make_reduce(params if padded else None)
@@ -404,8 +401,12 @@ def _stats_struct():
 
 def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                              interpret_pallas: bool = False):
-    """Jitted sharded single-interval step: (t, y, h, errp, status, tout)
-    -> (t, y, h, errp, (nstep, nacc, nrej, status)) over global arrays.
+    """Jitted sharded single-interval steppers over global arrays.
+
+    Returns (one_interval, h0_fn, one_interval_free, snap_at); the last two
+    are None unless cfg.step_mode == "normal", where they provide the
+    free-running (ARK_NORMAL) interval with its dense-output bracket and
+    the cubic-Hermite snapshot evaluator.
 
     The per-interval building block for streaming sharded runs — at
     production scale a whole run in one dispatch is both unwieldy (tens of
@@ -417,10 +418,6 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         _initial_step, integrate_interval, make_stepper)
 
     cfg = problem.cfg
-    if cfg.step_mode != "tstop":
-        raise ValueError("streaming sharded runs need step_mode='tstop' "
-                         "(see sim.simulate_streaming); use "
-                         "simulate_sharded() for ARK_NORMAL mode")
     model = problem.model
     kind = problem.geometry.kind
     pad_spec = mesh_pad_spec(cfg, mesh)
@@ -515,7 +512,59 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         in_specs=(state_spec, {**param_specs, "_h0_tout": scalar}),
         out_specs=scalar,
     ))
-    return one_interval, h0_fn
+
+    one_interval_free = snap_at = None
+    if cfg.step_mode == "normal":
+        # ARK_NORMAL streaming under shard_map: the free-running interval
+        # carries the dense-output bracket (plain global arrays between
+        # dispatches; kernel-padded only inside the loop), and snapshots
+        # are cubic-Hermite interpolations whose endpoint RHS evals run the
+        # halo-exchanged local_rhs — same policy as the in-jit scan
+        # (integrate/erk.py) and sim.simulate_streaming.
+        from crdmodel_tpu.integrate.erk import (hermite_interpolate,
+                                                integrate_interval_free)
+
+        def one_free_local(t, y, h, errp, status, tout, first,
+                           br_t, br_y, cap, params):
+            reduce_fn = _make_reduce(params if padded else None)
+            p = {**params, "_seg_end": tout}
+            if kernel is not None:
+                p = kernel.prepare_params(p)
+                y = kernel.pad(y)
+                br_y = kernel.pad(br_y)
+            fc0 = init_carry(t, y, p)
+            t, y, h, errp, br, stats = integrate_interval_free(
+                step_err, t, y, h, errp, tout, p,
+                err_order=err_order, max_steps=cfg.max_steps,
+                global_size=global_size, reduce_fn=reduce_fn, carry0=fc0,
+                status0=status, first_interval=first,
+                h_limit_fn=h_limit_fn, bracket0=(br_t, br_y), t_cap=cap)
+            br_t, br_y = br
+            if kernel is not None:
+                y = kernel.unpad(y)
+                br_y = kernel.unpad(br_y)
+            return t, y, h, errp, br_t, br_y, stats
+
+        one_interval_free = jax.jit(jax.shard_map(
+            one_free_local, mesh=mesh,
+            in_specs=(scalar, state_spec, scalar, scalar, scalar, scalar,
+                      scalar, scalar, state_spec, scalar, param_specs),
+            out_specs=(scalar, state_spec, scalar, scalar, scalar,
+                       state_spec, stats_spec),
+            check_vma=not interpret_pallas,
+        ))
+
+        def snap_local(br_t, br_y, t, y, tout, params):
+            p = {**params, "_seg_end": tout}
+            return hermite_interpolate(local_rhs, br_t, br_y, t, y, tout, p)
+
+        snap_at = jax.jit(jax.shard_map(
+            snap_local, mesh=mesh,
+            in_specs=(scalar, state_spec, scalar, state_spec, scalar,
+                      param_specs),
+            out_specs=state_spec,
+        ))
+    return one_interval, h0_fn, one_interval_free, snap_at
 
 
 def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
@@ -550,7 +599,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     dtype = jnp.dtype(cfg.dtype)
     pad_spec = mesh_pad_spec(cfg, mesh)
     params, _ = sharded_params(problem, pad_spec)
-    one_interval, h0_fn = make_sharded_interval_fn(problem, mesh)
+    one_interval, h0_fn, one_interval_free, snap_at = \
+        make_sharded_interval_fn(problem, mesh)
+    normal = cfg.step_mode == "normal"
 
     def physical(y):
         # snapshots/trajectory rows are PHYSICAL fields; the padded array
@@ -563,6 +614,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
         breakpoints = [cfg.t_boundary]
     stop_times, is_output = merge_stops(touts, breakpoints)
+    from crdmodel_tpu.sim import make_normal_stream_plan
+    plan = (make_normal_stream_plan(zip(stop_times, is_output), breakpoints)
+            if normal else None)
 
     nt = len(touts)
     t_start = time.perf_counter()
@@ -577,6 +631,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         t = jnp.asarray(ck["t"], dtype)
         h = jnp.asarray(ck["h"], dtype)
         errp = jnp.asarray(ck["err_prev"], dtype)
+        br_t = jnp.asarray(ck.get("br_t", ck["t"]), dtype)
+        br_y = (jnp.asarray(ck["br_y"], dtype) if ck.get("br_y") is not None
+                else y)
         acc = {k: np.array(ck["stats"][k], dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = []
@@ -593,6 +650,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         t = jnp.asarray(0.0, dtype)
         h = h0_fn(y, {**params, "_h0_tout": jnp.asarray(stop_times[0], dtype)})
         errp = jnp.asarray(1.0, dtype)
+        br_t, br_y = t, y
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = [np.asarray(physical(y)) if host_offload else physical(y)]
@@ -600,7 +658,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
             on_snapshot(0, physical(y))
     status = jnp.asarray(0, jnp.int32)
 
-    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status,
+             "br_t": br_t, "br_y": br_y}
 
     def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_dir and \
@@ -611,14 +670,28 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                     else save_sharded_checkpoint)
             save(checkpoint_dir, cfg, mesh, k_done, state["y"],
                  float(state["t"]), float(state["h"]),
-                 float(state["errp"]), acc)
+                 float(state["errp"]), acc,
+                 br_t=float(state["br_t"]) if normal else None,
+                 br_y=state["br_y"] if normal else None)
 
     def step_to(stop, first, k_out):
-        (state["t"], state["y"], state["h"], state["errp"],
-         (ns, na, nr, state["status"])) = one_interval(
-            state["t"], state["y"], state["h"], state["errp"],
-            state["status"], jnp.asarray(stop, dtype),
-            jnp.asarray(first), params)
+        if normal and plan[float(stop)][0]:
+            cap = jnp.asarray(plan[float(stop)][1], dtype)
+            (state["t"], state["y"], state["h"], state["errp"],
+             state["br_t"], state["br_y"],
+             (ns, na, nr, state["status"])) = one_interval_free(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first), state["br_t"], state["br_y"], cap,
+                params)
+        else:
+            (state["t"], state["y"], state["h"], state["errp"],
+             (ns, na, nr, state["status"])) = one_interval(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first), params)
+            if normal:
+                state["br_t"], state["br_y"] = state["t"], state["y"]
         acc["steps"][k_out] += int(ns)
         acc["accepted"][k_out] += int(na)
         acc["rejected"][k_out] += int(nr)
@@ -627,7 +700,12 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         return int(state["status"])
 
     def on_output(k_done):
-        snap = physical(state["y"])
+        if normal:
+            snap = physical(snap_at(
+                state["br_t"], state["br_y"], state["t"], state["y"],
+                jnp.asarray(float(touts[k_done - 1]), dtype), params))
+        else:
+            snap = physical(state["y"])
         snaps.append(np.asarray(snap) if host_offload else snap)
         if on_snapshot is not None:
             on_snapshot(k_done, snap)

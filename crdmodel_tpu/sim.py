@@ -111,9 +111,7 @@ def make_simulation_fn(problem: Problem):
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype))
-        # ARK_NORMAL mode needs the plain state representation, like the
-        # other fused branches below
-        if cfg.step_mode == "tstop" and _pallas_eligible(cfg):
+        if _pallas_eligible(cfg):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
                 frkc = pallas_rkc.build_fused_rkc_step(
@@ -128,7 +126,7 @@ def make_simulation_fn(problem: Problem):
         from crdmodel_tpu.core.problem import make_rhs
         rhs_split = make_rhs(cfg, problem.model, problem.geometry,
                              jnp.dtype(cfg.dtype), split=True)
-        if cfg.step_mode == "tstop" and _pallas_eligible(cfg):
+        if _pallas_eligible(cfg):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
                 fimex = pallas_imex.build_fused_imex_step(
@@ -136,8 +134,7 @@ def make_simulation_fn(problem: Problem):
 
     fused = None
     kstep = None
-    if (cfg.method not in ("rkc2", "ark324") and cfg.step_mode == "tstop"
-            and _pallas_eligible(cfg)):
+    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(cfg):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -145,10 +142,12 @@ def make_simulation_fn(problem: Problem):
             fused = pallas_step.build_fused_step(problem, tableau,
                                                  jnp.dtype(cfg.dtype))
             # speculative K-step mega-kernel: K frozen-h sub-steps per HBM
-            # pass (opt-in via cfg.speculative_k; ops/pallas_kstep.py)
+            # pass (opt-in via cfg.speculative_k; ops/pallas_kstep.py).
+            # ARK_NORMAL mode never batches, so don't build the kernel
             k = int(cfg.speculative_k)
-            if k > 1 and pallas_kstep.is_kstep_supported(
-                    problem, tableau, jnp.dtype(cfg.dtype), k):
+            if (k > 1 and cfg.step_mode == "tstop"
+                    and pallas_kstep.is_kstep_supported(
+                        problem, tableau, jnp.dtype(cfg.dtype), k)):
                 kstep = pallas_kstep.build_fused_kstep(
                     problem, tableau, k, jnp.dtype(cfg.dtype))
 
@@ -274,11 +273,6 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
         make_default_step_err)
 
-    if cfg.step_mode != "tstop":
-        raise ValueError("the streaming driver needs step_mode='tstop' "
-                         "(checkpoint/resume and incremental writes assume "
-                         "exact interval boundaries); use simulate() for "
-                         "ARK_NORMAL-mode runs")
     problem = problem if problem is not None else build_problem(cfg)
     touts = output_times(cfg)
     dtype = jnp.dtype(cfg.dtype)
@@ -291,11 +285,12 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     stops = list(zip(stop_times.tolist(), is_output.tolist()))
 
     if "stream_fns" in problem.cache:
-        one_interval, h0_fn, pad, unpad = problem.cache["stream_fns"]
+        one_interval, h0_fn, pad, unpad, free_fns = \
+            problem.cache["stream_fns"]
         return _run_streaming_loop(
             cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
             on_snapshot, progress, checkpoint_every, checkpoint_path,
-            host_offload, _resume)
+            host_offload, _resume, free_fns=free_fns)
 
     pad = unpad = lambda y: y
     h_limit_fn = None
@@ -379,11 +374,43 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             h0 = jnp.minimum(h0, h_limit_fn(t0, pad(y), params).astype(dtype))
         return h0
 
-    problem.cache["stream_fns"] = (one_interval, h0_fn, pad, unpad)
+    free_fns = None
+    if cfg.step_mode == "normal":
+        # ARK_NORMAL streaming: free-running intervals + cubic-Hermite
+        # dense output at each tout, breakpoints kept exact clamped stops
+        # (same policy as the in-jit scan, integrate/erk.py). The bracket
+        # (start of the last accepted step) joins the loop state — and the
+        # checkpoint payload, so resume reproduces the interpolation.
+        from crdmodel_tpu.integrate.erk import (hermite_interpolate,
+                                                integrate_interval_free)
+
+        @jax.jit
+        def one_interval_free(t, y, h, errp, status, tout, first,
+                              br_t, br_y, cap):
+            params = {**problem.params, "_seg_end": tout}
+            fc0 = init_carry(t, y, params)
+            t, y, h, errp, br, stats = integrate_interval_free(
+                step_err, t, y, h, errp, tout, params,
+                err_order=err_order, max_steps=cfg.max_steps,
+                global_size=global_size, carry0=fc0, status0=status,
+                first_interval=first, h_limit_fn=h_limit_fn,
+                bracket0=(br_t, br_y), t_cap=cap)
+            return t, y, h, errp, br, stats
+
+        @jax.jit
+        def snap_at(br_t, br_y, t, y, tout):
+            params = {**problem.params, "_seg_end": tout}
+            return hermite_interpolate(problem.rhs, br_t, unpad(br_y),
+                                       t, unpad(y), tout, params)
+
+        free_fns = (one_interval_free, snap_at,
+                    make_normal_stream_plan(stops, breakpoints))
+
+    problem.cache["stream_fns"] = (one_interval, h0_fn, pad, unpad, free_fns)
     return _run_streaming_loop(
         cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
         on_snapshot, progress, checkpoint_every, checkpoint_path,
-            host_offload, _resume)
+        host_offload, _resume, free_fns=free_fns)
 
 
 def drive_stream_loop(stops, nt, k_start, first0, dtype, step_to, current_t,
@@ -439,15 +466,39 @@ def drive_stream_loop(stops, nt, k_start, first0, dtype, step_to, current_t,
     return k_out
 
 
+def make_normal_stream_plan(stops, breakpoints):
+    """Per-stop ARK_NORMAL streaming plan: {float(stop): (free, cap)}.
+
+    free: integrate the interval FREELY (overshoot + dense output) — output
+    stops that are not breakpoints. Breakpoints (and outputs coinciding
+    with one) stay exact clamped stops: the RHS is discontinuous there and
+    interpolating across one would be wrong (integrate/erk.py normal-mode
+    scan has the same policy in-jit).
+    cap: the next breakpoint strictly after this stop — a free interval's
+    overshoot must not cross it (+inf when none lies ahead)."""
+    bps = sorted(float(b) for b in breakpoints)
+    plan = {}
+    for stop, is_out in stops:
+        s = float(stop)
+        is_bp = any(np.isclose(s, b) for b in bps)
+        cap = min([b for b in bps if b > s and not np.isclose(b, s)],
+                  default=np.inf)
+        plan[s] = (bool(is_out) and not is_bp, cap)
+    return plan
+
+
 def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                         pad, unpad, on_snapshot, progress,
                         checkpoint_every, checkpoint_path, host_offload,
-                        _resume):
+                        _resume, free_fns=None):
     from crdmodel_tpu.integrate.erk import SolveStats
 
     dtype = jnp.dtype(cfg.dtype)
     t_start = time.perf_counter()
     nt = len(touts)
+    normal = free_fns is not None
+    if normal:
+        one_interval_free, snap_at, plan = free_fns
     # checkpoints and snapshots always store the plain (unpadded)
     # representation; the loop state may be the fused kernel's padded one
     if _resume is not None:
@@ -456,6 +507,9 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         t = jnp.asarray(float(_resume["t"]), dtype)
         h = jnp.asarray(float(_resume["h"]), dtype)
         errp = jnp.asarray(float(_resume["err_prev"]), dtype)
+        br_t = jnp.asarray(float(_resume.get("br_t", _resume["t"])), dtype)
+        br_y = (pad(jnp.asarray(_resume["br_y"], dtype))
+                if "br_y" in _resume else y)
         snaps = [np.asarray(s, dtype) if host_offload
                  else jnp.asarray(s, dtype) for s in _resume["snapshots"]]
         stats_acc = {k: np.array(_resume[f"stats_{k}"], dtype=np.int64)
@@ -466,6 +520,7 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         y = pad(problem.y0)
         t = jnp.asarray(0.0, dtype)
         errp = jnp.asarray(1.0, dtype)
+        br_t, br_y = t, y
         snaps = [np.asarray(problem.y0) if host_offload else problem.y0]
         stats_acc = {k: np.zeros(nt, dtype=np.int64)
                      for k in ("steps", "accepted", "rejected", "status")}
@@ -473,7 +528,8 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
             on_snapshot(0, np.asarray(problem.y0))
     status = jnp.asarray(0, jnp.int32)
 
-    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status}
+    state = {"t": t, "y": y, "h": h, "errp": errp, "status": status,
+             "br_t": br_t, "br_y": br_y}
 
     def maybe_checkpoint(k_done):
         if checkpoint_every and checkpoint_path and \
@@ -484,13 +540,30 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                             float(state["t"]), float(state["h"]),
                             float(state["errp"]),
                             np.stack([np.asarray(s) for s in snaps]),
-                            stats_acc)
+                            stats_acc,
+                            br_t=float(state["br_t"]) if normal else None,
+                            br_y=(np.asarray(unpad(state["br_y"]))
+                                  if normal else None))
 
     def step_to(stop, first, k_out):
-        (state["t"], state["y"], state["h"], state["errp"],
-         (ns, na, nr, state["status"])) = one_interval(
-            state["t"], state["y"], state["h"], state["errp"],
-            state["status"], jnp.asarray(stop, dtype), jnp.asarray(first))
+        if normal and plan[float(stop)][0]:
+            cap = jnp.asarray(plan[float(stop)][1], dtype)
+            (state["t"], state["y"], state["h"], state["errp"],
+             (state["br_t"], state["br_y"]),
+             (ns, na, nr, state["status"])) = one_interval_free(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first), state["br_t"], state["br_y"], cap)
+        else:
+            (state["t"], state["y"], state["h"], state["errp"],
+             (ns, na, nr, state["status"])) = one_interval(
+                state["t"], state["y"], state["h"], state["errp"],
+                state["status"], jnp.asarray(stop, dtype),
+                jnp.asarray(first))
+            if normal:
+                # clamped stop (breakpoint): degenerate bracket — the
+                # dense output at a coinciding tout falls back to y
+                state["br_t"], state["br_y"] = state["t"], state["y"]
         stats_acc["steps"][k_out] += int(ns)
         stats_acc["accepted"][k_out] += int(na)
         stats_acc["rejected"][k_out] += int(nr)
@@ -499,7 +572,12 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         return int(state["status"])
 
     def on_output(k_done):
-        snap = unpad(state["y"])
+        if normal:
+            snap = snap_at(state["br_t"], state["br_y"], state["t"],
+                           state["y"], jnp.asarray(float(touts[k_done - 1]),
+                                                   dtype))
+        else:
+            snap = unpad(state["y"])
         snaps.append(np.asarray(snap) if host_offload else snap)
         if on_snapshot is not None:
             on_snapshot(k_done, np.asarray(snaps[-1]))

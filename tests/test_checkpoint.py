@@ -146,8 +146,11 @@ def test_sharded_checkpoint_refuses_mismatches(tmp_path):
     with pytest.raises(ValueError, match="different problem"):
         load_sharded_checkpoint(ckdir, dataclasses.replace(cfg, beta=0.5),
                                 mesh)
-    with pytest.raises(ValueError, match="mesh"):
-        load_sharded_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+    # a different MESH SHAPE is elastic resume, not a refusal: the loader
+    # reassembles the saved global state and re-shards it (VERDICT r2 #5)
+    ck = load_sharded_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+    same = load_sharded_checkpoint(ckdir, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(ck["y"]), np.asarray(same["y"]))
 
 
 def test_orbax_checkpoint_resume(tmp_path):
@@ -206,8 +209,71 @@ def test_orbax_checkpoint_restored_sharding(tmp_path):
     assert tuple(spec) == (None, AXIS_Y, AXIS_X)
     with pytest.raises(ValueError, match="different problem"):
         load_orbax_checkpoint(ckdir, dataclasses.replace(cfg, beta=0.5), mesh)
-    with pytest.raises(ValueError, match="mesh"):
-        load_orbax_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+    # elastic resume on a different mesh shape: orbax re-shards on restore
+    ck2 = load_orbax_checkpoint(ckdir, cfg, make_mesh(shape=(4, 2)))
+    assert tuple(ck2["y"].sharding.spec) == (None, AXIS_Y, AXIS_X)
+    np.testing.assert_array_equal(np.asarray(ck2["y"]), np.asarray(ck["y"]))
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+@pytest.mark.parametrize("resume_shape", [(1, 8), (4, 2)])
+def test_elastic_resume_different_mesh(tmp_path, backend, resume_shape):
+    """Save on 2x4, resume on a different mesh shape: the continued
+    trajectory equals the uninterrupted run (VERDICT r2 #5). Exact rows:
+    the solver state is mesh-layout-independent (global arrays; psum'd
+    control flow), so only reduction order could differ — and f64 WRMS
+    sums here agree bitwise across these mesh shapes."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.3, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh = make_mesh(shape=(2, 4))
+    full = simulate_sharded_streaming(cfg, mesh=mesh)
+    assert full.ok
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir,
+                               checkpoint_backend=backend)
+    res = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=resume_shape),
+                                     resume_dir=ckdir,
+                                     checkpoint_backend=backend)
+    assert res.ok
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory[3:]),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
+
+
+def test_elastic_resume_uneven_grid(tmp_path):
+    """Elastic resume when the grid divides NEITHER mesh evenly: the saved
+    padded layout (2x3 mesh) is stripped to the physical grid and re-padded
+    for the 3x2 mesh."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=14,  # 56x14
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, t_boundary=0.3, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    mesh_a = make_mesh(shape=(2, 3))
+    mesh_b = make_mesh(shape=(3, 2))
+    full = simulate_sharded_streaming(cfg, mesh=mesh_a)
+    assert full.ok
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh_a, checkpoint_every=2,
+                               checkpoint_dir=ckdir)
+    res = simulate_sharded_streaming(cfg, mesh=mesh_b, resume_dir=ckdir)
+    assert res.ok
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory[3:]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
 
 
 def test_streaming_host_offload_matches(tmp_path):

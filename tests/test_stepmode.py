@@ -103,8 +103,95 @@ def test_normal_mode_guards():
     with pytest.raises(ValueError, match="step_mode"):
         SimConfig(model="fhn", surface="flat", x_mesh=8, surface_width=20,
                   surface_length=40, step_mode="nope").validate()
-    with pytest.raises(ValueError, match="tstop"):
-        simulate_streaming(_cfg(step_mode="normal"))
+
+
+def test_normal_streaming_matches_batch():
+    """ARK_NORMAL streaming (free intervals + bracket state across
+    dispatches) reproduces the in-jit batch scan bitwise: same interval
+    ops, same bracket threading (VERDICT r2 #4)."""
+    cfg = _cfg(step_mode="normal", t_boundary=0.9, output_timestep=4)
+    rb = simulate(cfg)
+    rs = simulate_streaming(cfg)
+    assert rb.ok and rs.ok
+    np.testing.assert_allclose(np.asarray(rs.trajectory),
+                               np.asarray(rb.trajectory),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(rs.stats.steps),
+                                  np.asarray(rb.stats.steps))
+
+
+def test_normal_streaming_checkpoint_resume(tmp_path):
+    """Normal-mode checkpoints persist the dense-output bracket, so a
+    resumed run's interpolated snapshots (and step counts) are bitwise the
+    uninterrupted run's."""
+    from crdmodel_tpu.io.checkpoint import load_checkpoint, resume_streaming
+    cfg = _cfg(step_mode="normal", t_boundary=0.9, output_timestep=4,
+               t_final=2.0)
+    full = simulate_streaming(cfg)
+    assert full.ok
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+    data = load_checkpoint(ck, cfg)
+    assert "br_t" in data and "br_y" in data  # bracket persisted
+    res = resume_streaming(cfg, ck)
+    assert res.ok
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
+
+
+def test_normal_checkpoint_refuses_other_step_mode(tmp_path):
+    """step_mode is part of the config fingerprint: a normal-mode
+    checkpoint must not silently continue a tstop run (the h sequences
+    diverge)."""
+    from crdmodel_tpu.io.checkpoint import resume_streaming
+    cfg = _cfg(step_mode="normal", output_timestep=4)
+    ck = str(tmp_path / "ck.npz")
+    simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+    import dataclasses
+    with pytest.raises(ValueError, match="different problem"):
+        resume_streaming(dataclasses.replace(cfg, step_mode="tstop"), ck)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_normal_sharded_streaming_matches_single():
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = _cfg(surface="torus", x_mesh=16, t_boundary=0.5,
+               step_mode="normal", t_final=1.0, output_timestep=2)
+    r1 = simulate(cfg)
+    r8 = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=(2, 4)))
+    assert r1.ok and r8.ok
+    np.testing.assert_allclose(np.asarray(r8.trajectory),
+                               np.asarray(r1.trajectory),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r8.stats.steps),
+                                  np.asarray(r1.stats.steps))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_normal_sharded_checkpoint_resume(tmp_path):
+    """Sharded normal-mode checkpoint carries the bracket per shard; resume
+    continues bitwise (npz backend)."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = _cfg(surface="torus", x_mesh=16, t_boundary=0.5,
+               step_mode="normal", t_final=2.0, output_timestep=4)
+    mesh = make_mesh(shape=(2, 4))
+    full = simulate_sharded_streaming(cfg, mesh=mesh)
+    assert full.ok
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=mesh, checkpoint_every=2,
+                               checkpoint_dir=ckdir)
+    res = simulate_sharded_streaming(cfg, mesh=mesh, resume_dir=ckdir)
+    assert res.ok
+    np.testing.assert_allclose(np.asarray(res.trajectory),
+                               np.asarray(full.trajectory[3:]),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.asarray(full.stats.steps))
 
 
 @pytest.mark.parametrize("method", ["rkc2", "ark324"])
