@@ -231,7 +231,20 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
+        # per-call parameter overrides (the serial-sweep path, sweep.py):
+        # beta and the diffusion scale are KERNEL INPUTS, not baked
+        # constants, so one compiled program serves every sweep member —
+        # "_fused_b" replaces the scalar-beta input, "dscale" scales the
+        # stencil coefficient inputs (the laplacian is linear in them,
+        # mirroring the XLA rhs's params["dscale"])
+        b_in, c0, c1, c2 = kc.b_pad, kc.c0, kc.c1, kc.c2
+        if isinstance(params, dict):
+            if "_fused_b" in params:
+                b_in = params["_fused_b"].astype(dtype)
+            if "dscale" in params:
+                ds = params["dscale"].astype(dtype)
+                c0, c1, c2 = c0 * ds, c1 * ds, c2 * ds
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b_in, kc.m_pad,
                         kc.col_mask, yp)
         return ynew, jnp.sum(ss)
 

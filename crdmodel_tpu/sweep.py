@@ -60,10 +60,10 @@ SWEEPABLE_FIELDS = ("beta", "diffusion", "wave_length", "wave_width",
                     "wave_inside", "ic_type", "rng_seed")
 
 
-def _resolve_batch_mode(batch_mode: str, mesh=None) -> str:
+def _resolve_batch_mode(batch_mode: str, mesh=None, cfg=None) -> str:
     """"auto" picks per backend: "vmap" (jax.vmap over the whole run) off-
-    TPU; on TPU "members" (single-device) or "serial" (spatially sharded
-    sweeps).
+    TPU; on TPU "members" (small grids), "serial" (large grids and
+    spatially sharded sweeps).
 
     Why three modes: XLA-TPU compile of jax.vmap over the whole adaptive
     loop nest is pathological (measured 2026-08-17: 267 s cold for a 10x40
@@ -74,7 +74,16 @@ def _resolve_batch_mode(batch_mode: str, mesh=None) -> str:
     runs) and vmaps only the stepper, which compiles like the single-member
     program. "serial" (ONE compiled single-member program, host loop over
     members) remains for sharded sweeps, whose shard_map closure is not
-    member-foldable on a fixed device mesh."""
+    member-foldable on a fixed device mesh.
+
+    The on-TPU members/serial crossover is the fused-kernel threshold
+    (PALLAS_AUTO_POINTS): below it one member underutilises the VPU and
+    batching wins big (measured 2026-08-17, B=8 FHN at 100x400: members
+    0.045 s vs serial 0.311 s warm — 7.0x); above it one member already
+    saturates the VPU and the serial path additionally gets the fused
+    kernel that the member-batched XLA loop cannot use (B=8 at 400x1600:
+    members 2.42 s vs serial 0.96 s — batching LOSES 2.5x). See
+    docs/PERF_NOTES.md "TPU-batched sweeps"."""
     if batch_mode == "auto":
         try:
             on_tpu = jax.default_backend() == "tpu"
@@ -82,7 +91,12 @@ def _resolve_batch_mode(batch_mode: str, mesh=None) -> str:
             on_tpu = False
         if not on_tpu:
             return "vmap"
-        return "serial" if mesh is not None else "members"
+        if mesh is not None:
+            return "serial"
+        from crdmodel_tpu.config import PALLAS_AUTO_POINTS
+        if cfg is not None and cfg.ny * cfg.nx >= PALLAS_AUTO_POINTS:
+            return "serial"
+        return "members"
     if batch_mode not in ("vmap", "serial", "members"):
         raise ValueError(f"batch_mode must be auto|vmap|serial|members, "
                          f"got {batch_mode!r}")
@@ -91,6 +105,28 @@ def _resolve_batch_mode(batch_mode: str, mesh=None) -> str:
                          "the single-device program; sharded sweeps take "
                          "batch_mode='vmap' (CPU mesh) or 'serial'")
     return batch_mode
+
+
+# Compiled-runner cache: sweep_configs is called repeatedly with the same
+# base config (parameter studies iterate), and a fresh closure per call
+# would miss jax.jit's cache every time — measured 5-11 s of retrace per
+# warm B=8 call vs ~0.05 s of actual device compute (2026-08-17). Keyed by
+# the full config tuple (+ member count / swept-field structure / mesh
+# device ids); entries live for the process like Problem.cache.
+_SWEEP_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+            tuple(int(d.id) for d in mesh.devices.flat))
+
+
+def _cached(key, build):
+    if key not in _SWEEP_CACHE:
+        _SWEEP_CACHE[key] = build()
+    return _SWEEP_CACHE[key]
 
 
 def sweep_configs(cfg: SimConfig, overrides, mesh=None,
@@ -132,7 +168,8 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
     # from the UNMODIFIED base cfg — per-member diffusion is expressed only
     # through dscale = member_D / base_D (a member-built rhs would bake
     # member 0's D into the coefficients and double-scale member 0)
-    base = build_problem(cfg)
+    ckey = dataclasses.astuple(cfg)
+    base = _cached(("problem", ckey), lambda: build_problem(cfg))
     dtype = base.y0.dtype
     y0s = jnp.stack([p.y0 for p in problems])
     b_batch = jnp.stack([jnp.asarray(np.broadcast_to(
@@ -146,13 +183,17 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
     if mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
             make_sharded_simulation_fn, mesh_pad_spec, sharded_params)
-        base_xla = build_problem(dataclasses.replace(cfg, use_pallas=False))
+        cfg_xla = dataclasses.replace(cfg, use_pallas=False)
+        base_xla = _cached(("problem", dataclasses.astuple(cfg_xla)),
+                           lambda: build_problem(cfg_xla))
         extra = None
         if sweep_d:
             from jax.sharding import PartitionSpec as P
             extra = {"dscale": P()}
-        run_sharded, _ = make_sharded_simulation_fn(
-            base_xla, mesh, extra_param_specs=extra)
+        run_sharded = _cached(
+            ("sharded_run", ckey, _mesh_key(mesh), sweep_d),
+            lambda: make_sharded_simulation_fn(
+                base_xla, mesh, extra_param_specs=extra)[0])
         pad_spec = mesh_pad_spec(cfg, mesh)
         params0, _ = sharded_params(base_xla, pad_spec)
         if pad_spec is not None:
@@ -190,12 +231,13 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                 rhs_split=rhs_split, rho_fn=rho_fn,
                 step_mode=cfg.step_mode)
 
-    mode = _resolve_batch_mode(batch_mode, mesh)
+    mode = _resolve_batch_mode(batch_mode, mesh, cfg)
     if mode == "members" and cfg.step_mode != "tstop" and batch_mode == "auto":
         mode = "serial"   # ARK_NORMAL members not foldable; keep auto working
     t0 = time.perf_counter()
     if mode == "vmap":
-        run = jax.jit(jax.vmap(run_one))
+        run = _cached(("vmap", ckey, _mesh_key(mesh), sweep_d),
+                      lambda: jax.jit(jax.vmap(run_one)))
         traj, stats = run(y0s, b_batch, dscale)
     elif mode == "members":
         # hand-batched member axis inside ONE while_loop (the TPU-resident
@@ -207,22 +249,50 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
             pax["dscale"] = 0
         nm = len(problems)
 
-        @jax.jit
-        def run_members(y0s, params_m):
-            return integrate_to_outputs(
-                base.rhs, y0s, params_m, 0.0, touts,
-                rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
-                max_steps=cfg.max_steps, breakpoints=breakpoints,
-                rhs_split=rhs_split, rho_fn=rho_fn,
-                step_mode=cfg.step_mode, n_members=nm, params_axes=pax)
+        def build_members():
+            @jax.jit
+            def run_members(y0s, params_m):
+                return integrate_to_outputs(
+                    base.rhs, y0s, params_m, 0.0, touts,
+                    rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
+                    max_steps=cfg.max_steps, breakpoints=breakpoints,
+                    rhs_split=rhs_split, rho_fn=rho_fn,
+                    step_mode=cfg.step_mode, n_members=nm, params_axes=pax)
+            return run_members
 
+        run_members = _cached(("members", ckey, nm, sweep_d), build_members)
         traj_t, stats_t = run_members(y0s, params_m)
         # (Nt, B, ...) -> (B, Nt, ...) to match the vmap layout
         traj = jnp.moveaxis(traj_t, 0, 1)
         stats = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1),
                                        stats_t)
+    elif mesh is None and cfg.method not in ("rkc2", "ark324"):
+        # serial via the production single-run driver: on TPU above the
+        # fused threshold every member reuses ONE compiled fused Pallas
+        # step — the member's beta/diffusion ride the kernel's runtime
+        # inputs (_fused_b / dscale, ops/pallas_step.py) instead of being
+        # baked (measured: the fused step is 1.43x the XLA step at the
+        # canonical size, docs/PERF_NOTES.md)
+        from crdmodel_tpu.sim import make_simulation_fn
+        run_sim, _ = make_simulation_fn(base)
+
+        def member_params(i):
+            p = {"b": b_batch[i]}
+            if getattr(b_batch[i], "ndim", 0) == 0:
+                p["_fused_b"] = jnp.reshape(b_batch[i], (1, 1))
+            if sweep_d:
+                p["dscale"] = dscale[i]
+            return p
+
+        outs = [run_sim(y0s[i], member_params(i))
+                for i in range(len(problems))]
+        traj = jnp.stack([o[0] for o in outs])
+        stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                       *[o[1] for o in outs])
     else:
-        run1 = jax.jit(run_one)   # one compile, every member reuses it
+        # one compile, every member (and every later call) reuses it
+        run1 = _cached(("serial1", ckey, _mesh_key(mesh), sweep_d),
+                       lambda: jax.jit(run_one))
         outs = [run1(y0s[i], b_batch[i], dscale[i])
                 for i in range(len(problems))]
         traj = jnp.stack([o[0] for o in outs])

@@ -95,3 +95,36 @@ def test_full_sim_with_pallas_matches_xla():
     a, b = np.asarray(res_p.trajectory), np.asarray(res_x.trajectory)
     # independent step sequences agree to integrator tolerance
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_kernel_runtime_overrides_match_rebuilt_kernel():
+    """The serial-sweep runtime inputs (_fused_b / dscale, sweep.py): a
+    kernel built for beta=b0 called with overrides for (b1, d1) must be
+    bitwise the kernel BUILT for (b1, d1) — beta and the stencil scale are
+    call inputs, not baked constants."""
+    import dataclasses
+    base = SimConfig(model="fhn", surface="torus", x_mesh=40,
+                     surface_width=20, surface_length=40, beta=1.1,
+                     diffusion=0.12, t_boundary=2.0, dtype="float32")
+    # D doubled: a power-of-two dscale keeps c0*ds bitwise equal to
+    # the coefficients built from the doubled D (both linear in D)
+    other = dataclasses.replace(base, beta=1.45, diffusion=0.24)
+    tab = TABLEAUS["bs32"]
+    p0 = build_problem(base)
+    p1 = build_problem(other)
+    fs0 = build_fused_step(p0, tab)
+    fs1 = build_fused_step(p1, tab)
+    seg = {"_seg_end": jnp.float32(1.0)}
+    y = fs0.pad(p1.y0)
+
+    ov = {**p0.params, **seg,
+          "_fused_b": jnp.full((1, 1), other.beta, jnp.float32),
+          "dscale": jnp.float32(other.diffusion / base.diffusion)}
+    ynew_o, ss_o = jax.jit(fs0.step_err)(
+        jnp.float32(0.5), y, jnp.float32(1e-3), ov)
+    ynew_r, ss_r = jax.jit(fs1.step_err)(
+        jnp.float32(0.5), y, jnp.float32(1e-3), {**p1.params, **seg})
+    np.testing.assert_array_equal(np.asarray(ynew_o), np.asarray(ynew_r))
+    # error weights are built from rtol/atol only; sums must agree to f32
+    # reassociation tolerance (the dscale multiply reorders the product)
+    assert np.isclose(float(ss_o), float(ss_r), rtol=1e-5)
