@@ -23,6 +23,13 @@ import numpy as np
 
 BASELINE_RATE = 5.3688e6  # scripts/measure_baseline.py, this host, 2026-08-16
 
+# Measured compute roofline for this exact config (fused bs32 step, 400x1600
+# f32): 49.2 us/step, VPU-bound — docs/PERF_NOTES.md "compute roofline"
+# section (2026-08-16).  roofline_fraction below is roofline/measured, i.e.
+# 1.0 means the whole run (step + adaptive control + output machinery)
+# sustains the bare-step roofline.
+ROOFLINE_US_PER_STEP = 49.2
+
 
 def main():
     import jax
@@ -31,10 +38,13 @@ def main():
     from crdmodel_tpu.core.problem import build_problem
     from crdmodel_tpu.sim import make_simulation_fn
 
+    from crdmodel_tpu.sim import _pallas_eligible
+
     cfg = config_from_ini("/root/reference/data/FHNmodelArgs.ini",
                           model="fhn", surface="torus")
     problem = build_problem(cfg)
     run, _ = make_simulation_fn(problem)
+    fused = _pallas_eligible(cfg)
 
     # compile + warm-up (note: on the axon backend block_until_ready is a
     # no-op — only a device->host transfer synchronises, so timing brackets
@@ -50,11 +60,16 @@ def main():
 
     steps = int(np.sum(np.asarray(stats.steps)))
     rate = cfg.nx * cfg.ny * steps / wall
+    us_per_step = wall / steps * 1e6
     print(json.dumps({
         "metric": "grid-points*steps/sec/chip (FHN torus 400x1600 f32 adaptive, Tf=50)",
         "value": rate,
         "unit": "points*steps/s",
         "vs_baseline": rate / BASELINE_RATE,
+        "us_per_step": round(us_per_step, 2),
+        "steps": steps,
+        "method": f"{cfg.method}+fused-pallas" if fused else cfg.method,
+        "roofline_fraction": round(ROOFLINE_US_PER_STEP / us_per_step, 3),
     }))
 
 
