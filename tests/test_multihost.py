@@ -274,3 +274,72 @@ def test_four_process_mesh_matches_single_process(tmp_path):
     np.testing.assert_allclose(traj_mh, np.asarray(ref.trajectory),
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(steps_mh, np.asarray(ref.stats.steps))
+
+
+CHILD_NORMAL = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+
+from crdmodel_tpu.config import SimConfig
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=2,
+                vary_beta=1, beta_min=0.7, beta_max=1.7, t_boundary=0.2,
+                dtype="float64", rtol=1e-6, atol=1e-10, step_mode="normal")
+mesh = multihost.make_global_mesh((cfg.ny, cfg.nx), shape=(2, 4))
+res = multihost.simulate_sharded_multihost(cfg, mesh=mesh)
+assert res.ok, np.asarray(res.stats.status)
+if jax.process_index() == 0:
+    np.savez(out, trajectory=np.asarray(res.trajectory),
+             steps=np.asarray(res.stats.steps))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_normal_mode_matches_single(tmp_path):
+    """ARK_NORMAL streaming across a process-spanning mesh: free-running
+    intervals + the dense-output bracket ride the multi-process mesh; the
+    result must match the plain single-device batch-normal run."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    out = str(tmp_path / "mh_n.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_NORMAL, str(pid), "2", port, out],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+    with np.load(out) as z:
+        traj_mh = z["trajectory"]
+        steps_mh = z["steps"]
+
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.sim import simulate
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=2, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.2, dtype="float64",
+                    rtol=1e-6, atol=1e-10, step_mode="normal")
+    res = simulate(cfg)
+    assert res.ok
+    np.testing.assert_array_equal(steps_mh, np.asarray(res.stats.steps))
+    np.testing.assert_allclose(traj_mh, np.asarray(res.trajectory),
+                               rtol=1e-12, atol=1e-12)
