@@ -289,23 +289,20 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
-                   dtype, max_reduce=None, member_batched=False):
+                   dtype, max_reduce=None):
     """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
     integrator: static Gershgorin bound of the diffusion operator (variable
     0 only) + the model's pointwise kinetics Jacobian bound over the grid.
 
     The model's jac_bound returns the *pointwise* Gershgorin field (same
-    trailing shape as state[0]); the grid max is taken here so batched
-    drivers can instead reduce per member.
+    trailing shape as state[0]); the grid max is taken here. Member-batched
+    sweeps need no special handling: the whole stepper (including this
+    bound) is vmapped over the member axis, so jnp.max reduces per member
+    automatically (sweep.py batch_mode="members").
 
     max_reduce: optional scalar max-reduction applied to the kinetics bound
     (under shard_map: lambda x: lax.pmax(x, axes) so every device agrees on
-    the stage count).
-
-    member_batched: when True, y is (nvars, B, ny, nx) and rho returns a
-    (B,) per-member bound (max over the spatial axes only) — used by the
-    hand-batched sweep driver so members' Chebyshev stage counts stay
-    independent."""
+    the stage count)."""
     coeffs = geometry.stencil_coeffs(jnp.float64)
     if geometry.kind == "torus":
         c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)
@@ -324,7 +321,7 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
         r = jnp.asarray(rho_diff, dtype)
         if not just_diffusion:
             jb = model.jac_bound(y, params["b"]).astype(dtype)
-            jb = jnp.max(jb, axis=(-2, -1)) if member_batched else jnp.max(jb)
+            jb = jnp.max(jb)
             if max_reduce is not None:
                 jb = max_reduce(jb)
             r = r + jb

@@ -118,6 +118,7 @@ def _write_shards(dirpath: str, name: str, arr, pid: int, k_out: int):
     # cross-checks against the manifest — a crash mid-overwrite can
     # therefore leave stale-round shards behind but NEVER an undetectably
     # mixed state (the loader refuses on round mismatch)
+    n = -1
     for n, shard in enumerate(arr.addressable_shards):
         starts = [s.start or 0 for s in shard.index]
         path = os.path.join(dirpath, f"{name}.p{pid:03d}.s{n:03d}.npz")
@@ -128,6 +129,17 @@ def _write_shards(dirpath: str, name: str, arr, pid: int, k_out: int):
                             starts=np.asarray(starts),
                             k_out=np.asarray(int(k_out)))
         os.replace(tmp, path)
+    # drop this process's leftovers from a previous (larger) shard count —
+    # after an elastic resume onto a smaller mesh, stale higher-index files
+    # would otherwise shadow the directory forever (review finding r3)
+    import glob as _glob
+    for f in _glob.glob(os.path.join(dirpath, f"{name}.p{pid:03d}.s*.npz")):
+        try:
+            s_idx = int(os.path.basename(f).rsplit(".s", 1)[1][:3])
+        except ValueError:
+            continue
+        if s_idx > n:
+            os.remove(f)
 
 
 def save_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh, k_out: int,
@@ -213,17 +225,32 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
                  == [int(s) for s in mesh.devices.shape])
 
     def reassemble(name):
-        shards = {}
+        # Shards from a different round than the manifest are SKIPPED, not
+        # an immediate error: after an elastic resume onto a mesh with a
+        # different per-process shard count, files from the older layout
+        # legitimately coexist in the directory. They only become an error
+        # when the manifest round's files don't fully cover the state —
+        # which is exactly the interrupted-save case the round id exists
+        # to detect.
+        shards, stale = {}, []
         for f in glob.glob(os.path.join(dirpath, f"{name}.p*.s*.npz")):
             with np.load(f) as z:
                 if "k_out" in z and int(z["k_out"]) != int(manifest["k_out"]):
-                    raise ValueError(
-                        f"checkpoint {dirpath} is MIXED: shard "
-                        f"{os.path.basename(f)} is from round "
-                        f"{int(z['k_out'])} but the manifest says "
-                        f"{int(manifest['k_out'])} — a save was interrupted; "
-                        "refusing to resume from a corrupted state")
+                    stale.append(os.path.basename(f))
+                    continue
                 shards[tuple(int(v) for v in z["starts"])] = z["data"]
+
+        def missing_error(detail):
+            if stale:
+                return ValueError(
+                    f"checkpoint {dirpath} is MIXED: {detail}, and "
+                    f"{len(stale)} {name} shard file(s) from a different "
+                    f"round exist (e.g. {stale[0]}) — a save was "
+                    "interrupted; refusing to resume from a corrupted "
+                    "state")
+            return ValueError(
+                f"checkpoint {dirpath} {detail} (written by another "
+                "process? copy all per-process files to shared storage)")
 
         shape = tuple(manifest["global_shape"])
         sharding = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
@@ -232,10 +259,8 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
             def shard_for(index):
                 key = tuple((s.start or 0) for s in index)
                 if key not in shards:
-                    raise ValueError(
-                        f"checkpoint {dirpath} is missing the {name} shard "
-                        f"at {key} (written by another process? copy all "
-                        "per-process files to shared storage)")
+                    raise missing_error(f"is missing the {name} shard at "
+                                        f"{key}")
                 return shards[key]
 
             return jax.make_array_from_callback(shape, sharding, shard_for)
@@ -243,7 +268,8 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
         # elastic resume: assemble the saved global array from its disjoint
         # shard tiling, re-layout pad cells for the new mesh, shard onto it
         if not shards:
-            raise ValueError(f"checkpoint {dirpath} has no {name} shards")
+            raise missing_error(f"has no {name} shards for round "
+                                f"{int(manifest['k_out'])}")
         total = 0
         full = np.empty(shape, next(iter(shards.values())).dtype)
         for starts, data in shards.items():
@@ -251,10 +277,8 @@ def load_sharded_checkpoint(dirpath: str, cfg: SimConfig, mesh) -> dict:
             full[sl] = data
             total += data.size
         if total != full.size:
-            raise ValueError(
-                f"checkpoint {dirpath} {name} shards cover {total} of "
-                f"{full.size} elements — missing per-process files? copy "
-                "all of them to shared storage before an elastic resume")
+            raise missing_error(f"{name} shards cover {total} of "
+                                f"{full.size} elements")
         full = _regrid_for_mesh(full, cfg, manifest["mesh_shape"], mesh)
         return jax.device_put(full, sharding)
 

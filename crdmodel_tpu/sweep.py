@@ -272,9 +272,19 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
         # step — the member's beta/diffusion ride the kernel's runtime
         # inputs (_fused_b / dscale, ops/pallas_step.py) instead of being
         # baked (measured: the fused step is 1.43x the XLA step at the
-        # canonical size, docs/PERF_NOTES.md)
+        # canonical size, docs/PERF_NOTES.md). speculative_k is forced off:
+        # the K-step mega-kernel (pallas_kstep) closes over BAKED beta/
+        # coefficients and never sees the member overrides — running it
+        # would silently integrate every member with the base beta/D
+        # (review finding r3).
         from crdmodel_tpu.sim import make_simulation_fn
-        run_sim, _ = make_simulation_fn(base)
+        if int(cfg.speculative_k) > 1:
+            cfg_ns = dataclasses.replace(cfg, speculative_k=0)
+            base_ns = _cached(("problem", dataclasses.astuple(cfg_ns)),
+                              lambda: build_problem(cfg_ns))
+        else:
+            base_ns = base
+        run_sim, _ = make_simulation_fn(base_ns)
 
         def member_params(i):
             p = {"b": b_batch[i]}

@@ -74,9 +74,42 @@ ROWS = [
 ]
 
 
+def max_scale_row(results):
+    """Largest demonstrated single-chip grid: 100M points (20000x5000 FHN
+    torus, varyBeta), streaming fused rkc2 with host-offloaded snapshots —
+    state + rkc stage buffers fill most of the 16 GB HBM (the next size up,
+    164M, crashes the TPU worker). Measured 2026-08-17: 254 steps to
+    Tf=0.25, warm wall 189 s (743 ms/step, ~80-stage Chebyshev steps),
+    1.35e8 points*steps/s; bs32 at this grid would be diffusion-CFL-bound
+    thousands of steps. docs/PERF_NOTES.md 'max-scale demo'."""
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.sim import simulate_streaming
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=5000,
+                    surface_width=20, surface_length=80,
+                    t_final=0.25, output_timestep=2, vary_beta=1,
+                    beta_min=0.7, beta_max=1.7, t_boundary=0.0,
+                    dtype="float32", rtol=1e-5, atol=1e-8, method="rkc2")
+    problem = build_problem(cfg)
+    simulate_streaming(cfg, problem=problem, host_offload=True)  # compile
+    r = simulate_streaming(cfg, problem=problem, host_offload=True)
+    steps = r.total_steps()
+    rate = cfg.nx * cfg.ny * steps / r.wall_time
+    results.append(dict(
+        name="FHN torus 20000x5000 (100M pts) Tf=0.25 rkc2 streaming",
+        ok=bool(r.ok), steps=int(steps), wall_s=round(r.wall_time, 1),
+        us_per_step=round(1e6 * r.wall_time / max(steps, 1), 0),
+        points_steps_per_s=float(f"{rate:.4g}")))
+    print(f"done: max-scale: {r.wall_time:.1f}s / {steps} steps",
+          file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--max-scale", action="store_true",
+                    help="append the 100M-point streaming-rkc2 row "
+                         "(~12 min incl. compile; TPU only)")
     args = ap.parse_args()
 
     import jax
@@ -101,6 +134,9 @@ def main():
                             us_per_step=round(1e6 * wall / max(steps, 1), 2),
                             points_steps_per_s=float(f"{rate:.4g}")))
         print(f"done: {name}: {wall:.3f}s / {steps} steps", file=sys.stderr)
+
+    if args.max_scale:
+        max_scale_row(results)
 
     print(f"\n## bench_suite ({backend})\n")
     print("| configuration | steps | wall (s) | us/step | points*steps/s |")

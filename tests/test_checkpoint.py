@@ -361,3 +361,41 @@ def test_sharded_writer_append_mode(tmp_path):
     w3(0, y0)
     traj, _ = read_reference_files(d, cfg.program_name, "u")
     assert traj.shape[0] == 1
+
+
+def test_elastic_recheckpoint_same_dir(tmp_path):
+    """Checkpointing into the same directory after an elastic resume on a
+    SMALLER mesh must not poison it (review finding r3): the save prunes
+    this process's leftover higher-index shard files, and the loader
+    ignores stale-round leftovers that the manifest round fully covers."""
+    import glob
+
+    from crdmodel_tpu.io.checkpoint import load_sharded_checkpoint
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=1.0,
+                    output_timestep=4, t_boundary=0.3, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    ckdir = str(tmp_path / "ck")
+    simulate_sharded_streaming(cfg, mesh=make_mesh(shape=(2, 4)),
+                               checkpoint_every=2, checkpoint_dir=ckdir)
+    assert len(glob.glob(ckdir + "/y.p*.s*.npz")) == 8
+    # elastic resume on 4 devices, re-checkpointing into the SAME dir
+    mesh_b = make_mesh(shape=(2, 2))
+    res = simulate_sharded_streaming(cfg, mesh=mesh_b, resume_dir=ckdir,
+                                     checkpoint_every=1,
+                                     checkpoint_dir=ckdir)
+    assert res.ok
+    # single-process: the save pruned its own leftover s004..s007 files
+    assert len(glob.glob(ckdir + "/y.p*.s*.npz")) == 4
+    ck = load_sharded_checkpoint(ckdir, cfg, mesh_b)
+    assert int(ck["k_out"]) == 3
+    # a stale-round file from a process this host never saw must be
+    # IGNORED as long as the manifest round is fully covered
+    np.savez_compressed(ckdir + "/y.p009.s000.npz",
+                        data=np.zeros((1, 1, 1)), starts=np.zeros(3, int),
+                        k_out=np.asarray(999))
+    ck2 = load_sharded_checkpoint(ckdir, cfg, mesh_b)
+    np.testing.assert_array_equal(np.asarray(ck2["y"]), np.asarray(ck["y"]))
