@@ -272,6 +272,18 @@ def cmd_steadystate(args):
     return 0
 
 
+def cmd_stability(args):
+    """Linear-stability report computed from the kinetics via AD — the
+    numbers the reference hardcodes into its plot scripts (FHN Hopf line at
+    beta=1, util/FHNmodel/plot_FHNmodel_torus.py:93-95; Goldbeter window
+    0.289/0.774, util/GoldbeterModel/plot_GoldbeterModel_torus.py:91-94)."""
+    from crdmodel_tpu.models.stability import stability_report
+    print(stability_report(args.model, args.beta, args.diffusion,
+                           beta_lo=args.scan[0] if args.scan else None,
+                           beta_hi=args.scan[1] if args.scan else None))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="crdmodel_tpu",
                                  description=__doc__.split("\n")[0])
@@ -351,6 +363,20 @@ def main(argv=None):
     p.add_argument("--plot", default=None, metavar="PNG",
                    help="also render the 0-D trajectory figure")
     p.set_defaults(fn=cmd_steadystate)
+
+    p = sub.add_parser("stability",
+                       help="linear-stability report: fixed point, "
+                            "eigenvalues, Hopf crossings, Turing band "
+                            "(computed via AD, not hardcoded)")
+    p.add_argument("beta", type=float)
+    p.add_argument("--model", default="fhn", choices=_model_choices())
+    p.add_argument("--diffusion", type=float, default=0.12,
+                   help="diffusion coefficient (reference default 0.12, "
+                        "data/FHNmodelArgs.ini:4)")
+    p.add_argument("--scan", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="also report stability crossings in [LO, HI]")
+    p.set_defaults(fn=cmd_stability)
 
     args = ap.parse_args(argv)
     return args.fn(args)
