@@ -44,7 +44,7 @@ def main():
                           model="fhn", surface="torus")
     problem = build_problem(cfg)
     run, _ = make_simulation_fn(problem)
-    fused = _pallas_eligible(cfg)
+    fused = _pallas_eligible(problem)
 
     # compile + warm-up (note: on the axon backend block_until_ready is a
     # no-op — only a device->host transfer synchronises, so timing brackets

@@ -114,6 +114,14 @@ class SimConfig:
     # measured faster on the canonical travelling-wave problems —
     # docs/PERF_NOTES.md); suited to long smooth runs.
     speculative_k: int = 0
+    # Spatially-varying diffusion (conservative flux form,
+    # ops/stencil.py::divergence_laplacian). "none" = the reference's
+    # constant-D operator; "curvature" = D(theta) modulated by the
+    # Kneer et al. (2014) curvature-coupling profile the reference computes
+    # but never simulates with (util/GenCurvatureCoupling.py:29-43),
+    # normalised so the theta-average diffusivity equals `diffusion`
+    # (torus only). Arbitrary fields: build_problem(cfg, diffusion_field=A).
+    coupling: str = "none"
 
     # ------------------------------------------------------------------
     # Derived geometry. Conventions reproduced exactly from the reference
@@ -199,6 +207,13 @@ class SimConfig:
         if self.step_mode not in ("tstop", "normal"):
             raise ValueError(f"step_mode must be tstop|normal, "
                              f"got {self.step_mode!r}")
+        if self.coupling not in ("none", "curvature"):
+            raise ValueError(f"coupling must be none|curvature, "
+                             f"got {self.coupling!r}")
+        if self.coupling == "curvature" and self.surface != "torus":
+            raise ValueError("coupling='curvature' needs surface='torus' "
+                             "(the Kneer profile lives in toroidal "
+                             "coordinates)")
         return self
 
 

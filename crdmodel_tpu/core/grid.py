@@ -94,6 +94,41 @@ class FlatGeometry:
     def gaussian_curvature(self, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((self.grid.nx,), dtype=dtype)
 
+    def divergence_coeffs(self, dfield, dtype=jnp.float32):
+        """Face coefficients (aE, aW, aN, aS) of the conservative
+        variable-coefficient operator div(D grad u) on the flat rectangle:
+
+          L u = aE (uE - u) + aW (uW - u) + aN (uN - u) + aS (uS - u)
+
+        with aE_ij = D_{i+1/2,j}/dx^2 (arithmetic face mean) etc. Exactly
+        conservative (sum_ij L u = 0) and self-adjoint by construction.
+        dfield: absolute D values, scalar / (nx,) / (ny, nx). Computed in
+        float64, cast once (setup-time, like stencil_coeffs).
+        """
+        g = self.grid
+        D = np.asarray(dfield, dtype=np.float64)
+        if D.ndim < 2:
+            # x-only (or constant) D: faces stay (nx,) profiles broadcast
+            # over rows, like the torus metric coefficients — no (ny, nx)
+            # arrays materialised
+            D = np.broadcast_to(D, (g.nx,))
+            De = 0.5 * (D + np.roll(D, -1))
+            Dn = Ds = D
+            aW_of = lambda aE: np.roll(aE, 1)
+        else:
+            D = np.broadcast_to(D, (g.ny, g.nx))
+            De = 0.5 * (D + np.roll(D, -1, axis=-1))
+            Dn = 0.5 * (D + np.roll(D, -1, axis=-2))
+            Ds = np.roll(Dn, 1, axis=-2)
+            aW_of = lambda aE: np.roll(aE, 1, axis=-1)
+        inv_dx2 = 1.0 / np.float64(g.dx) ** 2
+        inv_dy2 = 1.0 / np.float64(g.dy) ** 2
+        aE = De * inv_dx2
+        aW = aW_of(aE)
+        aN = Dn * inv_dy2
+        aS = Ds * inv_dy2
+        return tuple(jnp.asarray(a, dtype=dtype) for a in (aE, aW, aN, aS))
+
 
 @dataclasses.dataclass(frozen=True)
 class TorusGeometry:
@@ -149,6 +184,63 @@ class TorusGeometry:
         th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
         K = np.cos(th) / (self.r * (self.R + self.r * np.cos(th)))
         return jnp.asarray(K, dtype=dtype)
+
+    def divergence_coeffs(self, dfield, dtype=jnp.float32):
+        """Face coefficients (aE, aW, aN, aS) of the conservative
+        variable-coefficient Laplace–Beltrami operator
+        div(D grad u) = (1/sqrt(g)) d_a(sqrt(g) D g^ab d_b u) on the torus
+        metric (sqrt(g) = r*ring, g^thth = 1/r^2, g^phiphi = 1/ring^2,
+        ring = R + r cos th — the same metric the reference expands
+        non-conservatively at src/FHNmodel_torus.cpp:527-541):
+
+          L u = aE (uE - u) + aW (uW - u) + aN (uN - u) + aS (uS - u)
+          aE_i = ring(th_i + dx/2) * D_{i+1/2} / (r^2 dx^2 ring_i)
+          aW_i = ring(th_i - dx/2) * D_{i-1/2} / (r^2 dx^2 ring_i)
+          aN = D_{j+1/2} / (ring_i^2 dy^2),  aS = D_{j-1/2} / (ring_i^2 dy^2)
+
+        (the phi-direction sqrt(g) cancels since theta is constant along a
+        column). Exactly conservative in the ring_i row weight and
+        self-adjoint: ring_i aE_i = ring_{i+1} aW_{i+1} by construction.
+        Face D values are arithmetic means. The wrap face reuses the grid's
+        duplicated-seam convention (x_{nx-1}+dx/2, matching the roll-based
+        stencil's treatment of the seam point as a real grid point).
+        dfield: absolute D values, scalar / (nx,) / (ny, nx).
+        """
+        g = self.grid
+        th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
+        R, r = np.float64(self.R), np.float64(self.r)
+        ring = R + r * np.cos(th)
+        ring_e = R + r * np.cos(th + 0.5 * g.dx)          # face i+1/2
+        cx = 1.0 / (r * r * np.float64(g.dx) ** 2)
+        cy = 1.0 / (ring * ring * np.float64(g.dy) ** 2)   # (nx,)
+        D = np.asarray(dfield, dtype=np.float64)
+        if D.ndim < 2:
+            # theta-only D (e.g. the curvature-coupling profile): all four
+            # faces stay (nx,) profiles broadcast over rows
+            D = np.broadcast_to(D, (g.nx,))
+            De = 0.5 * (D + np.roll(D, -1))
+            Dn = Ds = D
+            roll_x = lambda a: np.roll(a, 1)
+        else:
+            D = np.broadcast_to(D, (g.ny, g.nx))
+            De = 0.5 * (D + np.roll(D, -1, axis=-1))
+            Dn = 0.5 * (D + np.roll(D, -1, axis=-2))
+            Ds = np.roll(Dn, 1, axis=-2)
+            roll_x = lambda a: np.roll(a, 1, axis=-1)
+        flux_e = ring_e * De * cx                          # per east face
+        aE = flux_e / ring
+        aW = roll_x(flux_e) / ring
+        aN = Dn * cy
+        aS = Ds * cy
+        return tuple(jnp.asarray(a, dtype=dtype) for a in (aE, aW, aN, aS))
+
+    def row_weights(self) -> np.ndarray:
+        """ring(th) = R + r cos th, shape (nx,): the sqrt(g)/r cell weight in
+        which the divergence-form operator conserves sum(ring * u) exactly
+        (the discrete surface integral up to the constant r dx dy factor)."""
+        g = self.grid
+        th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
+        return self.R + self.r * np.cos(th)
 
 
 Geometry = Union[FlatGeometry, TorusGeometry]

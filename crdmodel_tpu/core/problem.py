@@ -30,7 +30,8 @@ import numpy as np
 from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.grid import Grid, Geometry, make_geometry
 from crdmodel_tpu.models.base import ReactionModel, get_model
-from crdmodel_tpu.ops.stencil import flat_laplacian, torus_laplacian
+from crdmodel_tpu.ops.stencil import (divergence_laplacian, flat_laplacian,
+                                      torus_laplacian)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +43,12 @@ class Problem:
     y0: jnp.ndarray        # (nvars, ny, nx)
     params: dict           # {"b": scalar or (ny, 1) field}
     steady_state: tuple    # background fixed point used in ICs
+    # spatially-varying diffusion coefficient (float64 numpy, broadcastable
+    # to (ny, nx)) when cfg.coupling != "none" or an explicit field was
+    # passed to build_problem; None = the reference's constant-D stencil.
+    # Kept on the Problem so the sharded drivers and kernel-eligibility
+    # gates can see it (fused kernels fall back to XLA for field diffusion).
+    diffusion_field: object = None
     # compiled-driver cache: repeated simulate()/simulate_streaming() calls
     # on the same Problem reuse their jitted closures instead of recompiling
     cache: dict = dataclasses.field(default_factory=dict, repr=False,
@@ -62,6 +69,25 @@ def beta_field(cfg: SimConfig, dtype) -> jnp.ndarray:
     y = np.float64(cfg.ymin) + np.arange(cfg.ny, dtype=np.float64) * cfg.dy
     b = cfg.beta_min + y * (cfg.beta_max - cfg.beta_min) / (cfg.ymax - cfg.ymin)
     return jnp.asarray(b, dtype=dtype)[:, None]
+
+
+def diffusion_field_from_cfg(cfg: SimConfig, geometry: Geometry):
+    """The D(x) field implied by cfg.coupling, or None for constant D.
+
+    coupling="curvature": D(theta) = diffusion * C(theta)/mean(C) where C is
+    the Kneer et al. (2014) coupling-strength profile the reference computes
+    for visualisation only (util/GenCurvatureCoupling.py:29-43,90; see
+    viz/curvature.py::coupling_strength). Normalising by the theta-average
+    keeps the mean diffusivity at cfg.diffusion so runs are comparable with
+    the constant-D operator. Returned as float64 numpy, shape (nx,).
+    """
+    if cfg.coupling == "none":
+        return None
+    from crdmodel_tpu.viz.curvature import coupling_strength
+    g = geometry.grid
+    th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
+    C = coupling_strength(th, geometry.r, geometry.R)
+    return np.float64(cfg.diffusion) * C / np.mean(C)
 
 
 def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
@@ -199,16 +225,29 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
 
 
 def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
-             split: bool = False):
+             split: bool = False, diffusion_field=None):
     """Build rhs(t, state, params) for the full (unsharded) grid.
 
     split=True returns (rhs_ex, rhs_im) — the explicit (diffusion) and
     implicit (pointwise reaction) parts for the ark324 IMEX integrator
     (integrate/imex.py), with the boundary freeze applied to each part
     separately so rhs_ex + rhs_im equals the composed rhs bitwise
-    (where(m, a+b, 0) == where(m, a, 0) + where(m, b, 0))."""
-    coeffs = geometry.stencil_coeffs(dtype)
-    lap = torus_laplacian if geometry.kind == "torus" else flat_laplacian
+    (where(m, a+b, 0) == where(m, a, 0) + where(m, b, 0)).
+
+    diffusion_field: optional D(x) array (broadcastable to (ny, nx)) — the
+    operator switches to the conservative flux form
+    (ops/stencil.py::divergence_laplacian); diffusion_ratios still scale
+    per-variable."""
+    if diffusion_field is not None:
+        face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype)
+
+        def lap(u, _):
+            return divergence_laplacian(u, face_coeffs)
+
+        coeffs = None
+    else:
+        coeffs = geometry.stencil_coeffs(dtype)
+        lap = torus_laplacian if geometry.kind == "torus" else flat_laplacian
     ny = geometry.grid.ny
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
@@ -289,7 +328,7 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
-                   dtype, max_reduce=None):
+                   dtype, max_reduce=None, diffusion_field=None):
     """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
     integrator: static Gershgorin bound of the diffusion operator (variable
     0 only) + the model's pointwise kinetics Jacobian bound over the grid.
@@ -303,12 +342,20 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     max_reduce: optional scalar max-reduction applied to the kinetics bound
     (under shard_map: lambda x: lax.pmax(x, axes) so every device agrees on
     the stage count)."""
-    coeffs = geometry.stencil_coeffs(jnp.float64)
-    if geometry.kind == "torus":
+    if diffusion_field is not None:
+        # divergence form: diag magnitude = sum of face coefficients, and the
+        # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
+        aE, aW, aN, aS = (np.asarray(a, dtype=np.float64)
+                          for a in geometry.divergence_coeffs(
+                              diffusion_field, jnp.float64))
+        rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
+    elif geometry.kind == "torus":
+        coeffs = geometry.stencil_coeffs(jnp.float64)
         c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)
         rho_diff = float(4.0 * np.max(c_th) + 4.0 * np.max(c_phi)
                          + 2.0 * np.max(np.abs(c_asym)))
     else:
+        coeffs = geometry.stencil_coeffs(jnp.float64)
         cu1, cu2, _ = (float(np.asarray(c)) for c in coeffs)
         rho_diff = 4.0 * cu1 + 4.0 * cu2
     rho_diff *= max(model.diffusion_ratios)
@@ -330,14 +377,31 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     return rho
 
 
-def build_problem(cfg: SimConfig) -> Problem:
+def build_problem(cfg: SimConfig, diffusion_field=None) -> Problem:
+    """diffusion_field: optional absolute D(x) array (scalar/(nx,)/(ny,nx))
+    switching diffusion to the conservative variable-coefficient operator;
+    when omitted, cfg.coupling may imply one (diffusion_field_from_cfg)."""
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)
     model = get_model(cfg.model)
     geometry = make_geometry(cfg)
+    if diffusion_field is None:
+        diffusion_field = diffusion_field_from_cfg(cfg, geometry)
+    else:
+        diffusion_field = np.asarray(diffusion_field, dtype=np.float64)
+        if not np.all(diffusion_field >= 0.0):
+            raise ValueError("diffusion_field must be non-negative")
+        try:
+            np.broadcast_to(diffusion_field, geometry.grid.shape)
+        except ValueError:
+            raise ValueError(
+                f"diffusion_field shape {diffusion_field.shape} does not "
+                f"broadcast to the grid {geometry.grid.shape}")
     steady = model.steady_state(cfg.beta)
     y0 = initial_state(cfg, model, steady, dtype)
-    rhs = make_rhs(cfg, model, geometry, dtype)
+    rhs = make_rhs(cfg, model, geometry, dtype,
+                   diffusion_field=diffusion_field)
     params = {"b": beta_field(cfg, dtype)}
     return Problem(cfg=cfg, model=model, geometry=geometry, rhs=rhs,
-                   y0=y0, params=params, steady_state=steady)
+                   y0=y0, params=params, steady_state=steady,
+                   diffusion_field=diffusion_field)

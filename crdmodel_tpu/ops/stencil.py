@@ -66,6 +66,39 @@ def torus_laplacian(u, coeffs):
             + c_phi * (un - 2.0 * u + us))
 
 
+def divergence_laplacian(u, face_coeffs):
+    """Conservative variable-coefficient diffusion div(D grad u).
+
+    face_coeffs = (aE, aW, aN, aS) from Geometry.divergence_coeffs — all
+    metric and D(x) factors folded into per-face coefficients at setup, so
+    the hot path is four fused multiply-adds per point like the constant-D
+    stencils. Written in difference form (exactly zero for constant u).
+
+    This is the operator behind coupling="curvature" (the Kneer et al. 2014
+    curvature-modulated coupling the reference computes in
+    util/GenCurvatureCoupling.py:29-43 but never feeds back into a
+    simulation) and user-supplied diffusion fields.
+    """
+    aE, aW, aN, aS = face_coeffs
+    return (aE * (shift_e(u) - u) + aW * (shift_w(u) - u)
+            + aN * (shift_n(u) - u) + aS * (shift_s(u) - u))
+
+
+def divergence_from_padded(up, face_coeffs):
+    """divergence_laplacian over an explicitly haloed block (..., nyl+2,
+    nxl+2); face_coeffs are the LOCAL centre blocks (face coefficients are
+    indexed at the centre point, so they need no halo — like the metric
+    profiles in laplacian_from_padded)."""
+    aE, aW, aN, aS = face_coeffs
+    u = up[..., 1:-1, 1:-1]
+    uw = up[..., 1:-1, 0:-2]
+    ue = up[..., 1:-1, 2:]
+    us = up[..., 0:-2, 1:-1]
+    un = up[..., 2:, 1:-1]
+    return (aE * (ue - u) + aW * (uw - u)
+            + aN * (un - u) + aS * (us - u))
+
+
 def laplacian_from_padded(up, coeffs, kind):
     """Stencil over an explicitly haloed block up of shape (..., nyl+2, nxl+2).
 

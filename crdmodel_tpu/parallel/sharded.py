@@ -31,18 +31,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.problem import Problem, beta_field, build_problem
 from crdmodel_tpu.integrate.erk import integrate_to_outputs
-from crdmodel_tpu.ops.stencil import laplacian_from_padded
+from crdmodel_tpu.ops.stencil import (divergence_from_padded,
+                                      laplacian_from_padded)
 from crdmodel_tpu.parallel.halo import halo_pad
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
 from crdmodel_tpu.sim import SimResult, output_times
 
 
 def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
-                   pad_spec=None):
+                   pad_spec=None, divergence: bool = False):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
       params["coeffs"]: stencil coefficient profiles ((nx,) arrays or scalars)
+        — or, with divergence=True (spatially-varying diffusion), the four
+        face-coefficient arrays (aE, aW, aN, aS) of the conservative
+        operator (ops/stencil.py::divergence_from_padded)
       params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
       params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
       params["valid"]: (nyp, nxp) bool, False on pad cells (padded grids)
@@ -70,9 +74,11 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
         for v in range(model.nvars):
             if v in dvars:
                 r = ratios[dvars.index(v)]
-                term = laplacian_from_padded(
-                    halo_pad(state[v], seam_y=seam_y, seam_x=seam_x),
-                    coeffs, kind)
+                up = halo_pad(state[v], seam_y=seam_y, seam_x=seam_x)
+                if divergence:
+                    term = divergence_from_padded(up, coeffs)
+                else:
+                    term = laplacian_from_padded(up, coeffs, kind)
                 out.append(term if r == 1.0 else r * term)
             else:
                 out.append(jnp.zeros_like(state[v]))
@@ -144,13 +150,31 @@ def sharded_params(problem: Problem, pad_spec=None):
     cfg = problem.cfg
     dtype = jnp.dtype(cfg.dtype)
     padded = pad_spec is not None and pad_spec.active
-    coeffs = problem.geometry.stencil_coeffs(dtype)
+    if problem.diffusion_field is not None:
+        # conservative variable-coefficient operator: coeffs are the four
+        # face arrays, (nx,) for x-only D fields or (ny, nx) for full fields
+        coeffs = problem.geometry.divergence_coeffs(
+            problem.diffusion_field, dtype)
+    else:
+        coeffs = problem.geometry.stencil_coeffs(dtype)
     if padded:
-        coeffs = tuple(
-            pad_spec.pad_cols(c) if getattr(c, "ndim", 0) == 1 else c
-            for c in coeffs)
-    coeff_spec = tuple(
-        P(AXIS_X) if getattr(c, "ndim", 0) == 1 else P() for c in coeffs)
+        def _pad_coeff(c):
+            nd = getattr(c, "ndim", 0)
+            if nd == 1:
+                return pad_spec.pad_cols(c)
+            if nd == 2:
+                return pad_spec.pad_rows(pad_spec.pad_cols(c))
+            return c
+        coeffs = tuple(_pad_coeff(c) for c in coeffs)
+
+    def _coeff_spec(c):
+        nd = getattr(c, "ndim", 0)
+        if nd == 1:
+            return P(AXIS_X)
+        if nd == 2:
+            return P(AXIS_Y, AXIS_X)
+        return P()
+    coeff_spec = tuple(_coeff_spec(c) for c in coeffs)
     b = beta_field(cfg, dtype)
     if padded and getattr(b, "ndim", 0) == 2:
         b = pad_spec.pad_rows(b)
@@ -206,6 +230,8 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
     splice transport assumes the array wrap IS the physical wrap."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
+    if problem.diffusion_field is not None:
+        return None   # variable-coefficient diffusion: XLA divergence path
     if pad_spec is not None and pad_spec.active:
         return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
@@ -228,6 +254,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
     production configuration for diffusion-limited large grids on a mesh."""
     cfg = problem.cfg
+    if problem.diffusion_field is not None:
+        return None   # variable-coefficient diffusion: XLA divergence path
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
@@ -248,6 +276,8 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
     """Sharded fused IMEX step (ops/pallas_shard_imex.py) when supported —
     one halo exchange per ark324 step, shard-local Newton in-kernel."""
     cfg = problem.cfg
+    if problem.diffusion_field is not None:
+        return None   # variable-coefficient diffusion: XLA divergence path
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "ark324":
@@ -309,7 +339,9 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
     touts = output_times(cfg)
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
-    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec)
+    divergence = problem.diffusion_field is not None
+    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
+                               divergence=divergence)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = model.nvars * cfg.ny * cfg.nx
@@ -324,12 +356,13 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
         # pmax so every device picks the same stage count
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
-            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
+            diffusion_field=problem.diffusion_field)
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
     rhs_split = (make_local_rhs(cfg, model, kind, split=True,
-                                pad_spec=pad_spec)
+                                pad_spec=pad_spec, divergence=divergence)
                  if cfg.method == "ark324" else None)
 
     fused = maybe_fused_shard_step(problem, mesh,
@@ -422,7 +455,9 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     kind = problem.geometry.kind
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
-    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec)
+    divergence = problem.diffusion_field is not None
+    local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
+                               divergence=divergence)
     global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
 
@@ -431,7 +466,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, dtype,
-            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)))
+            max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
+            diffusion_field=problem.diffusion_field)
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
@@ -461,7 +497,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         h_limit_fn = frkc.h_limit
     else:
         rhs_split = (make_local_rhs(cfg, model, kind, split=True,
-                                    pad_spec=pad_spec)
+                                    pad_spec=pad_spec,
+                                    divergence=divergence)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)

@@ -73,8 +73,11 @@ def output_times(cfg: SimConfig) -> np.ndarray:
     return touts
 
 
-def _pallas_eligible(cfg) -> bool:
+def _pallas_eligible(problem) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
+    cfg = problem.cfg
+    if problem.diffusion_field is not None:
+        return False  # variable-coefficient diffusion: XLA divergence path
     if cfg.use_pallas is False:
         return False
     if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
@@ -110,8 +113,9 @@ def make_simulation_fn(problem: Problem):
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
-                                jnp.dtype(cfg.dtype))
-        if _pallas_eligible(cfg):
+                                jnp.dtype(cfg.dtype),
+                                diffusion_field=problem.diffusion_field)
+        if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
                 frkc = pallas_rkc.build_fused_rkc_step(
@@ -125,8 +129,9 @@ def make_simulation_fn(problem: Problem):
         # Newton stages) fuses into one HBM pass (ops/pallas_imex.py)
         from crdmodel_tpu.core.problem import make_rhs
         rhs_split = make_rhs(cfg, problem.model, problem.geometry,
-                             jnp.dtype(cfg.dtype), split=True)
-        if _pallas_eligible(cfg):
+                             jnp.dtype(cfg.dtype), split=True,
+                             diffusion_field=problem.diffusion_field)
+        if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
                 fimex = pallas_imex.build_fused_imex_step(
@@ -134,7 +139,7 @@ def make_simulation_fn(problem: Problem):
 
     fused = None
     kstep = None
-    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(cfg):
+    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(problem):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -297,10 +302,11 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     if cfg.method == "rkc2":
         from crdmodel_tpu.core.problem import make_rho_bound
         from crdmodel_tpu.integrate import rkc
-        rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype)
+        rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype,
+                                diffusion_field=problem.diffusion_field)
         err_order = rkc.ERR_ORDER
         frkc = None
-        if _pallas_eligible(cfg):
+        if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, dtype):
                 frkc = pallas_rkc.build_fused_rkc_step(problem, dtype,
@@ -318,7 +324,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         from crdmodel_tpu.integrate import imex
         err_order = imex.ERR_ORDER
         fimex = None
-        if _pallas_eligible(cfg):
+        if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, dtype):
                 fimex = pallas_imex.build_fused_imex_step(problem, dtype)
@@ -329,14 +335,15 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             init_carry = lambda t, y, params: ()
         else:
             rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
-                                      dtype, split=True)
+                                      dtype, split=True,
+                                      diffusion_field=problem.diffusion_field)
             step_err, init_carry = imex.make_imex_step_err(
                 rhs_ex, rhs_im, cfg.rtol, cfg.atol)
     else:
         tableau = TABLEAUS[cfg.method]
         err_order = tableau.err_order
         fused = None
-        if _pallas_eligible(cfg):
+        if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_step
             if pallas_step.is_supported(problem, tableau, dtype):
                 fused = pallas_step.build_fused_step(problem, tableau, dtype)

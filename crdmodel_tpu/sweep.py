@@ -214,11 +214,14 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
         if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
             breakpoints = (cfg.t_boundary,)
         rhs_split = (make_rhs(cfg, base.model, base.geometry, dtype,
-                              split=True) if cfg.method == "ark324" else None)
+                              split=True,
+                              diffusion_field=base.diffusion_field)
+                     if cfg.method == "ark324" else None)
         rho_fn = None
         if cfg.method == "rkc2":
             from crdmodel_tpu.core.problem import make_rho_bound
-            rho_fn = make_rho_bound(cfg, base.model, base.geometry, dtype)
+            rho_fn = make_rho_bound(cfg, base.model, base.geometry, dtype,
+                                    diffusion_field=base.diffusion_field)
 
         def run_one(y0, b, ds):
             params = {"b": b}
