@@ -184,6 +184,14 @@ class TestCurvatureCouplingField:
         prob = build_problem(torus_cfg())
         assert prob.diffusion_field is None
 
+    def test_coupling_joins_checkpoint_fingerprint(self):
+        """Resuming a constant-D checkpoint with coupling='curvature' (or
+        vice versa) must be refused: the operator changes the physics."""
+        from crdmodel_tpu.io.checkpoint import config_fingerprint
+        a = config_fingerprint(torus_cfg())
+        b = config_fingerprint(torus_cfg(coupling="curvature"))
+        assert a != b
+
 
 class TestEndToEnd:
     def test_mass_conserved_through_integrator(self):
