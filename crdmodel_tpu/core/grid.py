@@ -105,6 +105,13 @@ class FlatGeometry:
         dfield: absolute D values, scalar / (nx,) / (ny, nx). Computed in
         float64, cast once (setup-time, like stencil_coeffs).
         """
+        return tuple(jnp.asarray(a, dtype=dtype)
+                     for a in self.divergence_coeffs64(dfield))
+
+    def divergence_coeffs64(self, dfield):
+        """The face coefficients as float64 numpy (for the spectral-radius
+        bound and the kernel profile remap, which stay in f64 until their
+        own cast)."""
         g = self.grid
         D = np.asarray(dfield, dtype=np.float64)
         if D.ndim < 2:
@@ -127,7 +134,7 @@ class FlatGeometry:
         aW = aW_of(aE)
         aN = Dn * inv_dy2
         aS = Ds * inv_dy2
-        return tuple(jnp.asarray(a, dtype=dtype) for a in (aE, aW, aN, aS))
+        return aE, aW, aN, aS
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +213,11 @@ class TorusGeometry:
         stencil's treatment of the seam point as a real grid point).
         dfield: absolute D values, scalar / (nx,) / (ny, nx).
         """
+        return tuple(jnp.asarray(a, dtype=dtype)
+                     for a in self.divergence_coeffs64(dfield))
+
+    def divergence_coeffs64(self, dfield):
+        """Float64 numpy face coefficients (see FlatGeometry)."""
         g = self.grid
         th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
         R, r = np.float64(self.R), np.float64(self.r)
@@ -232,7 +244,7 @@ class TorusGeometry:
         aW = roll_x(flux_e) / ring
         aN = Dn * cy
         aS = Ds * cy
-        return tuple(jnp.asarray(a, dtype=dtype) for a in (aE, aW, aN, aS))
+        return aE, aW, aN, aS
 
     def row_weights(self) -> np.ndarray:
         """ring(th) = R + r cos th, shape (nx,): the sqrt(g)/r cell weight in

@@ -345,9 +345,7 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     if diffusion_field is not None:
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
-        aE, aW, aN, aS = (np.asarray(a, dtype=np.float64)
-                          for a in geometry.divergence_coeffs(
-                              diffusion_field, jnp.float64))
+        aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field)
         rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
     elif geometry.kind == "torus":
         coeffs = geometry.stencil_coeffs(jnp.float64)

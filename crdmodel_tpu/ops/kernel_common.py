@@ -95,6 +95,35 @@ def make_split_block(kind: str, model, just_diffusion: bool):
     return ex_block, im_block
 
 
+def kernel_stencil_coeffs(problem, dtype):
+    """The 3 coefficient profiles the kernels consume.
+
+    Constant D: geometry.stencil_coeffs, bitwise-pinned to the XLA path.
+    Theta-only diffusion field (coupling="curvature" etc., torus geometry —
+    the eligibility gates guarantee ndim<=1): the conservative face form
+    maps EXACTLY (in real arithmetic) onto the same 3-profile structure,
+
+        aE(uE-u) + aW(uW-u) + aN(uN-2u+uS)
+          == ca(uE-uW) + ct(uE-2u+uW) + aN(uN-2u+uS)
+        with ca=(aE-aW)/2, ct=(aE+aW)/2   (aN==aS for theta-only D),
+
+    so the fused kernels run field diffusion with no kernel changes. The
+    regrouped form matches the XLA divergence path to rounding (f32
+    equivalence, like the documented fused-vs-XLA drift) rather than
+    bitwise, and its mass conservation telescopes only in exact arithmetic
+    — exact-conservation runs should set use_pallas=False
+    (docs/ARCHITECTURE.md 8d).
+    """
+    geometry = problem.geometry
+    if problem.diffusion_field is None:
+        return geometry.stencil_coeffs(dtype)
+    aE, aW, aN, aS = geometry.divergence_coeffs64(problem.diffusion_field)
+    assert aE.ndim == 1, "kernels support theta-only diffusion fields"
+    return (jnp.asarray(0.5 * (aE - aW), dtype),
+            jnp.asarray(0.5 * (aE + aW), dtype),
+            jnp.asarray(aN, dtype))
+
+
 @dataclasses.dataclass(frozen=True)
 class KernelConstants:
     """Trace-time constant kernel inputs + their BlockSpecs (single-chip:
@@ -121,7 +150,7 @@ def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
     ny, nx = cfg.ny, cfg.nx
     nxp = lane_pad_width(nx, p)
 
-    coeffs = geometry.stencil_coeffs(dtype)
+    coeffs = kernel_stencil_coeffs(problem, dtype)
     if kind == "torus":
         c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
         c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
@@ -310,6 +339,12 @@ def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
     def prepare_params(params):
         out = dict(params)
         coeffs = params["coeffs"]
+        if len(coeffs) == 4:
+            # divergence face form (theta-only diffusion field): map onto
+            # the 3-profile torus structure (see kernel_stencil_coeffs);
+            # pointwise on the local slices, so valid inside shard_map
+            aE, aW, aN, _aS = coeffs
+            coeffs = (0.5 * (aE - aW), 0.5 * (aE + aW), aN)
         if kind == "torus":
             cs = []
             for c in coeffs:

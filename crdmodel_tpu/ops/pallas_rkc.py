@@ -139,7 +139,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
 
     if rho_fn is None:
         from crdmodel_tpu.core.problem import make_rho_bound
-        rho_fn = make_rho_bound(cfg, model, geometry, dtype)
+        rho_fn = make_rho_bound(cfg, model, geometry, dtype,
+                                diffusion_field=problem.diffusion_field)
 
     P = P_RKC
     S = _pick_strip(ny, target=_strip_target(nx, nvars))

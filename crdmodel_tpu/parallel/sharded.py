@@ -230,8 +230,11 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
     splice transport assumes the array wrap IS the physical wrap."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
-    if problem.diffusion_field is not None:
-        return None   # variable-coefficient diffusion: XLA divergence path
+    if problem.diffusion_field is not None and (
+            problem.geometry.kind != "torus"
+            or np.ndim(problem.diffusion_field) > 1):
+        return None   # only theta-only torus fields map onto the kernels
+                      # (ops/kernel_common.py::kernel_stencil_coeffs)
     if pad_spec is not None and pad_spec.active:
         return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
@@ -254,8 +257,11 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
     production configuration for diffusion-limited large grids on a mesh."""
     cfg = problem.cfg
-    if problem.diffusion_field is not None:
-        return None   # variable-coefficient diffusion: XLA divergence path
+    if problem.diffusion_field is not None and (
+            problem.geometry.kind != "torus"
+            or np.ndim(problem.diffusion_field) > 1):
+        return None   # only theta-only torus fields map onto the kernels
+                      # (ops/kernel_common.py::kernel_stencil_coeffs)
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
@@ -276,8 +282,11 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
     """Sharded fused IMEX step (ops/pallas_shard_imex.py) when supported —
     one halo exchange per ark324 step, shard-local Newton in-kernel."""
     cfg = problem.cfg
-    if problem.diffusion_field is not None:
-        return None   # variable-coefficient diffusion: XLA divergence path
+    if problem.diffusion_field is not None and (
+            problem.geometry.kind != "torus"
+            or np.ndim(problem.diffusion_field) > 1):
+        return None   # only theta-only torus fields map onto the kernels
+                      # (ops/kernel_common.py::kernel_stencil_coeffs)
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "ark324":

@@ -76,8 +76,13 @@ def output_times(cfg: SimConfig) -> np.ndarray:
 def _pallas_eligible(problem) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
     cfg = problem.cfg
-    if problem.diffusion_field is not None:
-        return False  # variable-coefficient diffusion: XLA divergence path
+    if problem.diffusion_field is not None and (
+            problem.geometry.kind != "torus"
+            or np.ndim(problem.diffusion_field) > 1):
+        # full 2-D / flat-surface diffusion fields: XLA divergence path only
+        # (theta-only torus fields map onto the kernels' profile form —
+        # ops/kernel_common.py::kernel_stencil_coeffs)
+        return False
     if cfg.use_pallas is False:
         return False
     if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:

@@ -255,6 +255,82 @@ class TestEndToEnd:
         np.testing.assert_allclose(scaled, rebuilt, rtol=0, atol=1e-13)
 
 
+class TestFusedKernels:
+    """Theta-only diffusion fields run through the fused Pallas kernels via
+    the exact 3-profile remap (ops/kernel_common.py::kernel_stencil_coeffs):
+    ca=(aE-aW)/2, ct=(aE+aW)/2. Interpreter-mode equivalence vs the XLA
+    divergence path — f32-tolerance (the remap regroups the arithmetic),
+    matching step counts."""
+
+    def _run_pair(self, cfg, mesh_shape=(2, 4)):
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, sharded_params)
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(shape=mesh_shape)
+        problem = build_problem(cfg)
+        params, _ = sharded_params(problem)
+        run_f, _ = make_sharded_simulation_fn(problem, mesh,
+                                              interpret_pallas=True)
+        traj_f, stats_f = run_f(problem.y0, params)
+        p2 = build_problem(dataclasses.replace(cfg, use_pallas=False))
+        run_x, _ = make_sharded_simulation_fn(p2, mesh)
+        traj_x, stats_x = run_x(p2.y0, params)
+        return (np.asarray(traj_f), stats_f), (np.asarray(traj_x), stats_x)
+
+    def _cfg(self, **kw):
+        base = dict(model="fhn", surface="torus", x_mesh=64,
+                    surface_width=20.0, surface_length=40.0,
+                    coupling="curvature", t_final=0.2, output_timestep=2,
+                    beta=1.25, dtype="float32", rtol=1e-4, atol=1e-6,
+                    use_pallas=True)
+        base.update(kw)
+        return SimConfig(**base)
+
+    def test_fused_shard_step_matches_xla(self):
+        (tf, sf), (tx, sx) = self._run_pair(self._cfg())
+        assert int(np.sum(np.asarray(sf.steps))) == \
+            int(np.sum(np.asarray(sx.steps)))
+        np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+    def test_fused_shard_rkc_matches_xla(self):
+        (tf, sf), (tx, sx) = self._run_pair(self._cfg(method="rkc2"))
+        assert int(np.sum(np.asarray(sf.steps))) == \
+            int(np.sum(np.asarray(sx.steps)))
+        np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+    def test_fused_shard_imex_matches_xla(self):
+        (tf, sf), (tx, sx) = self._run_pair(self._cfg(method="ark324"))
+        assert int(np.sum(np.asarray(sf.steps))) == \
+            int(np.sum(np.asarray(sx.steps)))
+        np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+    def test_full_2d_field_still_gates_to_xla(self):
+        """A (ny, nx) field has no profile form — the kernels must decline."""
+        from crdmodel_tpu.parallel.sharded import maybe_fused_shard_step
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        cfg = self._cfg()
+        geom = make_geometry(cfg)
+        D = np.full(geom.grid.shape, 0.12)
+        prob = build_problem(cfg, diffusion_field=D)
+        assert maybe_fused_shard_step(prob, make_mesh(shape=(2, 4)),
+                                      interpret=True) is None
+
+    def test_remap_identity_f64(self):
+        """In f64 the remapped profiles reproduce the divergence operator to
+        rounding on a random field."""
+        from crdmodel_tpu.ops.kernel_common import kernel_stencil_coeffs
+        cfg = self._cfg(dtype="float64")
+        prob = build_problem(cfg)
+        ca, ct, cphi = kernel_stencil_coeffs(prob, jnp.float64)
+        u = jnp.asarray(rand_field(prob.geometry.grid.shape, 12))
+        L_remap = np.asarray(torus_laplacian(u, (ca, ct, cphi)))
+        L_flux = np.asarray(divergence_laplacian(
+            u, prob.geometry.divergence_coeffs(prob.diffusion_field,
+                                               jnp.float64)))
+        np.testing.assert_allclose(L_remap, L_flux, rtol=0,
+                                   atol=1e-12 * np.max(np.abs(L_flux)))
+
+
 class TestSharded:
     @pytest.mark.parametrize("x_mesh,shape", [(40, (2, 4)), (39, (2, 4)),
                                               (40, (4, 2))])

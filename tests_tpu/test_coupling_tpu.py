@@ -42,6 +42,30 @@ def test_tpu_f32_coupling_matches_cpu_f64():
                                atol=5e-3)
 
 
+def test_tpu_fused_kernel_matches_xla_divergence():
+    """Theta-only diffusion fields run through the fused step kernel via the
+    exact 3-profile remap (ops/kernel_common.py::kernel_stencil_coeffs).
+    Real-lowering check: fused and XLA-divergence trajectories agree at f32
+    tolerance (the remap regroups arithmetic, so not bitwise — same drift
+    class as the documented goldbeter/sir fused cases)."""
+    from crdmodel_tpu.sim import _pallas_eligible
+    cfg_f = SimConfig(**BASE, dtype="float32", atol=1e-8, use_pallas=True)
+    pf = build_problem(cfg_f)
+    assert _pallas_eligible(pf), "theta-only field must be kernel-eligible"
+    run_f, _ = make_simulation_fn(pf)
+    traj_f, stats_f = run_f(pf.y0, pf.params)
+    float(jnp.sum(traj_f[-1]))
+    assert int(np.asarray(stats_f.status).max()) == 0
+
+    cfg_x = SimConfig(**BASE, dtype="float32", atol=1e-8, use_pallas=False)
+    px = build_problem(cfg_x)
+    run_x, _ = make_simulation_fn(px)
+    traj_x, stats_x = run_x(px.y0, px.params)
+    assert int(np.asarray(stats_x.status).max()) == 0
+    np.testing.assert_allclose(np.asarray(traj_f), np.asarray(traj_x),
+                               rtol=0, atol=5e-3)
+
+
 def test_tpu_f32_mass_conservation():
     cfg = SimConfig(**{**BASE, "model": "goldbeter", "just_diffusion": 1},
                     dtype="float32", atol=1e-8)
