@@ -49,6 +49,16 @@ class Problem:
     # Kept on the Problem so the sharded drivers and kernel-eligibility
     # gates can see it (fused kernels fall back to XLA for field diffusion).
     diffusion_field: object = None
+    # optional time-dependent forcing term forcing(t, state, params) ->
+    # dstate, added to the RHS after kinetics+diffusion (and masked by the
+    # boundary freeze like everything else). This is the framework's door
+    # for non-autonomous dynamics — pacing protocols, periodic stimuli —
+    # while registered kinetics stay autonomous (models/base.py AUTONOMY
+    # CONTRACT): the fused kernels decline when a forcing is present and
+    # the XLA path evaluates it at true stage times t + C[i]*h. Spatial
+    # arrays it closes over must be full-grid; under shard_map pass them
+    # through params (with extra_param_specs) instead.
+    forcing: object = None
     # compiled-driver cache: repeated simulate()/simulate_streaming() calls
     # on the same Problem reuse their jitted closures instead of recompiling
     cache: dict = dataclasses.field(default_factory=dict, repr=False,
@@ -225,7 +235,7 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
 
 
 def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
-             split: bool = False, diffusion_field=None):
+             split: bool = False, diffusion_field=None, forcing=None):
     """Build rhs(t, state, params) for the full (unsharded) grid.
 
     split=True returns (rhs_ex, rhs_im) — the explicit (diffusion) and
@@ -300,6 +310,8 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
     def rhs(t, state, params):
         diff = diffusion_terms(state, params)
+        if forcing is not None:
+            diff = diff + forcing(t, state, params)
         if just_diffusion:
             return diff
         ydot = model.kinetics(state, params["b"]) + diff
@@ -311,7 +323,12 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         return rhs
 
     def rhs_ex(t, state, params):
+        # forcing joins the EXPLICIT part: it is time-dependent but not
+        # stiff, and keeping it out of rhs_im preserves the pointwise
+        # autonomous Newton stages (integrate/imex.py design note)
         diff = diffusion_terms(state, params)
+        if forcing is not None:
+            diff = diff + forcing(t, state, params)
         if just_diffusion or not has_freeze:
             return diff
         return apply_freeze(t, params, diff)
@@ -375,10 +392,16 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     return rho
 
 
-def build_problem(cfg: SimConfig, diffusion_field=None) -> Problem:
+def build_problem(cfg: SimConfig, diffusion_field=None,
+                  forcing=None) -> Problem:
     """diffusion_field: optional absolute D(x) array (scalar/(nx,)/(ny,nx))
     switching diffusion to the conservative variable-coefficient operator;
-    when omitted, cfg.coupling may imply one (diffusion_field_from_cfg)."""
+    when omitted, cfg.coupling may imply one (diffusion_field_from_cfg).
+
+    forcing: optional forcing(t, state, params) -> dstate (see Problem).
+    NOTE: API-injected fields/forcing are not part of the checkpoint
+    config fingerprint (io/checkpoint.py covers cfg-derived physics only) —
+    resuming with a different injected term is the caller's contract."""
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)
     model = get_model(cfg.model)
@@ -398,8 +421,8 @@ def build_problem(cfg: SimConfig, diffusion_field=None) -> Problem:
     steady = model.steady_state(cfg.beta)
     y0 = initial_state(cfg, model, steady, dtype)
     rhs = make_rhs(cfg, model, geometry, dtype,
-                   diffusion_field=diffusion_field)
+                   diffusion_field=diffusion_field, forcing=forcing)
     params = {"b": beta_field(cfg, dtype)}
     return Problem(cfg=cfg, model=model, geometry=geometry, rhs=rhs,
                    y0=y0, params=params, steady_state=steady,
-                   diffusion_field=diffusion_field)
+                   diffusion_field=diffusion_field, forcing=forcing)

@@ -20,9 +20,11 @@ from typing import Callable, Dict, Tuple
 # applies outside kinetics). The fused Pallas kernels rely on this: they
 # evaluate kinetics without per-stage times (e.g. ops/pallas_imex.py
 # step_err discards t), which is exactly equivalent to the XLA steppers'
-# ti = t + C[i]*h stage times ONLY for autonomous kinetics. Extending the
-# API with time-dependent kinetics requires revisiting every fused-kernel
-# eligibility gate first.
+# ti = t + C[i]*h stage times ONLY for autonomous kinetics. Time-dependent
+# dynamics enter through the separate per-problem forcing hook
+# (build_problem(cfg, forcing=fn), core/problem.py) — the XLA steppers
+# evaluate it at true stage times and every fused-kernel eligibility gate
+# declines when a forcing is present, so the contract here stays intact.
 KineticsFn = Callable[..., object]
 # steady_state(beta) -> tuple of nvars floats
 SteadyStateFn = Callable[[float], Tuple[float, ...]]

@@ -39,7 +39,7 @@ from crdmodel_tpu.sim import SimResult, output_times
 
 
 def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
-                   pad_spec=None, divergence: bool = False):
+                   pad_spec=None, divergence: bool = False, forcing=None):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
@@ -103,6 +103,8 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
 
     def rhs(t, state, params):
         diff = diffusion_terms(state, params["coeffs"], params)
+        if forcing is not None:
+            diff = diff + forcing(t, state, params)
         if just_diffusion:
             return mask_pads(params, diff)
         ydot = model.kinetics(state, params["b"]) + diff
@@ -115,6 +117,8 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
 
     def rhs_ex(t, state, params):
         diff = diffusion_terms(state, params["coeffs"], params)
+        if forcing is not None:
+            diff = diff + forcing(t, state, params)
         if not just_diffusion and has_freeze:
             diff = apply_freeze(t, params, diff)
         return mask_pads(params, diff)
@@ -235,6 +239,8 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if problem.forcing is not None:
+        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
         return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
@@ -262,6 +268,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if problem.forcing is not None:
+        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
@@ -287,6 +295,8 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if problem.forcing is not None:
+        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "ark324":
@@ -350,7 +360,8 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
     padded = pad_spec is not None
     divergence = problem.diffusion_field is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
-                               divergence=divergence)
+                               divergence=divergence,
+                               forcing=problem.forcing)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = model.nvars * cfg.ny * cfg.nx
@@ -371,7 +382,8 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             rho_fn = _mask_rho(rho_fn)
 
     rhs_split = (make_local_rhs(cfg, model, kind, split=True,
-                                pad_spec=pad_spec, divergence=divergence)
+                                pad_spec=pad_spec, divergence=divergence,
+                                forcing=problem.forcing)
                  if cfg.method == "ark324" else None)
 
     fused = maybe_fused_shard_step(problem, mesh,
@@ -466,7 +478,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     padded = pad_spec is not None
     divergence = problem.diffusion_field is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
-                               divergence=divergence)
+                               divergence=divergence,
+                               forcing=problem.forcing)
     global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
 
@@ -507,7 +520,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     else:
         rhs_split = (make_local_rhs(cfg, model, kind, split=True,
                                     pad_spec=pad_spec,
-                                    divergence=divergence)
+                                    divergence=divergence,
+                                    forcing=problem.forcing)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)

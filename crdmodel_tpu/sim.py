@@ -83,6 +83,10 @@ def _pallas_eligible(problem) -> bool:
         # (theta-only torus fields map onto the kernels' profile form —
         # ops/kernel_common.py::kernel_stencil_coeffs)
         return False
+    if problem.forcing is not None:
+        # time-dependent forcing needs true stage times — the kernels
+        # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
+        return False
     if cfg.use_pallas is False:
         return False
     if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
@@ -135,7 +139,8 @@ def make_simulation_fn(problem: Problem):
         from crdmodel_tpu.core.problem import make_rhs
         rhs_split = make_rhs(cfg, problem.model, problem.geometry,
                              jnp.dtype(cfg.dtype), split=True,
-                             diffusion_field=problem.diffusion_field)
+                             diffusion_field=problem.diffusion_field,
+                             forcing=problem.forcing)
         if _pallas_eligible(problem):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
@@ -341,7 +346,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         else:
             rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
                                       dtype, split=True,
-                                      diffusion_field=problem.diffusion_field)
+                                      diffusion_field=problem.diffusion_field,
+                                      forcing=problem.forcing)
             step_err, init_carry = imex.make_imex_step_err(
                 rhs_ex, rhs_im, cfg.rtol, cfg.atol)
     else:

@@ -215,7 +215,8 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
             breakpoints = (cfg.t_boundary,)
         rhs_split = (make_rhs(cfg, base.model, base.geometry, dtype,
                               split=True,
-                              diffusion_field=base.diffusion_field)
+                              diffusion_field=base.diffusion_field,
+                              forcing=base.forcing)
                      if cfg.method == "ark324" else None)
         rho_fn = None
         if cfg.method == "rkc2":
