@@ -26,8 +26,11 @@ from crdmodel_tpu.config import SimConfig, load_ini, config_from_ini
 from crdmodel_tpu.core.grid import Grid, FlatGeometry, TorusGeometry
 from crdmodel_tpu.core.problem import Problem, build_problem
 from crdmodel_tpu.sim import simulate, SimResult
+from crdmodel_tpu.steady import solve_steady_state, leading_eigenvalues
 
 __all__ = [
+    "solve_steady_state",
+    "leading_eigenvalues",
     "SimConfig",
     "load_ini",
     "config_from_ini",

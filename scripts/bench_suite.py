@@ -53,10 +53,20 @@ def large_fhn(method):
                      dtype="float32", rtol=1e-5, atol=1e-8, method=method)
 
 
+def curvature_fhn():
+    """Curvature-coupled diffusion (round 3): the Kneer profile as D(theta)
+    through the fused kernel's 3-profile remap (kernel_stencil_coeffs)."""
+    import dataclasses
+    return dataclasses.replace(canonical_fhn("bs32"), coupling="curvature",
+                               t_final=5.0, output_timestep=2)
+
+
 ROWS = [
     # (name, cfg builder, quick?)
     ("FHN torus 400x1600 Tf=50 bs32 (headline)",
      lambda: canonical_fhn("bs32"), True),
+    ("FHN torus 400x1600 Tf=5 bs32 curvature-coupled",
+     curvature_fhn, False),
     ("FHN torus 400x1600 Tf=50 rkc2",
      lambda: canonical_fhn("rkc2"), True),
     ("Goldbeter torus 100x400 Tf=4 bs32 (canonical)",
