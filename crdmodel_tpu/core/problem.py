@@ -219,6 +219,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
         bg[0] = np.where(seg, 0.8, us)
         bg[1] = np.where(np.broadcast_to(Y < wave_len, seg.shape),
                          vs + 0.3, vs)
+    elif cfg.model == "aliev_panfilov":
+        # beyond-reference model: rest state (0,0); the wave segment
+        # depolarises u=1 with a refractory (recovery-current-elevated,
+        # v=2) band below it so the excitation front is broken on one
+        # side — the standard cardiac rotor seed (cross-field S1-S2
+        # protocol's outcome, same shape as the barkley seed)
+        seg = in_x & (Y >= wave_len) & (Y <= 2.0 * wave_len)
+        bg[0] = np.where(seg, 1.0, 0.0)
+        bg[1] = np.where(np.broadcast_to(Y < wave_len, seg.shape), 2.0, 0.0)
     elif cfg.model == "barkley":
         # beyond-reference model: rest state (0,0); the wave segment excites
         # u=1 with a refractory band (v=a/2) below it so the excitation

@@ -1,6 +1,6 @@
 from crdmodel_tpu.models.base import ReactionModel, get_model, register_model
 from crdmodel_tpu.models import (  # noqa: F401  (registers models)
-    barkley, brusselator, fhn, goldbeter, grayscott, lambdaomega,
-    oregonator, sir)
+    aliev_panfilov, barkley, brusselator, fhn, goldbeter, grayscott,
+    lambdaomega, oregonator, sir)
 
 __all__ = ["ReactionModel", "get_model", "register_model"]

@@ -30,6 +30,7 @@ MODELS = {
     "brusselator": dict(beta=1.9, diffusion=0.2),
     "sir": dict(beta=1.5, diffusion=1.0),
     "lambdaomega": dict(beta=0.5, diffusion=0.5),
+    "aliev_panfilov": dict(beta=0.15, diffusion=1.0),
 }
 METHODS = ("bs32", "rkc2", "ark324")
 

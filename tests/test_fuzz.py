@@ -15,14 +15,16 @@ rng = random.Random(20260816)
 
 
 def _random_cfg():
-    model = rng.choice(["fhn", "goldbeter", "barkley", "lambdaomega", "sir"])
+    model = rng.choice(["fhn", "goldbeter", "barkley", "lambdaomega", "sir",
+                        "aliev_panfilov"])
     surface = rng.choice(["flat", "torus"])
     vary_beta = rng.choice([0, 1]) if model in ("fhn", "goldbeter") else 0
     beta = {"fhn": rng.uniform(0.5, 2.0),
             "goldbeter": rng.uniform(0.1, 1.0),
             "barkley": rng.uniform(0.02, 0.2),
             "lambdaomega": rng.uniform(0.0, 1.0),
-            "sir": rng.uniform(1.0, 3.0)}[model]
+            "sir": rng.uniform(1.0, 3.0),
+            "aliev_panfilov": rng.uniform(0.05, 0.3)}[model]
     width = rng.choice([10.0, 20.0])
     # rkc2 needs jac_bound (all these have it); ark324/step_mode stack on
     # every other axis here, fuzzing the new integrator and output modes

@@ -55,6 +55,12 @@ CASES = {
                              diffusion=0.5),
     "lambdaomega_torus": dict(model="lambdaomega", surface="torus", beta=0.5,
                               diffusion=0.5),
+    # aliev_panfilov: cardiac kinetics with a state-dependent relaxation
+    # rate eps(u,v) (the only non-polynomial-in-v family)
+    "aliev_panfilov_flat": dict(model="aliev_panfilov", surface="flat",
+                                beta=0.15, diffusion=1.0),
+    "aliev_panfilov_torus": dict(model="aliev_panfilov", surface="torus",
+                                 beta=0.15, diffusion=1.0),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
