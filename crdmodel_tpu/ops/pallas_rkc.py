@@ -49,30 +49,55 @@ from crdmodel_tpu.ops.kernel_common import (
 
 P_RKC = 24                  # halo depth: s + 1 evaluation rings, s <= 23
 S_MAX_KERNEL = P_RKC - 1    # max stage count the halo supports
+P_LADDER = (24, 16, 8)      # halo-depth variants, deepest first (see below)
+P_SMALL = P_LADDER[-1]
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _strip_target(nx: int, nvars: int) -> int:
+def _strip_target(nx: int, nvars: int, p: int = P_RKC) -> int:
+    # column pad is ALWAYS P_RKC (the driver's padded-state layout is
+    # shared by every halo-depth variant); p sizes only the ROW halo
     nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
     live = 2 + 7   # 2 scratch slots + (y0, f0, yjm1, yjm2, fy, yj, est)
     bytes_per_row = 4 * nxp * nvars * live
     rows = max(1, VMEM_BUDGET // bytes_per_row)
-    return min(256, max(8, (int(rows) - 2 * P_RKC) // 8 * 8))
+    return min(256, max(8, (int(rows) - 2 * p) // 8 * 8))
+
+
+def variant_plan(ny: int, nx: int, nvars: int):
+    """Feasible (P, S) halo-depth variants, deepest first.
+
+    A variant is feasible when (a) ny has a strip divisor at that depth's
+    VMEM target, (b) multi-strip wrapped-row DMA windows [iS-P, iS) /
+    [iS+S, iS+S+P) stay contiguous (S >= P, or a single strip), and
+    (c) the resident working set actually fits VMEM (at very wide rows
+    the S=8 floor can overrun the 16MB budget — those shapes stay on the
+    XLA path). A shallower depth is kept only when its strip is strictly
+    wider — otherwise it would be pure compile time with no traffic win.
+    """
+    nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
+    plan = []
+    best_S = 0
+    for P in P_LADDER:
+        S = _pick_strip(ny, target=_strip_target(nx, nvars, P))
+        if S is None:
+            continue
+        if ny // S > 1 and S < P:
+            continue
+        # 2 scratch slots + ~7 live stage arrays of (nvars, S+2P, nxp) f32
+        if 4 * nxp * nvars * 9 * (S + 2 * P) > 14 * 1024 * 1024:
+            continue
+        if S > best_S:
+            plan.append((P, S))
+            best_S = S
+    return plan
 
 
 def is_rkc_supported(problem, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
-    S = _pick_strip(cfg.ny,
-                    target=_strip_target(cfg.nx, problem.model.nvars))
-    if S is None:
-        return False
-    # multi-strip wrapped-row DMA windows [iS-P, iS) / [iS+S, iS+S+P) are
-    # contiguous only when S >= P (strip 0 / last strip wrap cleanly); a
-    # shallower strip would clamp/overrun pl.ds and load WRONG halo rows —
-    # the sharded twin guards identically (pallas_shard_rkc.py)
-    if cfg.ny // S > 1 and S < P_RKC:
+    if not variant_plan(cfg.ny, cfg.nx, problem.model.nvars):
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
@@ -116,6 +141,46 @@ def rkc_stage_coeffs(s, dtype):
     return mu1, st[0]
 
 
+def static_stage_tables(s_cap: int, dtype):
+    """mu1[s] and ctab[s] = rkc_stage_coeffs(s) for every stage count
+    s in [2, s_cap], precomputed in f64 numpy at BUILD time.
+
+    The Chebyshev recurrence coefficients depend only on s — yet
+    rkc_stage_coeffs recomputed them per step as a sequential scalar
+    fori_loop inside the hot jit (up to s_cap dependent scalar ops per
+    attempted step). A (s_cap+1, S_MAX_KERNEL+1, 4) static table turns
+    that into one dynamic index. f64 table entries cast to the kernel
+    dtype differ from the old in-jit f32 recurrence by at most f32
+    rounding (strictly more accurate), inside the documented fused-vs-XLA
+    f32 drift domain."""
+    mu1 = np.zeros((s_cap + 1,), np.float64)
+    ctab = np.zeros((s_cap + 1, S_MAX_KERNEL + 1, 4), np.float64)
+    for s in range(2, s_cap + 1):
+        w0 = 1.0 + rkc.EPS_DAMP / (s * s)
+        T = np.zeros(s + 1)
+        dT = np.zeros(s + 1)
+        d2T = np.zeros(s + 1)
+        T[0], T[1] = 1.0, w0
+        dT[1] = 1.0
+        for j in range(2, s + 1):
+            T[j] = 2 * w0 * T[j - 1] - T[j - 2]
+            dT[j] = 2 * w0 * dT[j - 1] - dT[j - 2] + 2 * T[j - 1]
+            d2T[j] = 2 * w0 * d2T[j - 1] - d2T[j - 2] + 4 * dT[j - 1]
+        w1 = dT[s] / d2T[s]
+        b = np.zeros(s + 1)
+        b[0] = b[1] = 1.0 / (4.0 * w0 * w0)   # b2 = 4/(4 w0)^2
+        for j in range(2, s + 1):
+            b[j] = d2T[j] / dT[j] ** 2
+        mu1[s] = b[1] * w1
+        for j in range(2, s + 1):
+            mu = 2 * b[j] * w0 / b[j - 1]
+            nu = -b[j] / b[j - 2]
+            mut = 2 * b[j] * w1 / b[j - 1]
+            gt = -(1.0 - b[j - 1] * T[j - 1]) * mut
+            ctab[s, j] = (mu, nu, mut, gt)
+    return jnp.asarray(mu1, dtype), jnp.asarray(ctab, dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class FusedRKCStep:
     step_err: Callable      # (t, yp, h, params, carry=()) protocol via wrapper
@@ -126,7 +191,28 @@ class FusedRKCStep:
 
 
 def build_fused_rkc_step(problem, dtype=jnp.float32,
-                         rho_fn=None) -> FusedRKCStep:
+                         rho_fn=None, interpret=False) -> FusedRKCStep:
+    """Builds the fused step with up to TWO halo-depth variants.
+
+    The P=24 halo supports s <= 23 stages per pass, but at wide grids the
+    VMEM budget then forces narrow strips (e.g. S=8 at nx=3200), and the
+    2P halo rows are re-read and re-computed for every strip: a
+    (S+2P)/S = 7x HBM-traffic/compute amplification paid on EVERY step —
+    including accuracy-limited steps that only need s ~ 5-8 stages
+    (measured: 82.9 ms/step at 12800x3200 where the roofline is ~2 ms;
+    docs/PERF_NOTES.md "adaptive halo depth"). When stability binds
+    (s -> 23) the deep halo is optimal: the quadratic stability interval
+    beats the linear halo cost. So the kernel is built at every feasible
+    depth of the P_LADDER (24/16/8 — s <= 23/15/7) whose strip strictly
+    widens, and step_err lax.switches per step to the shallowest variant
+    covering the traced stage count. At narrow nx the ladder collapses to
+    the single deep variant (no extra compiles; the deep kernel is already
+    roofline-bound); at wide nx where S < 24 has no contiguous-DMA strip
+    the shallower depths are the only fused option at all (previously an
+    XLA fallback), with h capped to their stage budget. Column padding is
+    P_RKC for every variant: the padded-state layout is part of the
+    driver contract.
+    """
     cfg = problem.cfg
     model = problem.model
     geometry = problem.geometry
@@ -142,122 +228,162 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         rho_fn = make_rho_bound(cfg, model, geometry, dtype,
                                 diffusion_field=problem.diffusion_field)
 
-    P = P_RKC
-    S = _pick_strip(ny, target=_strip_target(nx, nvars))
-    if S is None:
-        raise ValueError(f"ny={ny} has no usable strip divisor")
-    if ny // S > 1 and S < P:
-        raise ValueError(f"strip S={S} < halo P={P} with multiple strips: "
-                         "wrapped halo DMA windows would not be contiguous "
-                         "(see is_rkc_supported)")
-    n_strips = ny // S
-    R = S + 2 * P
-    nxp = ((nx + 2 * P + 127) // 128) * 128
+    P_COL = P_RKC
+    nxp = ((nx + 2 * P_COL + 127) // 128) * 128
 
     def pad_cols(arr):
-        out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
-        fill = nxp - (nx + 2 * P)
+        out = jnp.concatenate([arr[..., -P_COL:], arr, arr[..., :P_COL]],
+                              axis=-1)
+        fill = nxp - (nx + 2 * P_COL)
         if fill:
             padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
             out = jnp.pad(out, padw)
         return out
 
     def unpad_cols(arr):
-        return arr[..., P:P + nx]
+        return arr[..., P_COL:P_COL + nx]
 
-    kc = prepare_constants(problem, dtype, P, pad_cols)
+    kc = prepare_constants(problem, dtype, P_COL, pad_cols)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
     rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
-    def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
-               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-               y_hbm, ynew_ref, ss_ref, yv, sems):
-        i = pl.program_id(0)
-        row0 = pl.multiple_of(i * S, 8)
+    def make_call(P, S):
+        """One pallas_call at row-halo depth P with strip S."""
+        n_strips = ny // S
+        R = S + 2 * P
 
-        slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i)
+        # per-variant ROW padding of the beta field / interior mask (the
+        # P_COL-padded kc versions carry P_RKC halo rows)
+        if b_is_field:
+            from crdmodel_tpu.core.problem import beta_field
+            b_np = np.asarray(beta_field(cfg, dtype))
+            b_pad = jnp.asarray(
+                np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
+        else:
+            b_pad = kc.b_pad
+        interior = np.ones((ny, 1), dtype=np.float32)
+        interior[0, 0] = 0.0
+        interior[-1, 0] = 0.0
+        m_pad = jnp.asarray(
+            np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
+            dtype)
 
-        h = h_ref[0, 0]
-        s = s_ref[0, 0]
-        mu1 = mu1_ref[0, 0]
-        stencil, b_rows, live_rows = read_strip_constants(
-            kind, b_is_field, has_freeze,
-            c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
+        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
+                   c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+                   y_hbm, ynew_ref, ss_ref, yv, sems):
+            i = pl.program_id(0)
+            row0 = pl.multiple_of(i * S, 8)
 
-        def rhs_block(yb):
-            return rhs_block_of(yb, stencil, b_rows, live_rows)
+            slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i)
 
-        y0 = yv[slot]
-        f0 = rhs_block(y0)                       # ring 1
-        y_jm1 = y0 + (h * mu1) * f0              # stage 1
-        y_jm2 = y0
+            h = h_ref[0, 0]
+            s = s_ref[0, 0]
+            mu1 = mu1_ref[0, 0]
+            stencil, b_rows, live_rows = read_strip_constants(
+                kind, b_is_field, has_freeze,
+                c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
-        def stage(j, carry):
-            yjm1, yjm2 = carry
-            mu = ctab_ref[j, 0]
-            nu = ctab_ref[j, 1]
-            mut = ctab_ref[j, 2]
-            gt = ctab_ref[j, 3]
-            fy = rhs_block(yjm1)                 # ring j
-            yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
-                  + (h * mut) * fy + (h * gt) * f0)
-            return (yj, yjm1)
+            def rhs_block(yb):
+                return rhs_block_of(yb, stencil, b_rows, live_rows)
 
-        y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
+            y0 = yv[slot]
+            f0 = rhs_block(y0)                       # ring 1
+            y_jm1 = y0 + (h * mu1) * f0              # stage 1
+            y_jm2 = y0
 
-        f1 = rhs_block(y_new)                    # ring s+1
-        est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
+            def stage(j, carry):
+                yjm1, yjm2 = carry
+                mu = ctab_ref[j, 0]
+                nu = ctab_ref[j, 1]
+                mut = ctab_ref[j, 2]
+                gt = ctab_ref[j, 3]
+                fy = rhs_block(yjm1)                 # ring j
+                yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
+                      + (h * mut) * fy + (h * gt) * f0)
+                return (yj, yjm1)
 
-        z = y_new[:, P:P + S, :]
-        jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
-        zl = jnp.roll(z, -nx, axis=-1)
-        zr = jnp.roll(z, nx, axis=-1)
-        z = jnp.where(jcol < P, zl, jnp.where(jcol >= P + nx, zr, z))
-        ynew_ref[:, :, :] = z
+            y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
 
-        yc = y0[:, P:P + S, :]
-        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
-        scaled = est[:, P:P + S, :] * w
-        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+            f1 = rhs_block(y_new)                    # ring s+1
+            est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_strips,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
-            pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(kc.m_pad.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nxp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, nvars, R, nxp), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-    )
+            z = y_new[:, P:P + S, :]
+            jcol = jax.lax.broadcasted_iota(jnp.int32, (1, S, nxp), 2)
+            zl = jnp.roll(z, -nx, axis=-1)
+            zr = jnp.roll(z, nx, axis=-1)
+            z = jnp.where(jcol < P_COL, zl,
+                          jnp.where(jcol >= P_COL + nx, zr, z))
+            ynew_ref[:, :, :] = z
 
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
-            jax.ShapeDtypeStruct((n_strips, 1), dtype),
-        ],
-    )
+            yc = y0[:, P:P + S, :]
+            w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+            scaled = est[:, P:P + S, :] * w
+            ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_strips,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
+                pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, nvars, R, nxp), dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        )
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
+                jax.ShapeDtypeStruct((n_strips, 1), dtype),
+            ],
+            interpret=interpret,
+        )
+
+        def run(h_s, fz_s, s_s, mu1_s, ctab, yp):
+            ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                            kc.c0, kc.c1, kc.c2, b_pad, m_pad,
+                            kc.col_mask, yp)
+            return ynew, jnp.sum(ss)
+
+        return run
+
+    plan = variant_plan(ny, nx, nvars)
+    if not plan:
+        raise ValueError(f"no feasible fused-RKC variant for "
+                         f"ny={ny}, nx={nx} (see is_rkc_supported)")
+    s_cap = plan[0][0] - 1        # deepest variant bounds the stage count
+    # branches shallowest-first: per step, lax.switch picks the SHALLOWEST
+    # variant whose halo covers s — its strictly wider strip moves strictly
+    # less HBM traffic and (the larger cost at wide grids) computes the
+    # stage recurrence over strictly fewer amplified halo rows
+    branches = [make_call(P, S) for (P, S) in reversed(plan)]
+    caps = np.asarray([P - 1 for (P, _) in reversed(plan)], np.int32)
+    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
 
     def _freeze_scalar(params):
         return freeze_scalar(params, has_freeze, t_boundary, dtype)
@@ -265,21 +391,25 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     def step_err(t, yp, h, params, carry=()):
         rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
         s = jnp.minimum(rkc.choose_stages(h, rho),
-                        jnp.asarray(S_MAX_KERNEL, jnp.int32))
-        mu1, ctab = rkc_stage_coeffs(s, dtype)
+                        jnp.asarray(s_cap, jnp.int32))
+        mu1 = mu1_tab[s]
+        ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
-        ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
-                        kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
-                        kc.col_mask, yp)
-        return ynew, jnp.sum(ss), ()
+        if len(branches) == 1:
+            ynew, ss = branches[0](h_s, fz_s, s_s, mu1_s, ctab, yp)
+        else:
+            idx = jnp.sum((s > jnp.asarray(caps)).astype(jnp.int32))
+            ynew, ss = jax.lax.switch(idx, branches,
+                                      h_s, fz_s, s_s, mu1_s, ctab, yp)
+        return ynew, ss, ()
 
     def h_limit(t, yp, params):
-        """Largest h the kernel's stage budget can stabilize."""
+        """Largest h the deepest built variant's stage budget stabilizes."""
         rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
-        return (rkc.STAB_FACTOR * (S_MAX_KERNEL - 1) ** 2
+        return (rkc.STAB_FACTOR * (s_cap - 1) ** 2
                 / jnp.maximum(rho, 1e-30)).astype(dtype)
 
     return FusedRKCStep(step_err=step_err, h_limit=h_limit,

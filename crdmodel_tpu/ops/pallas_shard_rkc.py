@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.pallas_rkc import (
-    S_MAX_KERNEL, P_RKC, rkc_stage_coeffs)
+    S_MAX_KERNEL, P_RKC, static_stage_tables)
 from crdmodel_tpu.ops.pallas_step import _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
     freeze_scalar, load_edge_strips, make_shard_halo_helpers, make_rhs_block, read_strip_constants)
@@ -225,6 +225,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     )
 
     ones = jnp.ones((1, 1), dtype)
+    mu1_tab, ctab_tab = static_stage_tables(S_MAX_KERNEL, dtype)
 
     def _freeze_scalar(params):
         return freeze_scalar(params, has_freeze, t_boundary, dtype)
@@ -233,7 +234,8 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         rho = rho_fn(t, unpad(yp), params).astype(dtype)   # pmax'd
         s = jnp.minimum(rkc.choose_stages(h, rho),
                         jnp.asarray(S_MAX_KERNEL, jnp.int32))
-        mu1, ctab = rkc_stage_coeffs(s, dtype)
+        mu1 = mu1_tab[s]
+        ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
         w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]

@@ -53,6 +53,19 @@ def large_fhn(method):
                      dtype="float32", rtol=1e-5, atol=1e-8, method=method)
 
 
+def wide_fhn(method):
+    """Wide-grid flat FHN (41M points, nx=3200): the shape where the fused
+    RKC halo ladder matters — no S>=24 strip exists, so before round 3's
+    variant_plan this silently ran the XLA path at 82.9 ms/step
+    (PERF_NOTES "adaptive halo depth"; now shallow-fused at ~10 ms/step)."""
+    from crdmodel_tpu.config import SimConfig
+    return SimConfig(model="fhn", surface="flat", x_mesh=3200,
+                     surface_width=20, surface_length=80,
+                     t_final=0.5, output_timestep=1, vary_beta=0,
+                     t_boundary=0.0, dtype="float32",
+                     rtol=1e-5, atol=1e-8, method=method)
+
+
 def curvature_fhn():
     """Curvature-coupled diffusion (round 3): the Kneer profile as D(theta)
     through the fused kernel's 3-profile remap (kernel_stencil_coeffs)."""
@@ -81,6 +94,8 @@ ROWS = [
      lambda: large_goldbeter("ark324"), False),
     ("FHN torus 1600x6400 Tf=1 rkc2",
      lambda: large_fhn("rkc2"), False),
+    ("FHN flat 12800x3200 Tf=0.5 rkc2 (halo ladder)",
+     lambda: wide_fhn("rkc2"), False),
 ]
 
 

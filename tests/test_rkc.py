@@ -115,11 +115,12 @@ def test_rkc_streaming():
     assert res.ok
 
 
-def test_fused_rkc_rejects_shallow_strips():
-    """Multi-strip wrapped-row DMAs need strip depth >= halo P=24; grids
-    whose largest admissible strip divisor is shallower must fall back to
-    the XLA path instead of silently loading wrong halo rows (review
-    finding: ny=1616 picks S=16 < 24 with 101 strips)."""
+def test_fused_rkc_variant_plan():
+    """Multi-strip wrapped-row DMAs need strip depth >= halo P; grids
+    whose largest admissible strip divisor is shallower than P=24 used to
+    fall back to the XLA path entirely (review finding: ny=1616 picks
+    S=16 < 24 with 101 strips) — the shallow P=8 variant now covers them
+    with the stage count capped at 7 (h_limit follows s_cap)."""
     import jax.numpy as jnp
     from crdmodel_tpu.core.problem import build_problem
     from crdmodel_tpu.ops import pallas_rkc
@@ -129,10 +130,81 @@ def test_fused_rkc_rejects_shallow_strips():
                     method="rkc2")
     p = build_problem(cfg)
     assert cfg.ny == 1616
-    assert not pallas_rkc.is_rkc_supported(p, jnp.float32)
-    # a clean power-of-two grid still qualifies
+    plan = pallas_rkc.variant_plan(cfg.ny, cfg.nx, p.model.nvars)
+    assert plan == [(16, 16)]     # P=24 needs S>=24; 1616 tops out at S=16
+    assert pallas_rkc.is_rkc_supported(p, jnp.float32)
+    # a clean power-of-two grid qualifies at full depth
     cfg2 = SimConfig(model="fhn", surface="torus", x_mesh=256,
                      surface_width=20, surface_length=80,
                      beta=1.25, dtype="float32", rtol=1e-5, atol=1e-8,
                      method="rkc2")
-    assert pallas_rkc.is_rkc_supported(build_problem(cfg2), jnp.float32)
+    p2 = build_problem(cfg2)
+    assert pallas_rkc.is_rkc_supported(p2, jnp.float32)
+    assert pallas_rkc.variant_plan(cfg2.ny, cfg2.nx, 2)[0][0] == pallas_rkc.P_RKC
+    # ultra-wide rows where even the S=8 floor overruns VMEM stay XLA
+    assert pallas_rkc.variant_plan(5000, 20000, 2) == []
+
+
+def test_static_stage_tables_match_recurrence():
+    """The build-time f64 coefficient tables (pallas_rkc.py::
+    static_stage_tables) must equal the in-jit recurrence
+    (rkc_stage_coeffs) for every stage count the kernels can request."""
+    import jax.numpy as jnp
+    from crdmodel_tpu.ops import pallas_rkc
+    mu1_tab, ctab_tab = pallas_rkc.static_stage_tables(23, jnp.float64)
+    for s in (2, 3, 7, 15, 23):
+        mu1, ctab = pallas_rkc.rkc_stage_coeffs(jnp.asarray(s, jnp.int32),
+                                                jnp.float64)
+        np.testing.assert_allclose(float(mu1_tab[s]), float(mu1),
+                                   rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(ctab_tab[s]),
+                                   np.asarray(ctab), rtol=1e-12, atol=1e-15)
+
+
+def test_fused_rkc_halo_variants_match_xla():
+    """Both halo-depth variants of the fused RKC kernel (deep P=24 and
+    shallow P=8, ops/pallas_rkc.py::variant_plan) against the XLA stepper
+    at identical (t, y, h), through the Pallas interpreter. A small VMEM
+    budget forces the two-variant plan on a small grid; h is chosen so the
+    stage count lands in each variant's range (s <= 7 selects shallow)."""
+    from crdmodel_tpu.core.problem import build_problem, make_rhs
+    from crdmodel_tpu.ops import pallas_rkc
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=64,
+                    surface_width=20, surface_length=20,
+                    beta=1.25, t_boundary=1.0, t_final=2.0,
+                    dtype="float32", rtol=1e-5, atol=1e-8, method="rkc2")
+    p = build_problem(cfg)
+    old_budget = pallas_rkc.VMEM_BUDGET
+    pallas_rkc.VMEM_BUDGET = 768 * 1024
+    try:
+        plan = pallas_rkc.variant_plan(cfg.ny, cfg.nx, p.model.nvars)
+        assert len(plan) == 2 and plan[0][0] == pallas_rkc.P_RKC
+        fused = pallas_rkc.build_fused_rkc_step(p, jnp.float32,
+                                                interpret=True)
+    finally:
+        pallas_rkc.VMEM_BUDGET = old_budget
+
+    rho_fn = make_rho_bound(cfg, p.model, p.geometry, jnp.float32)
+    rhs = make_rhs(cfg, p.model, p.geometry, jnp.float32)
+    step_xla, init_carry = make_rkc2_step_err(rhs, rho_fn, cfg.rtol,
+                                              cfg.atol)
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(np.asarray(p.y0)
+                    + 0.05 * rng.standard_normal(p.y0.shape), jnp.float32)
+    params = {**p.params, "_seg_end": jnp.asarray(0.8, jnp.float32)}
+    t = jnp.asarray(0.3, jnp.float32)
+    rho = float(rho_fn(t, y, params))
+    for h_val, branch in ((20.0 / rho, "shallow"), (250.0 / rho, "deep")):
+        h = jnp.asarray(h_val, jnp.float32)
+        s = int(choose_stages(h, jnp.asarray(rho, jnp.float32)))
+        assert (s <= 7) == (branch == "shallow"), (s, branch)
+        f0 = init_carry(t, y, params)
+        y1, ss1, _ = jax.jit(step_xla)(t, y, h, params, f0)
+        y2p, ss2, _ = fused.step_err(t, fused.pad(y), h, params)
+        # f32 accumulation-order drift across the Chebyshev recurrence:
+        # measured 5e-6 at s=7, 3.1e-5 at s=21 (same domain as the shard
+        # kernels' documented fused-vs-XLA drift); err sums agree ~1e-6 rel
+        np.testing.assert_allclose(np.asarray(fused.unpad(y2p)),
+                                   np.asarray(y1), rtol=0, atol=1e-4)
+        np.testing.assert_allclose(float(ss2), float(ss1), rtol=1e-3)
