@@ -272,6 +272,42 @@ def cmd_steadystate(args):
     return 0
 
 
+def cmd_tips(args):
+    """Spiral-tip (phase-singularity) detection over a finished run's
+    output files (viz/tips.py; beyond-reference analysis — the reference's
+    post-processing stops at movies/torus maps). Needs both variables,
+    i.e. a run with includeAllVars=1."""
+    from crdmodel_tpu.io.trajectory import read_reference_files
+    from crdmodel_tpu.models import get_model
+    from crdmodel_tpu.viz import tips
+    cfg = _cfg_from_args(args)
+    model = get_model(cfg.model)
+    if model.nvars < 2:
+        print(f"model {cfg.model} has {model.nvars} variable(s); tip "
+              "detection needs a 2-variable phase plane", file=sys.stderr)
+        return 2
+    u, _ = read_reference_files(args.dir, cfg.program_name,
+                                model.var_names[0])
+    try:
+        v, _ = read_reference_files(args.dir, cfg.program_name,
+                                    model.var_names[1])
+    except FileNotFoundError:
+        print("second-variable files not found — rerun the simulation "
+              "with --set includeAllVars=1", file=sys.stderr)
+        return 2
+    tipsets, tracks, origin = tips.track_spiral_tips(u, v)
+    touts = np.linspace(0.0, cfg.t_final, u.shape[0])
+    out = os.path.join(args.dir, f"{cfg.program_name}_tips.csv")
+    tips.tips_to_csv(tipsets, touts, out, cfg=cfg)
+    n_frames_with = sum(len(ts) > 0 for ts in tipsets)
+    longest = max((tr.lifetime for tr in tracks), default=0)
+    print(f"phase origin (cu, cv) = ({origin[0]:.4g}, {origin[1]:.4g})")
+    print(f"tips in {n_frames_with}/{len(tipsets)} frames; "
+          f"{len(tracks)} track(s), longest lifetime {longest} frames")
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_stability(args):
     """Linear-stability report computed from the kinetics via AD — the
     numbers the reference hardcodes into its plot scripts (FHN Hopf line at
@@ -377,6 +413,14 @@ def main(argv=None):
                    metavar=("LO", "HI"),
                    help="also report stability crossings in [LO, HI]")
     p.set_defaults(fn=cmd_stability)
+
+    p = sub.add_parser("tips",
+                       help="detect + track spiral tips (phase "
+                            "singularities) in a finished run's output "
+                            "files; writes <prog>_tips.csv")
+    _add_model_args(p)
+    p.add_argument("--dir", default="outputs")
+    p.set_defaults(fn=cmd_tips)
 
     args = ap.parse_args(argv)
     return args.fn(args)
