@@ -191,14 +191,23 @@ def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
                            b_is_field=b_is_field, has_freeze=has_freeze)
 
 
-def load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i):
+def load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i, block=None):
     """The single-chip kernels' shared input schedule: double-buffered
     scratch, three wrapped-row DMAs per strip (top halo | body | bottom
     halo), program i prefetching strip i+1 while computing strip i. All
     offsets are multiples of 8 (S, P, ny are). The wrap windows
     [iS-P, iS) / [iS+S, iS+S+P) are contiguous only when S >= P or
     n_strips == 1 — callers' is_supported must guarantee it. Returns the
-    scratch slot holding strip i (resident rows [iS-P, iS+S+P) mod ny)."""
+    scratch slot holding strip i (resident rows [iS-P, iS+S+P) mod ny).
+
+    block: for the column-blocked layout (nvars, nb, ny, Wp)
+    (pallas_rkc.py::choose_blocking) — the block index whose rows to
+    copy; None = the plain (nvars, ny, nxp) layout."""
+
+    def src(r0, rows):
+        if block is None:
+            return y_hbm.at[:, pl.ds(r0, rows), :]
+        return y_hbm.at[:, block, pl.ds(r0, rows), :]
 
     def strip_dmas(strip, slot):
         r0 = pl.multiple_of(strip * S, 8)
@@ -206,13 +215,13 @@ def load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips, i):
         bots = pl.multiple_of((r0 + S) % ny, 8)
         return (
             pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(tops, P), :],
+                src(tops, P),
                 yv.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
             pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(r0, S), :],
+                src(r0, S),
                 yv.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]),
             pltpu.make_async_copy(
-                y_hbm.at[:, pl.ds(bots, P), :],
+                src(bots, P),
                 yv.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
         )
 

@@ -54,13 +54,14 @@ P_SMALL = P_LADDER[-1]
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _strip_target(nx: int, nvars: int, p: int = P_RKC) -> int:
+def _strip_target(nx: int, nvars: int, p: int = P_RKC,
+                  budget: int = VMEM_BUDGET) -> int:
     # column pad is ALWAYS P_RKC (the driver's padded-state layout is
     # shared by every halo-depth variant); p sizes only the ROW halo
     nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
     live = 2 + 7   # 2 scratch slots + (y0, f0, yjm1, yjm2, fy, yj, est)
     bytes_per_row = 4 * nxp * nvars * live
-    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    rows = max(1, budget // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * p) // 8 * 8))
 
 
@@ -76,16 +77,22 @@ def variant_plan(ny: int, nx: int, nvars: int):
     wider — otherwise it would be pure compile time with no traffic win.
     """
     nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
+    # read the module global at CALL time (tests shrink it to force the
+    # blocked layout on small grids); the residency guard scales with it
+    # (10 MB budget -> 14 MB guard, the measured-safe pair)
+    budget = VMEM_BUDGET
+    guard = (budget * 14) // 10
     plan = []
     best_S = 0
     for P in P_LADDER:
-        S = _pick_strip(ny, target=_strip_target(nx, nvars, P))
+        S = _pick_strip(ny, target=_strip_target(nx, nvars, P,
+                                                 budget=budget))
         if S is None:
             continue
         if ny // S > 1 and S < P:
             continue
         # 2 scratch slots + ~7 live stage arrays of (nvars, S+2P, nxp) f32
-        if 4 * nxp * nvars * 9 * (S + 2 * P) > 14 * 1024 * 1024:
+        if 4 * nxp * nvars * 9 * (S + 2 * P) > guard:
             continue
         if S > best_S:
             plan.append((P, S))
@@ -93,11 +100,38 @@ def variant_plan(ny: int, nx: int, nvars: int):
     return plan
 
 
+def choose_blocking(ny: int, nx: int, nvars: int):
+    """(nb, plan): how many column blocks to split the grid into.
+
+    nb=1 is today's single-pass layout. When its plan lacks the DEEP
+    (P_RKC) variant — wide rows force shallow halos and cap h at the
+    shallow stage budget, exactly where stability-bound stepping wants
+    the quadratic s<=23 coverage — splitting columns into nb blocks of
+    width W=nx/nb (each carrying its own P_RKC wrap/halo column pads,
+    refreshed between steps in XLA) shrinks the kernel's lane width so
+    deep strips fit VMEM again. Smallest nb whose blocked plan includes
+    P_RKC wins; blocks narrower than 512 lanes are not considered (halo
+    columns would dominate). Falls back to (1, nb=1 plan)."""
+    plan1 = variant_plan(ny, nx, nvars)
+    if plan1 and plan1[0][0] == P_RKC:
+        return 1, plan1
+    best = (1, plan1)
+    for nb in range(2, max(2, nx // 512) + 1):
+        if nx % nb:
+            continue
+        plan = variant_plan(ny, nx // nb, nvars)
+        if plan and plan[0][0] == P_RKC:
+            return nb, plan
+        if plan and not best[1]:
+            best = (nb, plan)
+    return best
+
+
 def is_rkc_supported(problem, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
-    if not variant_plan(cfg.ny, cfg.nx, problem.model.nvars):
+    if not choose_blocking(cfg.ny, cfg.nx, problem.model.nvars)[1]:
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
@@ -227,6 +261,11 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, model, geometry, dtype,
                                 diffusion_field=problem.diffusion_field)
+
+    nb, plan_blocked = choose_blocking(ny, nx, nvars)
+    if nb > 1:
+        return _build_blocked(problem, dtype, rho_fn, interpret,
+                              nb, plan_blocked)
 
     P_COL = P_RKC
     nxp = ((nx + 2 * P_COL + 127) // 128) * 128
@@ -414,3 +453,262 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
 
     return FusedRKCStep(step_err=step_err, h_limit=h_limit,
                         pad=pad_cols, unpad=unpad_cols, nxp=nxp)
+
+
+def _build_blocked(problem, dtype, rho_fn, interpret, nb,
+                   plan) -> FusedRKCStep:
+    """Column-blocked fused RKC step (choose_blocking, nb > 1).
+
+    Layout: (nvars, nb, ny, Wp) — the grid's nx columns split into nb
+    blocks of W = nx/nb, each block carrying its own P_RKC halo columns
+    on both sides (the nb=1 padded layout, replicated per block), lane-
+    padded to Wp. The kernel body is EXACTLY the single-pass kernel run
+    per (block, strip) — row-wrap DMAs within the block, the same
+    Chebyshev stage recurrence over validity rings — so deep (P=24)
+    strips fit VMEM at any row width. What changes is where the column
+    halos come from: instead of the in-kernel wrap-roll refresh, an XLA
+    pass after the call rebuilds every block's halo columns from its
+    neighbours' interiors (~48/W of the state, one cheap fused op).
+
+    Costs vs nb=1: the refresh pass, (Wp-W)/W lane fill, and an extra
+    unpad gather feeding the rho bound. Buys: stability-bound stepping
+    keeps the quadratic s<=23 coverage at widths where nb=1 tops out at
+    s<=7 (h capped 15x low at the 100M-point demo shape).
+    """
+    cfg = problem.cfg
+    model = problem.model
+    geometry = problem.geometry
+    nvars = model.nvars
+    ny, nx = cfg.ny, cfg.nx
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    kind = geometry.kind
+
+    P_COL = P_RKC
+    W = nx // nb
+    Wp = ((W + 2 * P_COL + 127) // 128) * 128
+    fill = Wp - W - 2 * P_COL
+
+    col_idx = (np.arange(-P_COL, W + P_COL)[None, :]
+               + np.arange(nb)[:, None] * W) % nx          # (nb, W+2P)
+    col_idx_j = jnp.asarray(col_idx)
+
+    def pad_cols(arr):
+        """(..., ny, nx) -> (..., nb, ny, Wp)."""
+        out = arr[..., col_idx_j]                  # (..., ny, nb, W+2P)
+        out = jnp.moveaxis(out, -2, -3)            # (..., nb, ny, W+2P)
+        if fill:
+            padw = [(0, 0)] * (out.ndim - 1) + [(0, fill)]
+            out = jnp.pad(out, padw)
+        return out
+
+    def unpad_cols(arr):
+        """(..., nb, ny, Wp) -> (..., ny, nx)."""
+        z = arr[..., P_COL:P_COL + W]              # (..., nb, ny, W)
+        z = jnp.moveaxis(z, -3, -2)                # (..., ny, nb, W)
+        return z.reshape(z.shape[:-2] + (nx,))
+
+    def refresh(z):
+        """Rebuild every block's halo columns from its neighbours."""
+        interior = z[..., P_COL:P_COL + W]
+        lh = jnp.roll(interior[..., W - P_COL:], 1, axis=-3)
+        rh = jnp.roll(interior[..., :P_COL], -1, axis=-3)
+        parts = [lh, interior, rh]
+        if fill:
+            parts.append(jnp.zeros(z.shape[:-1] + (fill,), z.dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    # constants
+    from crdmodel_tpu.ops.kernel_common import kernel_stencil_coeffs
+    coeffs = kernel_stencil_coeffs(problem, dtype)
+    if kind == "torus":
+        cs = []
+        for c in coeffs:
+            c_np = np.asarray(jnp.asarray(c), np.float64).reshape(nx)
+            blk = c_np[col_idx]                    # (nb, W+2P)
+            blk = np.pad(blk, [(0, 0), (0, fill)])[:, None, :]
+            cs.append(jnp.asarray(blk, dtype))     # (nb, 1, Wp)
+        c0_in, c1_in, c2_in = cs
+        coeff_spec = pl.BlockSpec((1, 1, Wp), lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        c0_in = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
+        c1_in = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
+        c2_in = jnp.reshape(coeffs[2].astype(dtype), (1, 1))
+        coeff_spec = pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                  memory_space=pltpu.SMEM)
+
+    from crdmodel_tpu.core.problem import beta_field
+    b_arr = beta_field(cfg, dtype)
+    b_is_field = getattr(b_arr, "ndim", 0) == 2
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    col_mask_np = np.zeros((1, Wp), dtype=np.float32)
+    col_mask_np[0, P_COL:P_COL + W] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    rhs_block_of = make_rhs_block(kind, model, just_diffusion)
+
+    def make_call(P, S):
+        n_strips = ny // S
+        R = S + 2 * P
+
+        if b_is_field:
+            b_np = np.asarray(beta_field(cfg, dtype))
+            b_pad = jnp.asarray(
+                np.concatenate([b_np[-P:], b_np, b_np[:P]], axis=0), dtype)
+        else:
+            b_pad = jnp.full((1, 1), float(b_arr), dtype)
+        interior = np.ones((ny, 1), dtype=np.float32)
+        interior[0, 0] = 0.0
+        interior[-1, 0] = 0.0
+        m_pad = jnp.asarray(
+            np.concatenate([interior[-P:], interior, interior[:P]],
+                           axis=0), dtype)
+
+        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
+                   c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+                   y_hbm, ynew_ref, ss_ref, yv, sems):
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            row0 = pl.multiple_of(i * S, 8)
+
+            slot = load_wrap_strips(y_hbm, yv, sems, ny, S, P, n_strips,
+                                    i, block=b)
+
+            h = h_ref[0, 0]
+            s = s_ref[0, 0]
+            mu1 = mu1_ref[0, 0]
+            if kind == "torus":
+                stencil = (c0_ref[0], c1_ref[0], c2_ref[0])   # (1, Wp)
+            else:
+                stencil = (c0_ref[0, 0], c1_ref[0, 0], c2_ref[0, 0])
+            if b_is_field:
+                b_rows = b_ref[pl.ds(row0, R), :]
+            else:
+                b_rows = b_ref[0, 0]
+            if has_freeze:
+                fz = fz_ref[0, 0]
+                live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+            else:
+                live_rows = None
+
+            def rhs_block(yb):
+                return rhs_block_of(yb, stencil, b_rows, live_rows)
+
+            y0 = yv[slot]
+            f0 = rhs_block(y0)                       # ring 1
+            y_jm1 = y0 + (h * mu1) * f0              # stage 1
+            y_jm2 = y0
+
+            def stage(j, carry):
+                yjm1, yjm2 = carry
+                mu = ctab_ref[j, 0]
+                nu = ctab_ref[j, 1]
+                mut = ctab_ref[j, 2]
+                gt = ctab_ref[j, 3]
+                fy = rhs_block(yjm1)                 # ring j
+                yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
+                      + (h * mut) * fy + (h * gt) * f0)
+                return (yj, yjm1)
+
+            y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
+
+            f1 = rhs_block(y_new)                    # ring s+1
+            est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
+
+            # raw write: halo/fill columns carry ring garbage here and
+            # are rebuilt by refresh() right after the call
+            ynew_ref[:, 0, :, :] = y_new[:, P:P + S, :]
+
+            yc = y0[:, P:P + S, :]
+            w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+            scaled = est[:, P:P + S, :] * w
+            ss_ref[b, i] = jnp.sum(scaled * scaled)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb, n_strips),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda b, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                coeff_spec, coeff_spec, coeff_spec,
+                pl.BlockSpec(b_pad.shape, lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(m_pad.shape, lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Wp), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nvars, 1, S, Wp), lambda b, i: (0, b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, nvars, R, Wp), dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        )
+
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nvars, nb, ny, Wp), dtype),
+                jax.ShapeDtypeStruct((nb, n_strips), dtype),
+            ],
+            interpret=interpret,
+        )
+
+        def run(h_s, fz_s, s_s, mu1_s, ctab, yp):
+            ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                            c0_in, c1_in, c2_in, b_pad, m_pad,
+                            col_mask, yp)
+            return refresh(ynew), jnp.sum(ss)
+
+        return run
+
+    s_cap = plan[0][0] - 1
+    branches = [make_call(P, S) for (P, S) in reversed(plan)]
+    caps = np.asarray([P - 1 for (P, _) in reversed(plan)], np.int32)
+    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
+
+    def _freeze_scalar(params):
+        return freeze_scalar(params, has_freeze, t_boundary, dtype)
+
+    def step_err(t, yp, h, params, carry=()):
+        rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
+        s = jnp.minimum(rkc.choose_stages(h, rho),
+                        jnp.asarray(s_cap, jnp.int32))
+        mu1 = mu1_tab[s]
+        ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
+        s_s = jnp.reshape(s, (1, 1))
+        mu1_s = jnp.reshape(mu1, (1, 1))
+        if len(branches) == 1:
+            ynew, ss = branches[0](h_s, fz_s, s_s, mu1_s, ctab, yp)
+        else:
+            idx = jnp.sum((s > jnp.asarray(caps)).astype(jnp.int32))
+            ynew, ss = jax.lax.switch(idx, branches,
+                                      h_s, fz_s, s_s, mu1_s, ctab, yp)
+        return ynew, ss, ()
+
+    def h_limit(t, yp, params):
+        rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
+        return (rkc.STAB_FACTOR * (s_cap - 1) ** 2
+                / jnp.maximum(rho, 1e-30)).astype(dtype)
+
+    return FusedRKCStep(step_err=step_err, h_limit=h_limit,
+                        pad=pad_cols, unpad=unpad_cols, nxp=Wp)

@@ -161,6 +161,60 @@ def test_static_stage_tables_match_recurrence():
                                    np.asarray(ctab), rtol=1e-12, atol=1e-15)
 
 
+def test_fused_rkc_column_blocked_matches_xla():
+    """The column-blocked layout (pallas_rkc.py::choose_blocking nb>1):
+    pad/unpad roundtrip, and one fused step — through BOTH the deep and
+    shallow blocked variants — against the XLA stepper. A small VMEM
+    budget makes nb=1 top out at P=16 so blocking engages on a small
+    grid; the cross-block halo refresh is what the equivalence check
+    actually exercises (every interior column within P_RKC of a block
+    edge reads neighbour-block data)."""
+    from crdmodel_tpu.core.problem import build_problem, make_rhs
+    from crdmodel_tpu.ops import pallas_rkc
+
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=256,
+                    surface_width=20, surface_length=20,
+                    beta=1.25, t_boundary=1.0, t_final=2.0,
+                    dtype="float32", rtol=1e-5, atol=1e-8, method="rkc2")
+    p = build_problem(cfg)
+    old_budget = pallas_rkc.VMEM_BUDGET
+    pallas_rkc.VMEM_BUDGET = 1536 * 1024
+    try:
+        nb, plan = pallas_rkc.choose_blocking(cfg.ny, cfg.nx,
+                                              p.model.nvars)
+        assert nb == 2 and plan[0][0] == pallas_rkc.P_RKC and len(plan) == 2
+        fused = pallas_rkc.build_fused_rkc_step(p, jnp.float32,
+                                                interpret=True)
+    finally:
+        pallas_rkc.VMEM_BUDGET = old_budget
+
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(np.asarray(p.y0)
+                    + 0.05 * rng.standard_normal(p.y0.shape), jnp.float32)
+    yp = fused.pad(y)
+    assert yp.shape[1] == 2                   # (nvars, nb, ny, Wp)
+    np.testing.assert_array_equal(np.asarray(fused.unpad(yp)),
+                                  np.asarray(y))
+
+    rho_fn = make_rho_bound(cfg, p.model, p.geometry, jnp.float32)
+    rhs = make_rhs(cfg, p.model, p.geometry, jnp.float32)
+    step_xla, init_carry = make_rkc2_step_err(rhs, rho_fn, cfg.rtol,
+                                              cfg.atol)
+    params = {**p.params, "_seg_end": jnp.asarray(0.8, jnp.float32)}
+    t = jnp.asarray(0.3, jnp.float32)
+    rho = float(rho_fn(t, y, params))
+    for h_val, branch in ((15.0 / rho, "shallow"), (200.0 / rho, "deep")):
+        h = jnp.asarray(h_val, jnp.float32)
+        s = int(choose_stages(h, jnp.asarray(rho, jnp.float32)))
+        assert (s <= 7) == (branch == "shallow"), (s, branch)
+        f0 = init_carry(t, y, params)
+        y1, ss1, _ = jax.jit(step_xla)(t, y, h, params, f0)
+        y2p, ss2, _ = fused.step_err(t, yp, h, params)
+        np.testing.assert_allclose(np.asarray(fused.unpad(y2p)),
+                                   np.asarray(y1), rtol=0, atol=1e-4)
+        np.testing.assert_allclose(float(ss2), float(ss1), rtol=1e-3)
+
+
 def test_fused_rkc_halo_variants_match_xla():
     """Both halo-depth variants of the fused RKC kernel (deep P=24 and
     shallow P=8, ops/pallas_rkc.py::variant_plan) against the XLA stepper
