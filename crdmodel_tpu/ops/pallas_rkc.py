@@ -65,34 +65,51 @@ def _strip_target(nx: int, nvars: int, p: int = P_RKC,
     return min(256, max(8, (int(rows) - 2 * p) // 8 * 8))
 
 
-def variant_plan(ny: int, nx: int, nvars: int):
+def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False):
     """Feasible (P, S) halo-depth variants, deepest first.
 
     A variant is feasible when (a) ny has a strip divisor at that depth's
     VMEM target, (b) multi-strip wrapped-row DMA windows [iS-P, iS) /
     [iS+S, iS+S+P) stay contiguous (S >= P, or a single strip), and
-    (c) the resident working set actually fits VMEM (at very wide rows
-    the S=8 floor can overrun the 16MB budget — those shapes stay on the
-    XLA path). A shallower depth is kept only when its strip is strictly
-    wider — otherwise it would be pure compile time with no traffic win.
+    (c) the resident working set actually fits Mosaic's 16 MB scoped-vmem
+    limit; a too-wide strip is walked DOWN the divisor ladder until it
+    fits (at very wide rows nothing fits — those shapes go to the blocked
+    layout or the XLA path). A shallower depth is kept only when its
+    strip is strictly wider — otherwise it would be pure compile time
+    with no traffic win.
+
+    Two residency models, both chip-calibrated:
+    - nb=1 kernel: the round-3 heuristic (9 live (nvars, R, nxp) arrays
+      within a 1.4x budget guard) — validated by every measured plan up
+      to (8,64)@nxp=1664.
+    - blocked kernel (blocked=True): Mosaic's measured accounting is
+      ~14 live row-arrays plus the double-buffered output strip; the
+      (8,64)@Wp=1664 blocked branch allocates 16.48 MB (rejected by the
+      16 MB limit) while this model predicts 16.6 MB. Guard at 15.5 MB.
     """
     nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
     # read the module global at CALL time (tests shrink it to force the
-    # blocked layout on small grids); the residency guard scales with it
-    # (10 MB budget -> 14 MB guard, the measured-safe pair)
+    # blocked layout on small grids); the nb=1 residency guard scales
+    # with it (10 MB budget -> 14 MB guard, the measured-safe pair)
     budget = VMEM_BUDGET
     guard = (budget * 14) // 10
+
+    def fits(P, S):
+        if blocked:
+            R = S + 2 * P
+            return 4 * nxp * nvars * (14 * R + 2 * S) <= 15_500_000
+        return 4 * nxp * nvars * 9 * (S + 2 * P) <= guard
+
     plan = []
     best_S = 0
     for P in P_LADDER:
         S = _pick_strip(ny, target=_strip_target(nx, nvars, P,
                                                  budget=budget))
+        while S is not None and not fits(P, S):
+            S = _pick_strip(ny, target=S - 8)
         if S is None:
             continue
         if ny // S > 1 and S < P:
-            continue
-        # 2 scratch slots + ~7 live stage arrays of (nvars, S+2P, nxp) f32
-        if 4 * nxp * nvars * 9 * (S + 2 * P) > guard:
             continue
         if S > best_S:
             plan.append((P, S))
@@ -109,22 +126,32 @@ def choose_blocking(ny: int, nx: int, nvars: int):
     the quadratic s<=23 coverage — splitting columns into nb blocks of
     width W=nx/nb (each carrying its own P_RKC wrap/halo column pads,
     refreshed between steps in XLA) shrinks the kernel's lane width so
-    deep strips fit VMEM again. Smallest nb whose blocked plan includes
+    deep strips fit VMEM again. SMALLEST nb whose blocked plan includes
     P_RKC wins; blocks narrower than 512 lanes are not considered (halo
-    columns would dominate). Falls back to (1, nb=1 plan)."""
+    columns would dominate). Falls back to (1, nb=1 plan).
+
+    A modelled-efficiency scoring pass (prefer larger nb when it buys a
+    wider strip: score = S/(S+2P) * W/Wp) was tried and is measured-dead:
+    at 100M points it picked nb=8/W=625 over nb=4/W=1250 and the cold
+    compile+run blew through a 10-minute budget that nb=4 finishes in
+    ~5.5 (narrow blocks multiply strided DMA descriptors per byte moved —
+    the model priced compute amplification and lane fill but not DMA
+    issue rate; docs/PERF_NOTES.md "column-blocked RKC")."""
     plan1 = variant_plan(ny, nx, nvars)
     if plan1 and plan1[0][0] == P_RKC:
         return 1, plan1
-    best = (1, plan1)
+    fallback = (1, plan1)
     for nb in range(2, max(2, nx // 512) + 1):
         if nx % nb:
             continue
-        plan = variant_plan(ny, nx // nb, nvars)
-        if plan and plan[0][0] == P_RKC:
+        plan = variant_plan(ny, nx // nb, nvars, blocked=True)
+        if not plan:
+            continue
+        if plan[0][0] == P_RKC:
             return nb, plan
-        if plan and not best[1]:
-            best = (nb, plan)
-    return best
+        if not fallback[1]:
+            fallback = (nb, plan)
+    return fallback
 
 
 def is_rkc_supported(problem, dtype) -> bool:
