@@ -127,6 +127,15 @@ def cmd_run(args):
               f"(view: tensorboard --logdir {args.trace})")
     print(res.describe())
 
+    if getattr(args, "snapshot_mode", None) == "none":
+        # throughput/soak mode: nothing was captured, so there are no
+        # field outputs to write — stats + manifest only
+        from crdmodel_tpu.utils import RunManifest
+        mpath = RunManifest.from_result(res).save(
+            os.path.join(args.outdir, f"{cfg.program_name}_manifest.json"))
+        print(f"   wrote {mpath} (snapshot-mode none: no field outputs)")
+        return 0 if res.ok else 1
+
     write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
     print(f"   wrote reference-format files to {args.outdir}/")
     from crdmodel_tpu.utils import RunManifest
@@ -166,7 +175,8 @@ def _run_simulation(args, cfg, problem):
                                          checkpoint_dir=args.checkpoint,
                                          resume_dir=args.resume,
                                          checkpoint_backend=args.checkpoint_backend,
-                                         host_offload=args.host_offload)
+                                         host_offload=args.host_offload,
+                                         snapshot_mode=args.snapshot_mode)
     elif args.resume:
         from crdmodel_tpu.io.checkpoint import resume_streaming
         res = resume_streaming(cfg, args.resume, problem=problem,
@@ -179,7 +189,8 @@ def _run_simulation(args, cfg, problem):
                                  progress=not args.quiet,
                                  checkpoint_every=args.checkpoint_every,
                                  checkpoint_path=args.checkpoint,
-                                 host_offload=args.host_offload)
+                                 host_offload=args.host_offload,
+                                 snapshot_mode=args.snapshot_mode)
     return res
 
 
@@ -346,7 +357,15 @@ def main(argv=None):
                         "format) covering the simulation")
     p.add_argument("--host-offload", action="store_true",
                    help="pull each snapshot to host memory as produced "
-                        "(bounded device memory for long runs)")
+                        "(bounded device memory for long runs; the pull "
+                        "is asynchronous, overlapping the next interval)")
+    p.add_argument("--snapshot-mode", default=None,
+                   choices=("device", "host", "none"),
+                   help="snapshot capture policy (default: device, or "
+                        "host with --host-offload). 'none' captures "
+                        "nothing — throughput/soak mode: the run prints "
+                        "stats and writes the manifest but no field "
+                        "outputs")
     p.add_argument("--checkpoint-backend", default="npz",
                    choices=("npz", "orbax"),
                    help="sharded checkpoint format (with --devices > 1): "

@@ -636,7 +636,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                                checkpoint_dir: Optional[str] = None,
                                resume_dir: Optional[str] = None,
                                checkpoint_backend: str = "npz",
-                               host_offload: bool = False) -> SimResult:
+                               host_offload: bool = False,
+                               snapshot_mode: Optional[str] = None
+                               ) -> SimResult:
     """Streaming (per-interval dispatch) sharded run — the production-scale
     driver: bounded device-time per dispatch, incremental snapshots.
 
@@ -648,11 +650,23 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     manifest, io/checkpoint.py::save_sharded_checkpoint) or "orbax"
     (sharding-aware zarr, save_orbax_checkpoint). host_offload=True pulls
     each snapshot to host as produced (bounded device memory for long
-    runs; see sim.simulate_streaming).
+    runs); without an on_snapshot writer the pull is asynchronous, same
+    policy as sim.simulate_streaming. snapshot_mode ('device'/'host'/
+    'none') overrides explicitly; 'none' captures nothing and the
+    trajectory holds only the final state (throughput/soak runs).
     """
     if checkpoint_backend not in ("npz", "orbax"):
         raise ValueError(f"checkpoint_backend must be 'npz' or 'orbax', "
                          f"got {checkpoint_backend!r}")
+    if snapshot_mode is None:
+        snapshot_mode = "host" if host_offload else "device"
+    if snapshot_mode not in ("device", "host", "none"):
+        raise ValueError(f"snapshot_mode={snapshot_mode!r}; expected "
+                         "'device', 'host', or 'none'")
+    if snapshot_mode == "none" and on_snapshot is not None:
+        raise ValueError("snapshot_mode='none' captures nothing; "
+                         "on_snapshot would never fire")
+    host_offload = snapshot_mode == "host"
     problem = problem if problem is not None else build_problem(cfg)
     if mesh is None:
         mesh = make_mesh(n_devices=n_devices, grid_shape=(cfg.ny, cfg.nx))
@@ -713,7 +727,10 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         br_t, br_y = t, y
         acc = {k: np.zeros(nt, dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
-        snaps = [np.asarray(physical(y)) if host_offload else physical(y)]
+        snaps = []
+        if snapshot_mode != "none":
+            snaps.append(np.asarray(physical(y)) if host_offload
+                         else physical(y))
         if on_snapshot is not None:
             on_snapshot(0, physical(y))
     status = jnp.asarray(0, jnp.int32)
@@ -760,13 +777,30 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         return int(state["status"])
 
     def on_output(k_done):
+        if snapshot_mode == "none":
+            return
         if normal:
             snap = physical(snap_at(
                 state["br_t"], state["br_y"], state["t"], state["y"],
                 jnp.asarray(float(touts[k_done - 1]), dtype), params))
         else:
             snap = physical(state["y"])
-        snaps.append(np.asarray(snap) if host_offload else snap)
+        if not host_offload:
+            snaps.append(snap)
+        elif on_snapshot is not None:
+            snaps.append(np.asarray(snap))
+        else:
+            # async host pull: kick the copy now, materialise one output
+            # later so it overlaps the next interval's compute (same
+            # policy as sim.py::_run_streaming_loop.offload)
+            try:
+                snap.copy_to_host_async()
+            except AttributeError:
+                pass
+            snaps.append(snap)
+            for i in range(len(snaps) - 1):
+                if not isinstance(snaps[i], np.ndarray):
+                    snaps[i] = np.asarray(snaps[i])
         if on_snapshot is not None:
             on_snapshot(k_done, snap)
 
@@ -777,7 +811,10 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                       maybe_checkpoint, progress, t_start)
 
     wall = time.perf_counter() - t_start
-    if snaps:
+    if snapshot_mode == "none":
+        traj = jnp.stack([physical(state["y"])])
+        touts_out = np.asarray([float(state["t"])])
+    elif snaps:
         traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
             else jnp.stack(snaps)
     else:
@@ -789,7 +826,9 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),
                        status=jnp.asarray(acc["status"]))
-    if resume_dir is not None:
+    if snapshot_mode == "none":
+        pass
+    elif resume_dir is not None:
         touts_out = touts[k_start:k_start + traj.shape[0]]
     else:
         touts_out = np.concatenate([[0.0], touts[:traj.shape[0] - 1]])

@@ -266,6 +266,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                        checkpoint_every: Optional[int] = None,
                        checkpoint_path: Optional[str] = None,
                        host_offload: bool = False,
+                       snapshot_mode: Optional[str] = None,
                        _resume: Optional[dict] = None) -> SimResult:
     """Interval-by-interval driver: one device dispatch per output interval,
     invoking `on_snapshot(k, y_np)` after each (for incremental file writes,
@@ -278,11 +279,25 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     checkpoint dict (use io.checkpoint.resume_streaming).
 
     host_offload=True pulls each snapshot to host memory as it is produced
-    (the streaming loop already syncs per interval, so the transfer adds
-    only its bandwidth cost) and returns a numpy trajectory — device memory
-    stays bounded by the solver state regardless of Nt, the production
-    setting for long runs on large grids (the reference streams every
-    snapshot to disk for the same reason, src/FHNmodel_torus.cpp:437-455).
+    and returns a numpy trajectory — device memory stays bounded by the
+    solver state regardless of Nt, the production setting for long runs on
+    large grids (the reference streams every snapshot to disk for the same
+    reason, src/FHNmodel_torus.cpp:437-455). Without an on_snapshot writer
+    the pull is ASYNCHRONOUS: each snapshot's device->host copy is kicked
+    off immediately and materialised one interval later, so the transfer
+    rides behind the next interval's compute instead of stalling the loop
+    (measured 28.8 MB/s tunnel D2H made blocking pulls dominate the 100M
+    demo — docs/PERF_NOTES.md "max-scale demo anatomy"); at most one
+    snapshot buffer is retained on device.
+
+    snapshot_mode overrides the capture policy explicitly:
+      "device" (default) — snapshots accumulate on device;
+      "host"             — as host_offload=True;
+      "none"             — capture NOTHING (trajectory holds only the final
+                           state, on device). For throughput measurement
+                           and soak runs at grids where even one snapshot
+                           transfer is significant. Incompatible with
+                           on_snapshot.
     """
     from crdmodel_tpu.integrate.erk import (
         SolveStats, TABLEAUS, _initial_step, integrate_interval,
@@ -299,13 +314,25 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     stop_times, is_output = merge_stops(touts, breakpoints)
     stops = list(zip(stop_times.tolist(), is_output.tolist()))
 
+    if snapshot_mode is None:
+        snapshot_mode = "host" if host_offload else "device"
+    if snapshot_mode not in ("device", "host", "none"):
+        raise ValueError(f"snapshot_mode={snapshot_mode!r}; expected "
+                         "'device', 'host', or 'none'")
+    if snapshot_mode == "none" and on_snapshot is not None:
+        raise ValueError("snapshot_mode='none' captures nothing; "
+                         "on_snapshot would never fire")
+    if snapshot_mode == "none" and checkpoint_every:
+        raise ValueError("snapshot_mode='none' is incompatible with "
+                         "checkpointing (the payload stores snapshots)")
+
     if "stream_fns" in problem.cache:
         one_interval, h0_fn, pad, unpad, free_fns = \
             problem.cache["stream_fns"]
         return _run_streaming_loop(
             cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
             on_snapshot, progress, checkpoint_every, checkpoint_path,
-            host_offload, _resume, free_fns=free_fns)
+            snapshot_mode, _resume, free_fns=free_fns)
 
     pad = unpad = lambda y: y
     h_limit_fn = None
@@ -428,7 +455,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     return _run_streaming_loop(
         cfg, problem, touts, stops, one_interval, h0_fn, pad, unpad,
         on_snapshot, progress, checkpoint_every, checkpoint_path,
-        host_offload, _resume, free_fns=free_fns)
+        snapshot_mode, _resume, free_fns=free_fns)
 
 
 def drive_stream_loop(stops, nt, k_start, first0, dtype, step_to, current_t,
@@ -507,7 +534,7 @@ def make_normal_stream_plan(stops, breakpoints):
 
 def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                         pad, unpad, on_snapshot, progress,
-                        checkpoint_every, checkpoint_path, host_offload,
+                        checkpoint_every, checkpoint_path, snapshot_mode,
                         _resume, free_fns=None):
     from crdmodel_tpu.integrate.erk import SolveStats
 
@@ -517,6 +544,28 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
     normal = free_fns is not None
     if normal:
         one_interval_free, snap_at, plan = free_fns
+    host_offload = snapshot_mode == "host"
+
+    def offload(snap):
+        """Host-mode capture. With a writer attached the pull must finish
+        NOW (the writer consumes it); otherwise kick the device->host copy
+        asynchronously and materialise it on the next capture — the
+        transfer rides behind the following interval's compute (measured
+        28.8 MB/s tunnel D2H; blocking pulls dominated the 100M demo,
+        docs/PERF_NOTES.md "max-scale demo anatomy"). At most one snapshot
+        buffer stays on device."""
+        if on_snapshot is not None:
+            snaps.append(np.asarray(snap))
+            return
+        try:
+            snap.copy_to_host_async()
+        except AttributeError:
+            pass
+        snaps.append(snap)
+        for i in range(len(snaps) - 1):
+            if not isinstance(snaps[i], np.ndarray):
+                snaps[i] = np.asarray(snaps[i])
+
     # checkpoints and snapshots always store the plain (unpadded)
     # representation; the loop state may be the fused kernel's padded one
     if _resume is not None:
@@ -539,7 +588,12 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         t = jnp.asarray(0.0, dtype)
         errp = jnp.asarray(1.0, dtype)
         br_t, br_y = t, y
-        snaps = [np.asarray(problem.y0) if host_offload else problem.y0]
+        snaps = []
+        if snapshot_mode != "none":
+            if host_offload:
+                offload(jnp.asarray(problem.y0, dtype))
+            else:
+                snaps.append(problem.y0)
         stats_acc = {k: np.zeros(nt, dtype=np.int64)
                      for k in ("steps", "accepted", "rejected", "status")}
         if on_snapshot is not None:
@@ -590,13 +644,18 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         return int(state["status"])
 
     def on_output(k_done):
+        if snapshot_mode == "none":
+            return
         if normal:
             snap = snap_at(state["br_t"], state["br_y"], state["t"],
                            state["y"], jnp.asarray(float(touts[k_done - 1]),
                                                    dtype))
         else:
             snap = unpad(state["y"])
-        snaps.append(np.asarray(snap) if host_offload else snap)
+        if host_offload:
+            offload(snap)
+        else:
+            snaps.append(snap)
         if on_snapshot is not None:
             on_snapshot(k_done, np.asarray(snaps[-1]))
 
@@ -605,12 +664,20 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                       on_output, maybe_checkpoint, progress, t_start)
 
     wall = time.perf_counter() - t_start
-    traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
-        else jnp.stack(snaps)
+    if snapshot_mode == "none":
+        # capture nothing: the trajectory is the final state, kept on
+        # device (pulling it can cost more than the whole loop at 100M
+        # points over the tunnel); wall excludes the pull by design
+        traj = jnp.stack([unpad(state["y"])])
+        tout_axis = np.asarray([float(state["t"])])
+    else:
+        traj = np.stack([np.asarray(s) for s in snaps]) if host_offload \
+            else jnp.stack(snaps)
+        tout_axis = np.concatenate([[0.0], touts[:traj.shape[0] - 1]])
     stats = SolveStats(steps=jnp.asarray(stats_acc["steps"]),
                        accepted=jnp.asarray(stats_acc["accepted"]),
                        rejected=jnp.asarray(stats_acc["rejected"]),
                        status=jnp.asarray(stats_acc["status"]))
     return SimResult(cfg=cfg, problem=problem, trajectory=traj,
-                     touts=np.concatenate([[0.0], touts[:traj.shape[0] - 1]]),
+                     touts=tout_axis,
                      stats=stats, wall_time=wall)

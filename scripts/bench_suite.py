@@ -101,12 +101,16 @@ ROWS = [
 
 def max_scale_row(results):
     """Largest demonstrated single-chip grid: 100M points (20000x5000 FHN
-    torus, varyBeta), streaming fused rkc2 with host-offloaded snapshots —
-    state + rkc stage buffers fill most of the 16 GB HBM (the next size up,
-    164M, crashes the TPU worker). Measured 2026-08-17: 254 steps to
-    Tf=0.25, warm wall 189 s (743 ms/step, ~80-stage Chebyshev steps),
-    1.35e8 points*steps/s; bs32 at this grid would be diffusion-CFL-bound
-    thousands of steps. docs/PERF_NOTES.md 'max-scale demo'."""
+    torus, varyBeta), streaming fused column-blocked rkc2 — state + rkc
+    stage buffers fill most of the 16 GB HBM (the next size up, 164M,
+    crashes the TPU worker). Two numbers, two stories (docs/PERF_NOTES.md
+    'max-scale demo anatomy'): snapshot_mode='none' measures the solver
+    loop itself (64.5 ms/step measured 2026-08-18); host-offloaded
+    snapshots add 800 MB device->host pulls that the axon tunnel serves at
+    28.8 MB/s (async-overlapped with compute, but the tail still lands in
+    wall) — on real TPU hosts (~10 GB/s D2H) that end-to-end gap
+    disappears. bs32 at this grid would be diffusion-CFL-bound thousands
+    of steps."""
     from crdmodel_tpu.config import SimConfig
     from crdmodel_tpu.core.problem import build_problem
     from crdmodel_tpu.sim import simulate_streaming
@@ -116,17 +120,20 @@ def max_scale_row(results):
                     beta_min=0.7, beta_max=1.7, t_boundary=0.0,
                     dtype="float32", rtol=1e-5, atol=1e-8, method="rkc2")
     problem = build_problem(cfg)
-    simulate_streaming(cfg, problem=problem, host_offload=True)  # compile
-    r = simulate_streaming(cfg, problem=problem, host_offload=True)
+    simulate_streaming(cfg, problem=problem, snapshot_mode="none")  # compile
+    r = simulate_streaming(cfg, problem=problem, snapshot_mode="none")
     steps = r.total_steps()
     rate = cfg.nx * cfg.ny * steps / r.wall_time
+    r2 = simulate_streaming(cfg, problem=problem, host_offload=True)
     results.append(dict(
         name="FHN torus 20000x5000 (100M pts) Tf=0.25 rkc2 streaming",
-        ok=bool(r.ok), steps=int(steps), wall_s=round(r.wall_time, 1),
+        ok=bool(r.ok and r2.ok), steps=int(steps),
+        wall_s=round(r.wall_time, 1),
         us_per_step=round(1e6 * r.wall_time / max(steps, 1), 0),
-        points_steps_per_s=float(f"{rate:.4g}")))
-    print(f"done: max-scale: {r.wall_time:.1f}s / {steps} steps",
-          file=sys.stderr)
+        points_steps_per_s=float(f"{rate:.4g}"),
+        wall_s_with_host_snapshots=round(r2.wall_time, 1)))
+    print(f"done: max-scale: loop {r.wall_time:.1f}s / {steps} steps; "
+          f"with host snapshots {r2.wall_time:.1f}s", file=sys.stderr)
 
 
 def main():

@@ -399,3 +399,55 @@ def test_elastic_recheckpoint_same_dir(tmp_path):
                         k_out=np.asarray(999))
     ck2 = load_sharded_checkpoint(ckdir, cfg, mesh_b)
     np.testing.assert_array_equal(np.asarray(ck2["y"]), np.asarray(ck["y"]))
+
+
+def test_streaming_snapshot_modes(tmp_path):
+    """snapshot_mode: 'host' (async offload when no writer is attached —
+    the device->host copy is kicked immediately and materialised one
+    interval later, sim.py::_run_streaming_loop.offload) matches the
+    device-resident run exactly; 'none' captures nothing and returns only
+    the final state; invalid combinations are refused."""
+    cfg = _cfg()
+    full = simulate_streaming(cfg)
+    # async host path (no on_snapshot): identical trajectory
+    host = simulate_streaming(cfg, snapshot_mode="host")
+    assert isinstance(host.trajectory, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(host.trajectory),
+                                  np.asarray(full.trajectory))
+    # none: one entry, the final state, steps bookkeeping intact
+    none = simulate_streaming(cfg, snapshot_mode="none")
+    assert none.ok
+    assert none.trajectory.shape[0] == 1
+    np.testing.assert_array_equal(np.asarray(none.trajectory[0]),
+                                  np.asarray(full.trajectory[-1]))
+    np.testing.assert_array_equal(np.asarray(none.stats.steps),
+                                  np.asarray(full.stats.steps))
+    assert float(none.touts[0]) == float(cfg.t_final)
+    with pytest.raises(ValueError, match="on_snapshot"):
+        simulate_streaming(cfg, snapshot_mode="none",
+                           on_snapshot=lambda k, y: None)
+    with pytest.raises(ValueError, match="checkpoint"):
+        simulate_streaming(cfg, snapshot_mode="none", checkpoint_every=2,
+                           checkpoint_path=str(tmp_path / "ck.npz"))
+    with pytest.raises(ValueError, match="snapshot_mode"):
+        simulate_streaming(cfg, snapshot_mode="bogus")
+
+
+def test_sharded_streaming_snapshot_modes():
+    """Sharded streaming honours snapshot_mode: 'host' (async) matches
+    'device' exactly; 'none' keeps only the final state."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+
+    cfg = _cfg(x_mesh=16)
+    mesh = make_mesh(n_devices=4, grid_shape=(cfg.ny, cfg.nx))
+    dev = simulate_sharded_streaming(cfg, mesh=mesh)
+    host = simulate_sharded_streaming(cfg, mesh=mesh, snapshot_mode="host")
+    np.testing.assert_array_equal(np.asarray(host.trajectory),
+                                  np.asarray(dev.trajectory))
+    none = simulate_sharded_streaming(cfg, mesh=mesh, snapshot_mode="none")
+    assert none.ok and none.trajectory.shape[0] == 1
+    np.testing.assert_array_equal(np.asarray(none.trajectory[0]),
+                                  np.asarray(dev.trajectory[-1]))
+    np.testing.assert_array_equal(np.asarray(none.stats.steps),
+                                  np.asarray(dev.stats.steps))
