@@ -231,6 +231,21 @@ def cmd_sweep(args):
         lo, hi, n = spec.split(":")
         return np.linspace(float(lo), float(hi), int(n))
 
+    mesh = None
+    if args.ensemble_devices:
+        # members sharded across devices (parallel/ensemble.py) — the
+        # device-parallel sweep the reference approximates with N separate
+        # mpirun launches (README.md:29-34). Optionally composed with a
+        # per-member spatial submesh: --ensemble-devices M
+        # --ensemble-spatial YxX
+        from crdmodel_tpu.parallel.ensemble import make_ensemble_mesh
+        spatial = None
+        if args.ensemble_spatial:
+            y, x = args.ensemble_spatial.lower().split("x")
+            spatial = (int(y), int(x))
+        mesh = make_ensemble_mesh(args.ensemble_devices,
+                                  spatial_shape=spatial)
+
     axes = {}
     if args.betas:
         axes["beta"] = parse_axis(args.betas)
@@ -246,7 +261,8 @@ def cmd_sweep(args):
         return 2
     cfg = _cfg_from_args(args, **({"vary_beta": 0} if args.betas else {}))
     if list(axes) == ["beta"]:
-        res = sweep_beta(cfg, axes["beta"], batch_mode=args.batch_mode)
+        res = sweep_beta(cfg, axes["beta"], mesh=mesh,
+                         batch_mode=args.batch_mode)
         members = [{"beta": float(b)} for b in axes["beta"]]
     else:
         # Cartesian product of the given axes, one member per combination
@@ -254,7 +270,8 @@ def cmd_sweep(args):
         keys = list(axes)
         members = [dict(zip(keys, (float(v) for v in combo)))
                    for combo in itertools.product(*(axes[k] for k in keys))]
-        res = sweep_configs(cfg, members, batch_mode=args.batch_mode)
+        res = sweep_configs(cfg, members, mesh=mesh,
+                            batch_mode=args.batch_mode)
     print(f"swept {len(members)} members over {sorted(axes)} "
           f"in {res.wall_time:.2f}s ({'ok' if res.ok() else 'FAILED'})")
     if args.npz:
@@ -402,11 +419,20 @@ def main(argv=None):
     p.add_argument("--wave-widths", default=None, metavar="LO:HI:N")
     p.add_argument("--wave-lengths", default=None, metavar="LO:HI:N")
     p.add_argument("--batch-mode", default="auto",
-                   choices=["auto", "vmap", "serial", "members"],
+                   choices=["auto", "vmap", "serial", "members", "devices"],
                    help="auto: vmap off-TPU, members (member axis hand-"
                         "batched inside one while_loop — the TPU-resident "
                         "batched sweep) on TPU; serial = one compiled "
-                        "member program, host loop")
+                        "member program, host loop; devices = implied by "
+                        "--ensemble-devices")
+    p.add_argument("--ensemble-devices", type=int, default=0, metavar="M",
+                   help="shard members over an M-device 'member' mesh axis "
+                        "(each device runs whole members independently, "
+                        "fused kernels included; parallel/ensemble.py)")
+    p.add_argument("--ensemble-spatial", default=None, metavar="YxX",
+                   help="with --ensemble-devices: additionally decompose "
+                        "each member over a YxX spatial submesh "
+                        "(M*Y*X devices total, lockstep collectives)")
     p.add_argument("--npz", default=None)
     p.set_defaults(fn=cmd_sweep)
 

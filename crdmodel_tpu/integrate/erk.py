@@ -271,7 +271,7 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
                        *, err_order, max_steps, global_size,
                        reduce_fn=jnp.sum, carry0=(),
                        first_interval=False, status0=None,
-                       h_limit_fn=None, return_carry=False):
+                       h_limit_fn=None, return_carry=False, sync_fn=None):
     """Integrate from (t0, y0) to tout with adaptive steps.
 
     step_err(t, y, h, params, carry) -> (y_new, err_ss, new_carry) where
@@ -307,6 +307,13 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
     per-member step sequences are identical to B separate runs. reduce_fn
     must then be the identity (the vmapped stepper already reduced each
     member's grid axes) and the loop runs until every member reaches tout.
+
+    sync_fn(go: bool) -> bool: optional cross-shard OR on the loop
+    condition — the composed ensemble mesh (parallel/ensemble.py) runs
+    members in LOCKSTEP so halo/psum collectives stay matched across
+    member-submeshes with divergent per-member progress: finished members
+    spin through `active`-masked no-op iterations (the body already
+    freezes their state) until the slowest member reaches tout.
     """
     dtype = y0.dtype
     inv_q = 1.0 / float(err_order)
@@ -316,7 +323,8 @@ def integrate_interval(step_err, t0, y0, h_init, err_prev_init, tout, params,
 
     def cond(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
-        return jnp.any((t < tout) & (status == 0) & (nstep < max_steps))
+        go = jnp.any((t < tout) & (status == 0) & (nstep < max_steps))
+        return go if sync_fn is None else sync_fn(go)
 
     def body(state):
         t, y, h, errs, fc, nstep, nacc, nrej, status = state
@@ -401,7 +409,7 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
                             params, *, err_order, max_steps, global_size,
                             reduce_fn=jnp.sum, carry0=(), bracket0=None,
                             first_interval=False, status0=None,
-                            h_limit_fn=None, t_cap=None):
+                            h_limit_fn=None, t_cap=None, sync_fn=None):
     """ARK_NORMAL-style interval: step FREELY until t >= tout (no clamping;
     the accepted step may overshoot), tracking the last accepted step's
     bracket (t_lo, y_lo) so the caller can densely interpolate the solution
@@ -432,11 +440,16 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
 
     def cond(state):
         t, y, h, errs, fc, br, nstep, nacc, nrej, status = state
-        return (t < tout) & (status == 0) & (nstep < max_steps)
+        go = (t < tout) & (status == 0) & (nstep < max_steps)
+        return go if sync_fn is None else sync_fn(go)
 
     def body(state):
         t, y, h, errs, fc, br, nstep, nacc, nrej, status = state
         ep, epp = errs
+        # liveness mask: always True without sync_fn (cond guarantees it);
+        # under lockstep member sync a finished member's devices keep
+        # executing matched collectives with their state frozen here
+        active = (t < tout) & (status == 0) & (nstep < max_steps)
         hs = h
         if h_limit_fn is not None:
             hs = jnp.minimum(hs, h_limit_fn(t, y, params).astype(dtype))
@@ -447,7 +460,8 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
         y_new, err_ss, fc_new = step_err(t, y, hs, params, fc)
         err = jnp.sqrt(reduce_fn(err_ss) / global_size).astype(dtype)
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(jnp.inf, dtype))
-        accept = err <= 1.0
+        raw_accept = err <= 1.0
+        accept = raw_accept & active
 
         err_c = jnp.maximum(err, 1e-10)
         eta = (SAFETY
@@ -463,8 +477,11 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
         if t_cap is not None:
             # cap-clamped steps say nothing about the error-limited h
             h_grow = jnp.where(at_cap, jnp.maximum(h, h_grow), h_grow)
-        h_next = jnp.where(accept, h_grow,
-                           hs * jnp.clip(eta, ETA_MIN, ETA_REJECT_MAX))
+        h_next = jnp.where(active,
+                           jnp.where(raw_accept, h_grow,
+                                     hs * jnp.clip(eta, ETA_MIN,
+                                                   ETA_REJECT_MAX)),
+                           h)
 
         t_next = jnp.where(accept, t + hs, t)
         y_next = jnp.where(accept, y_new, y)
@@ -477,12 +494,12 @@ def integrate_interval_free(step_err, t0, y0, h_init, err_prev_init, tout,
             lambda new, old: jnp.where(accept, new, old), fc_new, fc)
 
         hmin = 16.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
-        status_next = jnp.where((~accept) & (h_next < hmin),
+        status_next = jnp.where(active & (~raw_accept) & (h_next < hmin),
                                 jnp.asarray(2, jnp.int32), status)
         return (t_next, y_next, h_next, (ep_next, epp_next), fc_next,
-                br_next, nstep + 1,
+                br_next, nstep + active.astype(jnp.int32),
                 nacc + accept.astype(jnp.int32),
-                nrej + (~accept).astype(jnp.int32),
+                nrej + (active & ~raw_accept).astype(jnp.int32),
                 status_next)
 
     zero = jnp.asarray(0, jnp.int32)
@@ -756,7 +773,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
                          kstep_call=None, h_limit_fn=None, rhs_split=None,
                          step_mode="tstop", err_order=None,
-                         n_members=0, params_axes=None):
+                         n_members=0, params_axes=None, sync_fn=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -809,6 +826,9 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
     dtype = y0.dtype
     if global_size is None:
         global_size = y0[0].size if n_members else y0.size
+    if sync_fn is not None and (spec_k or kstep_call is not None):
+        raise ValueError("sync_fn (cross-member lockstep) does not compose "
+                         "with speculative K-step batching")
     if step_err is None:
         step_err, init_carry, err_order = make_stepper(
             method, rhs, rtol, atol, rho_fn, rhs_split)
@@ -922,7 +942,7 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
             fc0 = init_carry(t, y, p)
             common = dict(err_order=err_order, max_steps=max_steps,
                           global_size=global_size, reduce_fn=reduce_fn,
-                          h_limit_fn=h_limit_fn)
+                          h_limit_fn=h_limit_fn, sync_fn=sync_fn)
 
             def free_fn(args):
                 t, y, h, errp, status = args
@@ -1000,7 +1020,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                 err_order=err_order, carry0=fc0,
                 max_steps=max_steps, reduce_fn=reduce_fn,
                 global_size=global_size, status0=status,
-                first_interval=is_first, h_limit_fn=h_limit_fn)
+                first_interval=is_first, h_limit_fn=h_limit_fn,
+                sync_fn=sync_fn)
         return (t, y, h, errp, stats[-1]), (capture(y), *stats)
 
     bshape = (n_members,) if n_members else ()

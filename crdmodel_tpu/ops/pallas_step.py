@@ -103,7 +103,8 @@ class FusedStep:
     nxp: int
 
 
-def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
+def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
+                     interpret: bool = False) -> FusedStep:
     cfg = problem.cfg
     model = problem.model
     geometry = problem.geometry
@@ -160,22 +161,24 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
         def rhs_block(yb):
             return rhs_block_of(yb, stencil, b_rows, live_rows)
 
+        # tableau entries as PYTHON floats: a numpy f64 scalar would
+        # promote the whole update to f64 under x64 (interpreter tests)
         y0 = yv[slot]
         ks = []
         for s in range(n_stages):
             yi = y0
             for j in range(s):
                 if a[s, j] != 0.0:
-                    yi = yi + (h * a[s, j]) * ks[j]
+                    yi = yi + (h * float(a[s, j])) * ks[j]
             ks.append(rhs_block(yi))
 
         ynew = y0
         err = jnp.zeros_like(y0)
         for s in range(n_stages):
             if bw[s] != 0.0:
-                ynew = ynew + (h * bw[s]) * ks[s]
+                ynew = ynew + (h * float(bw[s])) * ks[s]
             if d[s] != 0.0:
-                err = err + (h * d[s]) * ks[s]
+                err = err + (h * float(d[s])) * ks[s]
 
         # centre rows; refresh the wrapped column halos so the padded
         # representation is closed under steps
@@ -224,6 +227,7 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32) -> FusedStep:
             jax.ShapeDtypeStruct((nvars, ny, nxp), dtype),
             jax.ShapeDtypeStruct((n_strips, 1), dtype),
         ],
+        interpret=interpret,
     )
 
     def step_err(t, yp, h, params):

@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 
 AXIS_Y = "py"
 AXIS_X = "px"
+AXIS_M = "member"   # ensemble (parameter-sweep) axis, parallel/ensemble.py
 
 
 def balanced_dims(n: int, ny: int, nx: int) -> tuple:

@@ -134,11 +134,21 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
     return rhs_ex, rhs_im
 
 
-def mesh_pad_spec(cfg, mesh: Mesh):
+def _axis_shape(mesh) -> dict:
+    """{axis_name: size} for a Mesh — or pass a dict through unchanged
+    (the ensemble sweep hands the spatial submesh shape directly,
+    parallel/ensemble.py)."""
+    if isinstance(mesh, dict):
+        return mesh
+    return dict(zip(mesh.axis_names, mesh.devices.shape))
+
+
+def mesh_pad_spec(cfg, mesh):
     """PadSpec for running cfg's grid on this mesh (parallel/padding.py);
-    None when the grid divides the mesh evenly (no padding machinery)."""
+    None when the grid divides the mesh evenly (no padding machinery).
+    mesh: a Mesh or an {axis: size} dict (see _axis_shape)."""
     from crdmodel_tpu.parallel.padding import compute_pad_spec
-    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    shape = _axis_shape(mesh)
     spec = compute_pad_spec(cfg.ny, cfg.nx, shape[AXIS_Y], shape[AXIS_X])
     return spec if spec.active else None
 
@@ -195,15 +205,15 @@ def sharded_params(problem: Problem, pad_spec=None):
     return params, specs
 
 
-def _local_block_shape(cfg, mesh: Mesh, pad_spec=None) -> tuple:
-    """(nyl, nxl) of one shard on the mesh."""
+def _local_block_shape(cfg, mesh, pad_spec=None) -> tuple:
+    """(nyl, nxl) of one shard on the mesh (Mesh or {axis: size} dict)."""
     if pad_spec is not None and pad_spec.active:
         return pad_spec.y.blk, pad_spec.x.blk
-    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    shape = _axis_shape(mesh)
     return cfg.ny // shape[AXIS_Y], cfg.nx // shape[AXIS_X]
 
 
-def _shard_kernel_eligible(cfg, mesh: Mesh, interpret: bool) -> bool:
+def _shard_kernel_eligible(cfg, mesh, interpret: bool) -> bool:
     """Shard-kernel selection policy: explicit use_pallas wins; auto
     compares the LOCAL block size against the measured crossover (the
     per-chip work is nyl*nxl — gating on the global grid would enable the
@@ -343,16 +353,37 @@ def _mask_rho(rho0):
     return rho
 
 
-def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
-                               interpret_pallas: bool = False,
-                               extra_param_specs: Optional[dict] = None):
-    """Jitted (y0, params) -> (traj, stats) with everything under shard_map.
+def build_local_run(problem: Problem, mesh,
+                    interpret_pallas: bool = False,
+                    extra_param_specs: Optional[dict] = None,
+                    member_sync: bool = False):
+    """One member's spatially-decomposed run_local(y0_local, params_local)
+    -> (traj, stats), plus its PartitionSpecs, pad_spec and output times.
 
-    extra_param_specs: PartitionSpecs for additional (replicated or sharded)
-    keys the caller will add to params at call time — e.g. the sweep
-    driver's per-member "dscale" scalar (sweep.py::sweep_configs; only valid
-    on the XLA path, which sweeps force)."""
+    This is the body make_sharded_simulation_fn puts under shard_map —
+    exposed separately so the ensemble sweep (parallel/ensemble.py) can
+    embed the SAME program per member inside a shard_map whose mesh has a
+    leading 'member' axis: every cross-device reduction in here names the
+    spatial axes ('py','px') explicitly, so members never couple through
+    the error control.
+
+    member_sync=True runs the adaptive loops in cross-member LOCKSTEP
+    (integrate_interval sync_fn): the halo ppermutes are single whole-mesh
+    collectives, so divergent per-member trip counts would deadlock them —
+    finished members instead spin through state-frozen no-op iterations
+    until the slowest member finishes, preserving exact per-member step
+    sequences. Requires the XLA stepper with a STATIC per-step collective
+    count: rkc2's stage loop is data-dependent (a per-member stage count
+    would unmatch the in-loop halo exchanges), so it is rejected here —
+    use a member-only ensemble mesh (collective-free) for rkc2 sweeps.
+
+    mesh: a Mesh or an {axis: size} dict covering the SPATIAL axes only."""
     cfg = problem.cfg
+    if member_sync and cfg.method == "rkc2":
+        raise ValueError(
+            "rkc2 is unsupported on a composed member x spatial ensemble "
+            "mesh (data-dependent Chebyshev stage count breaks collective "
+            "lockstep); use a member-only ensemble mesh instead")
     model = problem.model
     kind = problem.geometry.kind
     touts = output_times(cfg)
@@ -386,15 +417,23 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
                                 forcing=problem.forcing)
                  if cfg.method == "ark324" else None)
 
-    fused = maybe_fused_shard_step(problem, mesh,
-                                   interpret=interpret_pallas,
-                                   pad_spec=pad_spec)
-    frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
-                                 interpret=interpret_pallas,
-                                 pad_spec=pad_spec)
-    fimex = maybe_fused_shard_imex(problem, mesh,
-                                   interpret=interpret_pallas,
-                                   pad_spec=pad_spec)
+    if member_sync:
+        # lockstep ensemble: XLA stepper only for now (the fused shard
+        # kernels are built/validated for whole-mesh spatial runs)
+        from crdmodel_tpu.parallel.mesh import AXIS_M
+        fused = frkc = fimex = None
+        sync_fn = lambda go: lax.pmax(go.astype(jnp.int32), AXIS_M) > 0
+    else:
+        fused = maybe_fused_shard_step(problem, mesh,
+                                       interpret=interpret_pallas,
+                                       pad_spec=pad_spec)
+        frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
+                                     interpret=interpret_pallas,
+                                     pad_spec=pad_spec)
+        fimex = maybe_fused_shard_imex(problem, mesh,
+                                       interpret=interpret_pallas,
+                                       pad_spec=pad_spec)
+        sync_fn = None
 
     def run_local(y0, params):
         reduce_fn = _make_reduce(params if padded else None)
@@ -427,11 +466,26 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
             rtol=cfg.rtol, atol=cfg.atol, method=cfg.method,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
             reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
-            rhs_split=rhs_split, step_mode=cfg.step_mode, **kw)
+            rhs_split=rhs_split, step_mode=cfg.step_mode, sync_fn=sync_fn,
+            **kw)
 
     _, param_specs = sharded_params(problem, pad_spec)
     if extra_param_specs:
         param_specs = {**param_specs, **extra_param_specs}
+    return run_local, param_specs, pad_spec, touts
+
+
+def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
+                               interpret_pallas: bool = False,
+                               extra_param_specs: Optional[dict] = None):
+    """Jitted (y0, params) -> (traj, stats) with everything under shard_map.
+
+    extra_param_specs: PartitionSpecs for additional (replicated or sharded)
+    keys the caller will add to params at call time — e.g. the sweep
+    driver's per-member "dscale" scalar (sweep.py::sweep_configs; only valid
+    on the XLA path, which sweeps force)."""
+    run_local, param_specs, _, touts = build_local_run(
+        problem, mesh, interpret_pallas, extra_param_specs)
     state_spec = P(None, AXIS_Y, AXIS_X)
     traj_spec = P(None, None, AXIS_Y, AXIS_X)
     stats_spec = jax.tree_util.tree_map(lambda _: P(), _stats_struct())

@@ -73,7 +73,7 @@ def output_times(cfg: SimConfig) -> np.ndarray:
     return touts
 
 
-def _pallas_eligible(problem) -> bool:
+def _pallas_eligible(problem, interpret: bool = False) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
@@ -87,6 +87,10 @@ def _pallas_eligible(problem) -> bool:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
         return False
+    if interpret:
+        # CPU-mesh tests: the Pallas interpreter runs only on explicit
+        # request (same policy as parallel/sharded._shard_kernel_eligible)
+        return cfg.use_pallas is True
     if cfg.use_pallas is False:
         return False
     if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
@@ -106,9 +110,25 @@ def make_simulation_fn(problem: Problem):
     automatically for large grids; anything else takes the XLA roll-based
     path (same numerics, validated bitwise on y_new in tests_tpu/). Compiled
     closures are cached on the Problem, so repeated calls don't recompile."""
-    cfg = problem.cfg
     if "batch_fn" in problem.cache:
         return problem.cache["batch_fn"]
+    run, touts = make_run_fn(problem)
+    problem.cache["batch_fn"] = (jax.jit(run), touts)
+    return problem.cache["batch_fn"]
+
+
+def make_run_fn(problem: Problem, interpret: bool = False):
+    """The UNJITTED end-to-end run(y0, params) -> (traj, stats) closure plus
+    its output times — the building block make_simulation_fn jits, exposed
+    so callers that embed the whole single-member program inside a larger
+    traced context (the ensemble sweep's shard_map over a 'member' device
+    axis, parallel/ensemble.py) can reuse the exact same kernel-selection
+    logic. interpret=True runs any selected Pallas kernels in the
+    interpreter (CPU-mesh tests; requires cfg.use_pallas=True)."""
+    cfg = problem.cfg
+    key = ("run_fn", interpret)
+    if key in problem.cache:
+        return problem.cache[key]
     touts = output_times(cfg)
 
     # the absorbing-boundary turn-off is a known RHS discontinuity in t;
@@ -124,11 +144,12 @@ def make_simulation_fn(problem: Problem):
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype),
                                 diffusion_field=problem.diffusion_field)
-        if _pallas_eligible(problem):
+        if _pallas_eligible(problem, interpret):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
                 frkc = pallas_rkc.build_fused_rkc_step(
-                    problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn)
+                    problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn,
+                    interpret=interpret)
 
     rhs_split = None
     fimex = None
@@ -141,26 +162,30 @@ def make_simulation_fn(problem: Problem):
                              jnp.dtype(cfg.dtype), split=True,
                              diffusion_field=problem.diffusion_field,
                              forcing=problem.forcing)
-        if _pallas_eligible(problem):
+        if _pallas_eligible(problem, interpret):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
                 fimex = pallas_imex.build_fused_imex_step(
-                    problem, jnp.dtype(cfg.dtype))
+                    problem, jnp.dtype(cfg.dtype), interpret=interpret)
 
     fused = None
     kstep = None
-    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(problem):
+    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(problem,
+                                                                 interpret):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
         if pallas_step.is_supported(problem, tableau, jnp.dtype(cfg.dtype)):
             fused = pallas_step.build_fused_step(problem, tableau,
-                                                 jnp.dtype(cfg.dtype))
+                                                 jnp.dtype(cfg.dtype),
+                                                 interpret=interpret)
             # speculative K-step mega-kernel: K frozen-h sub-steps per HBM
             # pass (opt-in via cfg.speculative_k; ops/pallas_kstep.py).
             # ARK_NORMAL mode never batches, so don't build the kernel
+            # (never in the interpreter: ensemble/serial sweeps disable
+            # speculation anyway — the kernel bakes beta)
             k = int(cfg.speculative_k)
-            if (k > 1 and cfg.step_mode == "tstop"
+            if (k > 1 and cfg.step_mode == "tstop" and not interpret
                     and pallas_kstep.is_kstep_supported(
                         problem, tableau, jnp.dtype(cfg.dtype), k)):
                 kstep = pallas_kstep.build_fused_kstep(
@@ -209,8 +234,8 @@ def make_simulation_fn(problem: Problem):
             spec_k=spec_k, rho_fn=rho_fn, rhs_split=rhs_split,
             step_mode=cfg.step_mode, **kw)
 
-    problem.cache["batch_fn"] = (jax.jit(run), touts)
-    return problem.cache["batch_fn"]
+    problem.cache[key] = (run, touts)
+    return problem.cache[key]
 
 
 def simulate(cfg: SimConfig, problem: Optional[Problem] = None,

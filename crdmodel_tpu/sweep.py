@@ -60,10 +60,17 @@ SWEEPABLE_FIELDS = ("beta", "diffusion", "wave_length", "wave_width",
                     "wave_inside", "ic_type", "rng_seed")
 
 
+def _is_ensemble_mesh(mesh) -> bool:
+    from crdmodel_tpu.parallel.ensemble import AXIS_M
+    return mesh is not None and AXIS_M in getattr(mesh, "axis_names", ())
+
+
 def _resolve_batch_mode(batch_mode: str, mesh=None, cfg=None) -> str:
     """"auto" picks per backend: "vmap" (jax.vmap over the whole run) off-
     TPU; on TPU "members" (small grids), "serial" (large grids and
-    spatially sharded sweeps).
+    spatially sharded sweeps). A mesh whose leading axis is 'member'
+    (parallel/ensemble.py) always takes "devices": members sharded across
+    devices, each running the full single-member program independently.
 
     Why three modes: XLA-TPU compile of jax.vmap over the whole adaptive
     loop nest is pathological (measured 2026-08-17: 267 s cold for a 10x40
@@ -84,7 +91,10 @@ def _resolve_batch_mode(batch_mode: str, mesh=None, cfg=None) -> str:
     kernel that the member-batched XLA loop cannot use (B=8 at 400x1600:
     members 2.42 s vs serial 0.96 s — batching LOSES 2.5x). See
     docs/PERF_NOTES.md "TPU-batched sweeps"."""
+    ens = _is_ensemble_mesh(mesh)
     if batch_mode == "auto":
+        if ens:
+            return "devices"
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
@@ -97,8 +107,15 @@ def _resolve_batch_mode(batch_mode: str, mesh=None, cfg=None) -> str:
         if cfg is not None and cfg.ny * cfg.nx >= PALLAS_AUTO_POINTS:
             return "serial"
         return "members"
-    if batch_mode not in ("vmap", "serial", "members"):
-        raise ValueError(f"batch_mode must be auto|vmap|serial|members, "
+    if batch_mode not in ("vmap", "serial", "members", "devices"):
+        raise ValueError(f"batch_mode must be auto|vmap|serial|members|"
+                         f"devices, got {batch_mode!r}")
+    if batch_mode == "devices" and not ens:
+        raise ValueError("batch_mode='devices' needs a mesh whose leading "
+                         "axis is 'member' (parallel/ensemble.py::"
+                         "make_ensemble_mesh)")
+    if batch_mode != "devices" and ens:
+        raise ValueError(f"a 'member' mesh implies batch_mode='devices'; "
                          f"got {batch_mode!r}")
     if batch_mode == "members" and mesh is not None:
         raise ValueError("batch_mode='members' folds the member axis into "
@@ -179,8 +196,12 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
     dscale = jnp.asarray([p.cfg.diffusion / cfg.diffusion for p in problems],
                          dtype)
     touts = output_times(cfg)
+    ensemble = _is_ensemble_mesh(mesh)
+    pad_spec = None
 
-    if mesh is not None:
+    if ensemble:
+        pass   # handled entirely in the "devices" dispatch below
+    elif mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
             make_sharded_simulation_fn, mesh_pad_spec, sharded_params)
         cfg_xla = dataclasses.replace(cfg, use_pallas=False)
@@ -270,6 +291,51 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
         traj = jnp.moveaxis(traj_t, 0, 1)
         stats = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1),
                                        stats_t)
+    elif mode == "devices":
+        # members sharded across devices (parallel/ensemble.py): each
+        # device (or spatial submesh) runs the full single-member program
+        # with per-member adaptive control and ZERO cross-member comms —
+        # member-only meshes get the fused Pallas kernels the batched
+        # paths cannot use
+        from crdmodel_tpu.parallel.ensemble import (make_ensemble_sweep_fn,
+                                                    member_axis_size)
+        m_shards = member_axis_size(mesh)
+        spatial_e = len(mesh.axis_names) > 1
+        if spatial_e:
+            # spatial submesh per member: XLA stepper (fused shard kernels
+            # not yet wired for runtime per-member b/dscale)
+            cfg_e = dataclasses.replace(cfg, use_pallas=False)
+        elif int(cfg.speculative_k) > 1:
+            # the K-step mega-kernel bakes beta/coefficients (see the
+            # serial branch below); plain fused kernels take runtime inputs
+            cfg_e = dataclasses.replace(cfg, speculative_k=0)
+        else:
+            cfg_e = cfg
+        prob_e = _cached(("problem", dataclasses.astuple(cfg_e)),
+                         lambda: build_problem(cfg_e))
+        run_e, _, pad_e = _cached(
+            ("ensemble", dataclasses.astuple(cfg_e), _mesh_key(mesh),
+             sweep_d),
+            lambda: make_ensemble_sweep_fn(prob_e, mesh, sweep_d=sweep_d))
+        y0s_e, b_e, ds_e = y0s, b_batch, dscale
+        if pad_e is not None:
+            y0s_e = jax.vmap(pad_e.pad_field)(y0s_e)
+            if b_e.ndim > 1:
+                b_e = jax.vmap(pad_e.pad_rows)(b_e)
+        nb = len(problems)
+        n_pad = -(-nb // m_shards) * m_shards
+        if n_pad != nb:
+            # member-axis padding: repeat the last member, results sliced
+            # back below (the duplicates burn their shard's idle time only)
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], n_pad - nb, axis=0)], axis=0)
+            y0s_e, b_e, ds_e = rep(y0s_e), rep(b_e), rep(ds_e)
+        traj, stats = run_e(y0s_e, b_e, ds_e)
+        if n_pad != nb:
+            traj = traj[:nb]
+            stats = jax.tree_util.tree_map(lambda x: x[:nb], stats)
+        if pad_e is not None:
+            traj = pad_e.unpad_field(traj)
     elif mesh is None and cfg.method not in ("rkc2", "ark324"):
         # serial via the production single-run driver: on TPU above the
         # fused threshold every member reuses ONE compiled fused Pallas
