@@ -24,9 +24,9 @@ from crdmodel_tpu.sweep import sweep_beta
 BETAS = [0.8, 0.9, 1.0, 1.1, 1.2, 1.3, 1.45, 1.6]
 
 
-def measure(cfg, label, mode):
-    cold = sweep_beta(cfg, BETAS, batch_mode=mode)
-    warm = sweep_beta(cfg, BETAS, batch_mode=mode)
+def measure(cfg, label, mode, mesh=None):
+    cold = sweep_beta(cfg, BETAS, mesh=mesh, batch_mode=mode)
+    warm = sweep_beta(cfg, BETAS, mesh=mesh, batch_mode=mode)
     ok = bool(np.all(np.asarray(warm.stats.status) == 0))
     print(json.dumps({
         "label": label, "mode": mode, "B": len(BETAS),
@@ -39,6 +39,8 @@ def measure(cfg, label, mode):
 
 
 def main():
+    from crdmodel_tpu.parallel.ensemble import make_ensemble_mesh
+
     cfg = config_from_ini("/root/reference/data/FHNmodelArgs.ini",
                           model="fhn", surface="torus")
     cfg = dataclasses.replace(cfg, vary_beta=0, beta=1.2, t_final=5.0,
@@ -47,6 +49,14 @@ def main():
     for label, c in (("small-100x400", small), ("canonical-400x1600", cfg)):
         for mode in ("members", "serial"):
             measure(c, label, mode)
+        # ensemble over however many devices exist (1 on this image: the
+        # on-device lax.map member fold in ONE dispatch — measured beating
+        # the host serial loop, docs/PERF_NOTES.md "Ensemble device-
+        # parallel sweeps"; on a real pod M devices scale it ~Mx)
+        import jax
+        m = min(len(jax.devices()), len(BETAS))
+        measure(c, f"{label}-ensemble-m{m}", "auto",
+                mesh=make_ensemble_mesh(m))
 
 
 if __name__ == "__main__":
