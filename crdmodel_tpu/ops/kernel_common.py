@@ -354,6 +354,13 @@ def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
             # pointwise on the local slices, so valid inside shard_map
             aE, aW, aN, _aS = coeffs
             coeffs = (0.5 * (aE - aW), 0.5 * (aE + aW), aN)
+        if "dscale" in params:
+            # per-member diffusion override (sweep.py): the laplacian is
+            # linear in the coefficients, so scaling the kernel's runtime
+            # coefficient inputs mirrors the XLA rhs's params["dscale"]
+            # exactly (same contract as ops/pallas_step.py::step_err)
+            ds = jnp.asarray(params["dscale"], dtype)
+            coeffs = tuple(ds * jnp.asarray(c, dtype) for c in coeffs)
         if kind == "torus":
             cs = []
             for c in coeffs:

@@ -417,23 +417,27 @@ def build_local_run(problem: Problem, mesh,
                                 forcing=problem.forcing)
                  if cfg.method == "ark324" else None)
 
+    fused = maybe_fused_shard_step(problem, mesh,
+                                   interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
+    fimex = maybe_fused_shard_imex(problem, mesh,
+                                   interpret=interpret_pallas,
+                                   pad_spec=pad_spec)
+    sync_fn = None
     if member_sync:
-        # lockstep ensemble: XLA stepper only for now (the fused shard
-        # kernels are built/validated for whole-mesh spatial runs)
+        # lockstep ensemble: the fused ERK/IMEX shard kernels are
+        # lockstep-safe (FIXED ppermute count per step: the splice
+        # transport and the in-kernel work don't depend on data). The
+        # fused RKC kernel is NOT (per-step halo-depth variant switch
+        # with different collective shapes per branch) — rkc2 is already
+        # rejected above for composed meshes.
         from crdmodel_tpu.parallel.mesh import AXIS_M
-        fused = frkc = fimex = None
+        frkc = None
         sync_fn = lambda go: lax.pmax(go.astype(jnp.int32), AXIS_M) > 0
     else:
-        fused = maybe_fused_shard_step(problem, mesh,
-                                       interpret=interpret_pallas,
-                                       pad_spec=pad_spec)
         frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                      interpret=interpret_pallas,
                                      pad_spec=pad_spec)
-        fimex = maybe_fused_shard_imex(problem, mesh,
-                                       interpret=interpret_pallas,
-                                       pad_spec=pad_spec)
-        sync_fn = None
 
     def run_local(y0, params):
         reduce_fn = _make_reduce(params if padded else None)

@@ -198,25 +198,32 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
     touts = output_times(cfg)
     ensemble = _is_ensemble_mesh(mesh)
     pad_spec = None
+    mode = _resolve_batch_mode(batch_mode, mesh, cfg)
 
     if ensemble:
         pass   # handled entirely in the "devices" dispatch below
     elif mesh is not None:
         from crdmodel_tpu.parallel.sharded import (
             make_sharded_simulation_fn, mesh_pad_spec, sharded_params)
-        cfg_xla = dataclasses.replace(cfg, use_pallas=False)
-        base_xla = _cached(("problem", dataclasses.astuple(cfg_xla)),
-                           lambda: build_problem(cfg_xla))
+        # serial mode runs one member per dispatch, so the fused shard
+        # kernels apply (per-member beta/diffusion ride prepare_params'
+        # runtime _fused_b/_fused_coeffs inputs, ops/kernel_common.py);
+        # vmap mode must force the XLA stepper (no Pallas batching rule)
+        cfg_sh = (cfg if mode == "serial"
+                  else dataclasses.replace(cfg, use_pallas=False))
+        base_sh = _cached(("problem", dataclasses.astuple(cfg_sh)),
+                          lambda: build_problem(cfg_sh))
         extra = None
         if sweep_d:
             from jax.sharding import PartitionSpec as P
             extra = {"dscale": P()}
         run_sharded = _cached(
-            ("sharded_run", ckey, _mesh_key(mesh), sweep_d),
+            ("sharded_run", dataclasses.astuple(cfg_sh), _mesh_key(mesh),
+             sweep_d),
             lambda: make_sharded_simulation_fn(
-                base_xla, mesh, extra_param_specs=extra)[0])
+                base_sh, mesh, extra_param_specs=extra)[0])
         pad_spec = mesh_pad_spec(cfg, mesh)
-        params0, _ = sharded_params(base_xla, pad_spec)
+        params0, _ = sharded_params(base_sh, pad_spec)
         if pad_spec is not None:
             # uneven grid: member states (and any 2-D ramp field) padded to
             # the mesh-divisible shape; trajectories unpadded below
@@ -256,7 +263,6 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                 rhs_split=rhs_split, rho_fn=rho_fn,
                 step_mode=cfg.step_mode)
 
-    mode = _resolve_batch_mode(batch_mode, mesh, cfg)
     if mode == "members" and cfg.step_mode != "tstop" and batch_mode == "auto":
         mode = "serial"   # ARK_NORMAL members not foldable; keep auto working
     t0 = time.perf_counter()
@@ -301,15 +307,14 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                                                     member_axis_size)
         m_shards = member_axis_size(mesh)
         spatial_e = len(mesh.axis_names) > 1
-        if spatial_e:
-            # spatial submesh per member: XLA stepper (fused shard kernels
-            # not yet wired for runtime per-member b/dscale)
-            cfg_e = dataclasses.replace(cfg, use_pallas=False)
-        elif int(cfg.speculative_k) > 1:
+        if not spatial_e and int(cfg.speculative_k) > 1:
             # the K-step mega-kernel bakes beta/coefficients (see the
             # serial branch below); plain fused kernels take runtime inputs
             cfg_e = dataclasses.replace(cfg, speculative_k=0)
         else:
+            # composed meshes included: the fused ERK/IMEX shard kernels
+            # are lockstep-safe and take runtime per-member b/dscale
+            # (parallel/sharded.py::build_local_run member_sync)
             cfg_e = cfg
         prob_e = _cached(("problem", dataclasses.astuple(cfg_e)),
                          lambda: build_problem(cfg_e))
@@ -402,13 +407,16 @@ def sweep_beta(cfg: SimConfig, betas: Sequence[float],
     background steady state depends on beta (src/FHNmodel_torus.cpp:240-244,
     src/GoldbeterModel_torus.cpp:253-261).
 
-    mesh: optional jax.sharding.Mesh — the pod-scale combination from
-    BASELINE.json: each sweep member's grid is spatially sharded over the
-    ('py','px') device mesh (ppermute halos, psum'd error control) while the
-    batch axis runs over members; per-member adaptive step control is
-    preserved. The sharded program always takes the XLA stepper: vmap of the
-    fused kernels is UNSUPPORTED by the Pallas TPU batching rule (measured
-    2026-08-16: rejects the HBM-resident state input).
+    mesh: optional jax.sharding.Mesh — the pod-scale combinations from
+    BASELINE.json. A ('py','px') mesh spatially shards each member's grid
+    (ppermute halos, psum'd error control) with members batched on top;
+    a mesh whose leading axis is 'member' (parallel/ensemble.py) shards
+    the MEMBERS across devices instead, optionally composing both. The
+    vmap-over-shard_map combination forces the XLA stepper (vmap of the
+    fused kernels is UNSUPPORTED by the Pallas TPU batching rule, measured
+    2026-08-16: rejects the HBM-resident state input); the serial and
+    ensemble paths run the fused shard kernels with per-member beta/
+    diffusion as runtime inputs (ops/kernel_common.py::prepare_params).
 
     Thin wrapper over sweep_configs (one override dict per beta).
     """

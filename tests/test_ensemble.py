@@ -202,6 +202,52 @@ def test_fused_interpreter_member_only():
                               np.asarray(stats1.steps))
 
 
+def test_fused_shard_kernels_composed_ensemble():
+    # composed member x spatial mesh with the fused shard step kernel
+    # (interpreter): lockstep-safe (fixed ppermute count per step), with
+    # per-member beta AND diffusion riding prepare_params' runtime
+    # _fused_b/_fused_coeffs inputs (ops/kernel_common.py dscale scaling).
+    # Oracle: the same fused kernel on a plain 2x2 spatial mesh, one
+    # member at a time.
+    import jax.numpy as jnp
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (make_sharded_simulation_fn,
+                                               sharded_params)
+    from jax.sharding import PartitionSpec as P
+
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=16,
+                    surface_width=20, surface_length=40, t_final=0.5,
+                    output_timestep=2, beta=1.25, dtype="float32",
+                    use_pallas=True, rtol=1e-4, atol=1e-7)
+    problem = build_problem(cfg)
+    members = [(1.1, 1.0), (1.3, 2.0)]   # (beta, dscale)
+    probs = [build_problem(dataclasses.replace(cfg, beta=b))
+             for b, _ in members]
+    y0s = jnp.stack([p.y0 for p in probs])
+    b = jnp.asarray([m[0] for m in members], jnp.float32)
+    ds = jnp.asarray([m[1] for m in members], jnp.float32)
+
+    emesh = make_ensemble_mesh(2, spatial_shape=(2, 2))
+    run_e, _, _ = make_ensemble_sweep_fn(problem, emesh, sweep_d=True,
+                                         interpret=True)
+    traj_e, stats_e = run_e(y0s, b, ds)
+
+    smesh = make_mesh(shape=(2, 2))
+    params0, _ = sharded_params(problem)
+    run1, _ = make_sharded_simulation_fn(problem, smesh,
+                                         interpret_pallas=True,
+                                         extra_param_specs={"dscale": P()})
+    for i, (bi, di) in enumerate(members):
+        traj1, stats1 = run1(probs[i].y0,
+                             {**params0, "b": jnp.asarray(bi, jnp.float32),
+                              "dscale": jnp.asarray(di, jnp.float32)})
+        np.testing.assert_allclose(np.asarray(traj_e[i]),
+                                   np.asarray(traj1), rtol=0, atol=2e-6)
+        assert np.array_equal(np.asarray(stats_e.steps[i]),
+                              np.asarray(stats1.steps))
+
+
 def test_cli_ensemble_sweep(tmp_path):
     from crdmodel_tpu.cli import main
     ini = tmp_path / "s.ini"
