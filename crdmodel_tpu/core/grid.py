@@ -136,6 +136,49 @@ class FlatGeometry:
         aS = Ds * inv_dy2
         return aE, aW, aN, aS
 
+    def tensor_coeffs64(self, dxx, dyy, dxy):
+        """Coefficients of the anisotropic conservative operator
+        div(D grad u), D = [[Dxx, Dxy], [Dxy, Dyy]] an SPD tensor field
+        (fiber anisotropy — e.g. cardiac conduction, where the
+        along-fiber diffusivity exceeds cross-fiber severalfold; the
+        reference is isotropic-only).
+
+        Discretisation (all second-order, periodic):
+          axis terms    face-averaged flux form (divergence_coeffs64
+                        structure): aE(uE-u) + aW(uW-u) + aN(uN-u) + aS(uS-u)
+          mixed terms   Ax(Dxy * Ay u) + Ay(Dxy * Ax u) with Ax/Ay the
+                        centred first differences. Since Ax^T = -Ax and
+                        Ay^T = -Ay (periodic), the mixed sum is exactly
+                        SYMMETRIC, and 1^T Ax = 0 makes it exactly
+                        CONSERVATIVE — both hold to rounding for any
+                        Dxy(x, y) (tests/test_anisotropic.py).
+
+        Monotonicity caveat (standard for centred mixed terms): for
+        anisotropy ratios where |Dxy| approaches sqrt(Dxx*Dyy) the stencil
+        can produce small new extrema; SPD is validated at build time.
+
+        Returns (face_coeffs(aE, aW, aN, aS), dxy_full (ny, nx), inv4)
+        with inv4 = 1/(4 dx dy) — the mixed-term weight."""
+        g = self.grid
+        shape = (g.ny, g.nx)
+        Dxx = np.broadcast_to(np.asarray(dxx, np.float64), shape)
+        Dyy = np.broadcast_to(np.asarray(dyy, np.float64), shape)
+        Dxy = np.broadcast_to(np.asarray(dxy, np.float64), shape)
+        if not (np.all(Dxx > 0.0) and np.all(Dyy > 0.0)
+                and np.all(Dxx * Dyy - Dxy * Dxy >= -1e-14 * Dxx * Dyy)):
+            raise ValueError("diffusion_tensor must be SPD pointwise "
+                             "(Dxx>0, Dyy>0, Dxx*Dyy >= Dxy^2)")
+        De = 0.5 * (Dxx + np.roll(Dxx, -1, axis=-1))
+        Dn = 0.5 * (Dyy + np.roll(Dyy, -1, axis=-2))
+        inv_dx2 = 1.0 / np.float64(g.dx) ** 2
+        inv_dy2 = 1.0 / np.float64(g.dy) ** 2
+        aE = De * inv_dx2
+        aW = np.roll(aE, 1, axis=-1)
+        aN = Dn * inv_dy2
+        aS = np.roll(aN, 1, axis=-2)
+        inv4 = 1.0 / (4.0 * np.float64(g.dx) * np.float64(g.dy))
+        return (aE, aW, aN, aS), Dxy, inv4
+
 
 @dataclasses.dataclass(frozen=True)
 class TorusGeometry:

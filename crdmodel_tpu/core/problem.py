@@ -30,7 +30,8 @@ import numpy as np
 from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.grid import Grid, Geometry, make_geometry
 from crdmodel_tpu.models.base import ReactionModel, get_model
-from crdmodel_tpu.ops.stencil import (divergence_laplacian, flat_laplacian,
+from crdmodel_tpu.ops.stencil import (anisotropic_laplacian,
+                                      divergence_laplacian, flat_laplacian,
                                       torus_laplacian)
 
 
@@ -49,6 +50,12 @@ class Problem:
     # Kept on the Problem so the sharded drivers and kernel-eligibility
     # gates can see it (fused kernels fall back to XLA for field diffusion).
     diffusion_field: object = None
+    # anisotropic diffusion tensor (Dxx, Dyy, Dxy) — float64 numpy arrays
+    # broadcastable to (ny, nx); flat surface only. Switches the operator
+    # to the conservative 9-point anisotropic form
+    # (ops/stencil.py::anisotropic_laplacian). Mutually exclusive with
+    # diffusion_field/coupling; fused kernels decline (XLA path).
+    diffusion_tensor: object = None
     # optional time-dependent forcing term forcing(t, state, params) ->
     # dstate, added to the RHS after kinetics+diffusion (and masked by the
     # boundary freeze like everything else). This is the framework's door
@@ -244,7 +251,8 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
 
 
 def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
-             split: bool = False, diffusion_field=None, forcing=None):
+             split: bool = False, diffusion_field=None, forcing=None,
+             diffusion_tensor=None):
     """Build rhs(t, state, params) for the full (unsharded) grid.
 
     split=True returns (rhs_ex, rhs_im) — the explicit (diffusion) and
@@ -256,8 +264,22 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
     diffusion_field: optional D(x) array (broadcastable to (ny, nx)) — the
     operator switches to the conservative flux form
     (ops/stencil.py::divergence_laplacian); diffusion_ratios still scale
-    per-variable."""
-    if diffusion_field is not None:
+    per-variable.
+
+    diffusion_tensor: optional (Dxx, Dyy, Dxy) SPD tensor field — the
+    anisotropic conservative 9-point operator
+    (ops/stencil.py::anisotropic_laplacian; flat surface only)."""
+    if diffusion_tensor is not None:
+        face_t, dxy_np, inv4 = geometry.tensor_coeffs64(*diffusion_tensor)
+        face_t = tuple(jnp.asarray(a, dtype) for a in face_t)
+        dxy_c = jnp.asarray(dxy_np, dtype)
+        inv4_c = jnp.asarray(inv4, dtype)
+
+        def lap(u, _):
+            return anisotropic_laplacian(u, face_t, dxy_c, inv4_c)
+
+        coeffs = None
+    elif diffusion_field is not None:
         face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype)
 
         def lap(u, _):
@@ -354,7 +376,8 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
-                   dtype, max_reduce=None, diffusion_field=None):
+                   dtype, max_reduce=None, diffusion_field=None,
+                   diffusion_tensor=None):
     """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
     integrator: static Gershgorin bound of the diffusion operator (variable
     0 only) + the model's pointwise kinetics Jacobian bound over the grid.
@@ -368,7 +391,16 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     max_reduce: optional scalar max-reduction applied to the kinetics bound
     (under shard_map: lambda x: lax.pmax(x, axes) so every device agrees on
     the stage count)."""
-    if diffusion_field is not None:
+    if diffusion_tensor is not None:
+        # anisotropic: axis part as the divergence bound below; the mixed
+        # terms have zero diagonal and 8 off-diagonal entries of magnitude
+        # <= max|Dxy|/(4 dx dy) per row, adding 2 * max|Dxy|/(dx dy) to
+        # the Gershgorin radius (safe over-bound)
+        (aE, aW, aN, aS), dxy_np, inv4 = \
+            geometry.tensor_coeffs64(*diffusion_tensor)
+        rho_diff = float(2.0 * np.max(aE + aW + aN + aS)
+                         + 8.0 * inv4 * np.max(np.abs(dxy_np)))
+    elif diffusion_field is not None:
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
         aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field)
@@ -402,19 +434,40 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
 
 
 def build_problem(cfg: SimConfig, diffusion_field=None,
-                  forcing=None) -> Problem:
+                  forcing=None, diffusion_tensor=None) -> Problem:
     """diffusion_field: optional absolute D(x) array (scalar/(nx,)/(ny,nx))
     switching diffusion to the conservative variable-coefficient operator;
     when omitted, cfg.coupling may imply one (diffusion_field_from_cfg).
 
+    diffusion_tensor: optional (Dxx, Dyy, Dxy) — anisotropic SPD tensor
+    field (each entry scalar or broadcastable to (ny, nx)), flat surface
+    only; mutually exclusive with diffusion_field/coupling. cfg.diffusion
+    is ignored (the tensor carries the absolute diffusivities).
+
     forcing: optional forcing(t, state, params) -> dstate (see Problem).
-    NOTE: API-injected fields/forcing are not part of the checkpoint
-    config fingerprint (io/checkpoint.py covers cfg-derived physics only) —
-    resuming with a different injected term is the caller's contract."""
+    NOTE: API-injected fields/tensors/forcing are not part of the
+    checkpoint config fingerprint (io/checkpoint.py covers cfg-derived
+    physics only) — resuming with a different injected term is the
+    caller's contract."""
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)
     model = get_model(cfg.model)
     geometry = make_geometry(cfg)
+    if diffusion_tensor is not None:
+        if diffusion_field is not None or cfg.coupling != "none":
+            raise ValueError("diffusion_tensor is mutually exclusive with "
+                             "diffusion_field / coupling")
+        if geometry.kind != "flat":
+            raise ValueError("diffusion_tensor needs surface='flat' (the "
+                             "torus metric couples to the tensor; "
+                             "unsupported)")
+        if len(diffusion_tensor) != 3:
+            raise ValueError("diffusion_tensor must be (Dxx, Dyy, Dxy)")
+        diffusion_tensor = tuple(
+            np.asarray(c, dtype=np.float64) for c in diffusion_tensor)
+        # SPD validation happens in tensor_coeffs64; build them once here
+        # so bad tensors fail at build time, not first step
+        geometry.tensor_coeffs64(*diffusion_tensor)
     if diffusion_field is None:
         diffusion_field = diffusion_field_from_cfg(cfg, geometry)
     else:
@@ -430,8 +483,10 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
     steady = model.steady_state(cfg.beta)
     y0 = initial_state(cfg, model, steady, dtype)
     rhs = make_rhs(cfg, model, geometry, dtype,
-                   diffusion_field=diffusion_field, forcing=forcing)
+                   diffusion_field=diffusion_field, forcing=forcing,
+                   diffusion_tensor=diffusion_tensor)
     params = {"b": beta_field(cfg, dtype)}
     return Problem(cfg=cfg, model=model, geometry=geometry, rhs=rhs,
                    y0=y0, params=params, steady_state=steady,
-                   diffusion_field=diffusion_field, forcing=forcing)
+                   diffusion_field=diffusion_field, forcing=forcing,
+                   diffusion_tensor=diffusion_tensor)

@@ -99,6 +99,44 @@ def divergence_from_padded(up, face_coeffs):
             + aN * (un - u) + aS * (us - u))
 
 
+def anisotropic_laplacian(u, face_coeffs, dxy, inv4):
+    """Conservative anisotropic diffusion div(D grad u) on the flat
+    periodic rectangle, D = [[Dxx, Dxy], [Dxy, Dyy]] (grid.py::
+    FlatGeometry.tensor_coeffs64 — axis terms in face-flux form, mixed
+    terms as the symmetric Ax(Dxy Ay u) + Ay(Dxy Ax u) with centred
+    differences, exactly conservative + self-adjoint; 9-point stencil).
+
+    Beyond-reference capability: fiber anisotropy (cardiac conduction
+    with along- vs cross-fiber diffusivity; the reference is
+    isotropic-only)."""
+    axis = divergence_laplacian(u, face_coeffs)
+    un, us = shift_n(u), shift_s(u)
+    dys = un - us                               # 2 dy * (d u / dy)_ij
+    fx = dxy * dys                              # Dxy_ij * ...
+    t1 = shift_e(fx) - shift_w(fx)              # 2 dx * d/dx (Dxy u_y)
+    dxs = shift_e(u) - shift_w(u)
+    fy = dxy * dxs
+    t2 = shift_n(fy) - shift_s(fy)
+    return axis + inv4 * (t1 + t2)
+
+
+def anisotropic_from_padded(up, face_coeffs, dxy_p, inv4):
+    """anisotropic_laplacian over an explicitly haloed block (..., nyl+2,
+    nxl+2). The mixed terms read the CORNER halo cells — the two-phase
+    ppermute exchange fills them with the true diagonal neighbours
+    (parallel/halo.py module docstring). dxy_p is the (nyl+2, nxl+2)
+    haloed Dxy block: the fluxes Dxy*(du) are formed at neighbour points,
+    so Dxy itself needs the same 1-ring halo as the state."""
+    axis = divergence_from_padded(up, face_coeffs)
+    dys = up[..., 2:, :] - up[..., 0:-2, :]     # rows j+1 - j-1, all cols
+    fx = dxy_p[..., 1:-1, :] * dys
+    t1 = fx[..., :, 2:] - fx[..., :, 0:-2]
+    dxs = up[..., :, 2:] - up[..., :, 0:-2]
+    fy = dxy_p[..., :, 1:-1] * dxs
+    t2 = fy[..., 2:, :] - fy[..., 0:-2, :]
+    return axis + inv4 * (t1 + t2)
+
+
 def laplacian_from_padded(up, coeffs, kind):
     """Stencil over an explicitly haloed block up of shape (..., nyl+2, nxl+2).
 

@@ -39,7 +39,8 @@ from crdmodel_tpu.sim import SimResult, output_times
 
 
 def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
-                   pad_spec=None, divergence: bool = False, forcing=None):
+                   pad_spec=None, divergence: bool = False, forcing=None,
+                   tensor_inv4=None):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
@@ -50,6 +51,9 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
       params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
       params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
       params["valid"]: (nyp, nxp) bool, False on pad cells (padded grids)
+      params["_dxy_pad"]: haloed Dxy block — anisotropic tensor diffusion
+        only (tensor_inv4 = the mixed-term weight 1/(4 dx dy); the caller
+        halo-pads params["dxy"] ONCE per dispatch, outside the loop)
 
     split=True returns (rhs_ex, rhs_im) for the ark324 IMEX integrator: the
     implicit (reaction) part is pointwise — NO halo exchange, so the whole
@@ -75,7 +79,12 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
             if v in dvars:
                 r = ratios[dvars.index(v)]
                 up = halo_pad(state[v], seam_y=seam_y, seam_x=seam_x)
-                if divergence:
+                if tensor_inv4 is not None:
+                    from crdmodel_tpu.ops.stencil import \
+                        anisotropic_from_padded
+                    term = anisotropic_from_padded(
+                        up, coeffs, params["_dxy_pad"], tensor_inv4)
+                elif divergence:
                     term = divergence_from_padded(up, coeffs)
                 else:
                     term = laplacian_from_padded(up, coeffs, kind)
@@ -164,7 +173,19 @@ def sharded_params(problem: Problem, pad_spec=None):
     cfg = problem.cfg
     dtype = jnp.dtype(cfg.dtype)
     padded = pad_spec is not None and pad_spec.active
-    if problem.diffusion_field is not None:
+    dxy = None
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        if padded:
+            raise ValueError(
+                "anisotropic diffusion_tensor needs an evenly-dividing "
+                "grid on this mesh: the 9-point mixed terms read corner "
+                "halo cells, which the pad-and-mask seam repair does not "
+                "fix (parallel/halo.py::_seam_fix)")
+        face_t, dxy_np, _ = problem.geometry.tensor_coeffs64(
+            *problem.diffusion_tensor)
+        coeffs = tuple(jnp.asarray(a, dtype) for a in face_t)
+        dxy = jnp.asarray(dxy_np, dtype)
+    elif problem.diffusion_field is not None:
         # conservative variable-coefficient operator: coeffs are the four
         # face arrays, (nx,) for x-only D fields or (ny, nx) for full fields
         coeffs = problem.geometry.divergence_coeffs(
@@ -199,6 +220,9 @@ def sharded_params(problem: Problem, pad_spec=None):
     interior[cfg.ny - 1, 0] = False   # last PHYSICAL row, not last array row
     params = {"coeffs": coeffs, "b": b, "interior": jnp.asarray(interior)}
     specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
+    if dxy is not None:
+        params["dxy"] = dxy
+        specs["dxy"] = P(AXIS_Y, AXIS_X)
     if padded:
         params["valid"] = jnp.asarray(pad_spec.valid_mask())
         specs["valid"] = P(AXIS_Y, AXIS_X)
@@ -249,6 +273,8 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
@@ -278,6 +304,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
@@ -305,6 +333,8 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
@@ -390,9 +420,14 @@ def build_local_run(problem: Problem, mesh,
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
     divergence = problem.diffusion_field is not None
+    tensor = getattr(problem, "diffusion_tensor", None)
+    tensor_inv4 = None
+    if tensor is not None:
+        tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
-                               forcing=problem.forcing)
+                               forcing=problem.forcing,
+                               tensor_inv4=tensor_inv4)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = model.nvars * cfg.ny * cfg.nx
@@ -408,13 +443,15 @@ def build_local_run(problem: Problem, mesh,
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
-            diffusion_field=problem.diffusion_field)
+            diffusion_field=problem.diffusion_field,
+            diffusion_tensor=tensor)
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
     rhs_split = (make_local_rhs(cfg, model, kind, split=True,
                                 pad_spec=pad_spec, divergence=divergence,
-                                forcing=problem.forcing)
+                                forcing=problem.forcing,
+                                tensor_inv4=tensor_inv4)
                  if cfg.method == "ark324" else None)
 
     fused = maybe_fused_shard_step(problem, mesh,
@@ -443,6 +480,10 @@ def build_local_run(problem: Problem, mesh,
         reduce_fn = _make_reduce(params if padded else None)
         kw = {}
         params_run = params
+        if tensor is not None:
+            # one ring exchange per DISPATCH (not per RHS eval): Dxy is
+            # static, only its halo view is mesh-local
+            params_run = {**params, "_dxy_pad": halo_pad(params["dxy"])}
         if fused is not None:
             params_run = fused.prepare_params(params)
             kw = dict(
@@ -535,11 +576,21 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
     divergence = problem.diffusion_field is not None
+    tensor = getattr(problem, "diffusion_tensor", None)
+    tensor_inv4 = None
+    if tensor is not None:
+        tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
-                               forcing=problem.forcing)
+                               forcing=problem.forcing,
+                               tensor_inv4=tensor_inv4)
     global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
+
+    def tensor_params(p):
+        if tensor is None:
+            return p
+        return {**p, "_dxy_pad": halo_pad(p["dxy"])}
 
     rho_fn = None
     if cfg.method == "rkc2":
@@ -547,7 +598,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         rho_fn = make_rho_bound(
             cfg, model, problem.geometry, dtype,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
-            diffusion_field=problem.diffusion_field)
+            diffusion_field=problem.diffusion_field,
+            diffusion_tensor=tensor)
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
@@ -579,7 +631,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         rhs_split = (make_local_rhs(cfg, model, kind, split=True,
                                     pad_spec=pad_spec,
                                     divergence=divergence,
-                                    forcing=problem.forcing)
+                                    forcing=problem.forcing,
+                                    tensor_inv4=tensor_inv4)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)
@@ -592,7 +645,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
 
     def one_interval_local(t, y, h, errp, status, tout, first, params):
         reduce_fn = _make_reduce(params if padded else None)
-        p = {**params, "_seg_end": tout}
+        p = {**tensor_params(params), "_seg_end": tout}
         if kernel is not None:
             p = kernel.prepare_params(p)
             y = kernel.pad(y)
@@ -618,7 +671,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         reduce_fn = _make_reduce(params if padded else None)
         t0 = jnp.asarray(0.0, dtype)
         tout0 = params["_h0_tout"]
-        p = {**{k: v for k, v in params.items() if k != "_h0_tout"},
+        p = {**tensor_params({k: v for k, v in params.items()
+                              if k != "_h0_tout"}),
              "_seg_end": tout0}
         f0 = local_rhs(t0, y, p)
         return _initial_step(local_rhs, t0, y, f0, p, tout0,
@@ -645,7 +699,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         def one_free_local(t, y, h, errp, status, tout, first,
                            br_t, br_y, cap, params):
             reduce_fn = _make_reduce(params if padded else None)
-            p = {**params, "_seg_end": tout}
+            p = {**tensor_params(params), "_seg_end": tout}
             if kernel is not None:
                 p = kernel.prepare_params(p)
                 y = kernel.pad(y)
@@ -673,7 +727,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         ))
 
         def snap_local(br_t, br_y, t, y, tout, params):
-            p = {**params, "_seg_end": tout}
+            p = {**tensor_params(params), "_seg_end": tout}
             return hermite_interpolate(local_rhs, br_t, br_y, t, y, tout, p)
 
         snap_at = jax.jit(jax.shard_map(

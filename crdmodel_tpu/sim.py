@@ -87,6 +87,10 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
         return False
+    if problem.diffusion_tensor is not None:
+        # anisotropic 9-point operator: XLA path only (the kernels
+        # implement the 5-point axis stencils)
+        return False
     if interpret:
         # CPU-mesh tests: the Pallas interpreter runs only on explicit
         # request (same policy as parallel/sharded._shard_kernel_eligible)
@@ -143,7 +147,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype),
-                                diffusion_field=problem.diffusion_field)
+                                diffusion_field=problem.diffusion_field,
+                                diffusion_tensor=problem.diffusion_tensor)
         if _pallas_eligible(problem, interpret):
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
@@ -161,7 +166,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         rhs_split = make_rhs(cfg, problem.model, problem.geometry,
                              jnp.dtype(cfg.dtype), split=True,
                              diffusion_field=problem.diffusion_field,
-                             forcing=problem.forcing)
+                             forcing=problem.forcing,
+                             diffusion_tensor=problem.diffusion_tensor)
         if _pallas_eligible(problem, interpret):
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
@@ -365,7 +371,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         from crdmodel_tpu.core.problem import make_rho_bound
         from crdmodel_tpu.integrate import rkc
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype,
-                                diffusion_field=problem.diffusion_field)
+                                diffusion_field=problem.diffusion_field,
+                                diffusion_tensor=problem.diffusion_tensor)
         err_order = rkc.ERR_ORDER
         frkc = None
         if _pallas_eligible(problem):
@@ -399,7 +406,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             rhs_ex, rhs_im = make_rhs(cfg, problem.model, problem.geometry,
                                       dtype, split=True,
                                       diffusion_field=problem.diffusion_field,
-                                      forcing=problem.forcing)
+                                      forcing=problem.forcing,
+                                      diffusion_tensor=problem.diffusion_tensor)
             step_err, init_carry = imex.make_imex_step_err(
                 rhs_ex, rhs_im, cfg.rtol, cfg.atol)
     else:
