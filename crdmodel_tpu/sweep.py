@@ -267,6 +267,23 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
 
     if mode == "members" and cfg.step_mode != "tstop" and batch_mode == "auto":
         mode = "serial"   # ARK_NORMAL members not foldable; keep auto working
+    if mode == "serial" and mesh is None and batch_mode == "auto":
+        # auto upgrade: large-grid TPU sweeps fold members onto a member
+        # mesh over ALL devices — one dispatch instead of a host loop
+        # (measured: M=1 fold beats the host serial loop, 0.414 vs 0.438 s
+        # bs32 / 0.385 vs 0.459 s rkc2 warm at the canonical size; on a
+        # pod the members additionally spread across chips), and members
+        # run the SAME fused kernels as single simulate() calls (the
+        # serial run_one path is XLA-only for rkc2/ark324).
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from crdmodel_tpu.parallel.ensemble import make_ensemble_mesh
+            mesh = make_ensemble_mesh(
+                min(len(jax.devices()), len(overrides)))
+            mode = "devices"
     t0 = time.perf_counter()
     if mode == "vmap":
         run = _cached(("vmap", ckey, _mesh_key(mesh), sweep_d),
