@@ -87,10 +87,6 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
         return False
-    if problem.diffusion_tensor is not None:
-        # anisotropic 9-point operator: XLA path only (the kernels
-        # implement the 5-point axis stencils)
-        return False
     if interpret:
         # CPU-mesh tests: the Pallas interpreter runs only on explicit
         # request (same policy as parallel/sharded._shard_kernel_eligible)
@@ -149,7 +145,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                                 jnp.dtype(cfg.dtype),
                                 diffusion_field=problem.diffusion_field,
                                 diffusion_tensor=problem.diffusion_tensor)
-        if _pallas_eligible(problem, interpret):
+        if _pallas_eligible(problem, interpret) and \
+                problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
                 frkc = pallas_rkc.build_fused_rkc_step(
@@ -168,7 +165,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                              diffusion_field=problem.diffusion_field,
                              forcing=problem.forcing,
                              diffusion_tensor=problem.diffusion_tensor)
-        if _pallas_eligible(problem, interpret):
+        if _pallas_eligible(problem, interpret) and \
+                problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):
                 fimex = pallas_imex.build_fused_imex_step(
@@ -181,7 +179,17 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
-        if pallas_step.is_supported(problem, tableau, jnp.dtype(cfg.dtype)):
+        if problem.diffusion_tensor is not None:
+            # anisotropic tensor: the 9-point fused kernel
+            # (ops/pallas_aniso.py); no kstep (it bakes 5-point profiles)
+            from crdmodel_tpu.ops import pallas_aniso
+            if pallas_aniso.is_aniso_supported(problem, tableau,
+                                               jnp.dtype(cfg.dtype)):
+                fused = pallas_aniso.build_fused_aniso_step(
+                    problem, tableau, jnp.dtype(cfg.dtype),
+                    interpret=interpret)
+        elif pallas_step.is_supported(problem, tableau,
+                                      jnp.dtype(cfg.dtype)):
             fused = pallas_step.build_fused_step(problem, tableau,
                                                  jnp.dtype(cfg.dtype),
                                                  interpret=interpret)
@@ -375,7 +383,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                                 diffusion_tensor=problem.diffusion_tensor)
         err_order = rkc.ERR_ORDER
         frkc = None
-        if _pallas_eligible(problem):
+        if _pallas_eligible(problem) and problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_rkc
             if pallas_rkc.is_rkc_supported(problem, dtype):
                 frkc = pallas_rkc.build_fused_rkc_step(problem, dtype,
@@ -393,7 +401,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         from crdmodel_tpu.integrate import imex
         err_order = imex.ERR_ORDER
         fimex = None
-        if _pallas_eligible(problem):
+        if _pallas_eligible(problem) and problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, dtype):
                 fimex = pallas_imex.build_fused_imex_step(problem, dtype)
@@ -415,9 +423,16 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         err_order = tableau.err_order
         fused = None
         if _pallas_eligible(problem):
-            from crdmodel_tpu.ops import pallas_step
-            if pallas_step.is_supported(problem, tableau, dtype):
-                fused = pallas_step.build_fused_step(problem, tableau, dtype)
+            if problem.diffusion_tensor is not None:
+                from crdmodel_tpu.ops import pallas_aniso
+                if pallas_aniso.is_aniso_supported(problem, tableau, dtype):
+                    fused = pallas_aniso.build_fused_aniso_step(
+                        problem, tableau, dtype)
+            else:
+                from crdmodel_tpu.ops import pallas_step
+                if pallas_step.is_supported(problem, tableau, dtype):
+                    fused = pallas_step.build_fused_step(problem, tableau,
+                                                         dtype)
         if fused is not None:
             pad, unpad = fused.pad, fused.unpad
             step_err = lambda t, y, h, p, carry: (

@@ -200,6 +200,30 @@ def test_stiff_methods_with_tensor(method):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_fused_aniso_kernel_interpreter():
+    # the fused 9-point kernel (ops/pallas_aniso.py) against the XLA path:
+    # identical step counts, f32-rounding-level trajectories; exercises
+    # the per-strip coefficient windows, in-kernel aW/aS recovery, ramp-b
+    # rows and the freeze mask
+    from crdmodel_tpu.sim import make_run_fn
+
+    cfg = _cfg(dtype="float32", use_pallas=True, rtol=1e-4, atol=1e-7,
+               t_final=0.5, t_boundary=0.2, vary_beta=1,
+               beta_min=0.9, beta_max=1.5)
+    tensor = (0.3, 0.08, 0.1)
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.array_equal(np.asarray(sk.steps), np.asarray(sx.steps))
+    assert np.all(np.asarray(sk.status) == 0)
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=5e-6)
+
+
 def test_validation_errors():
     cfg = _cfg()
     with pytest.raises(ValueError, match="SPD"):
