@@ -721,17 +721,21 @@ def integrate_interval_kernel_batched(kcall, K, t0, y0, h_init, errs0, tout,
     return t, y, h, ep, (nstep + ns2, nacc + na2, nrej + nr2, status)
 
 
-def make_stepper(method, rhs, rtol, atol, rho_fn=None, rhs_split=None):
+def make_stepper(method, rhs, rtol, atol, rho_fn=None, rhs_split=None,
+                 stage_sync=None):
     """Resolve a method name to (step_err, init_carry, err_order) — the
     stepper protocol shared by erk tableaus, rkc2 and the ark324 IMEX pair.
 
     rhs_split: (f_ex, f_im) explicit/implicit parts summing to rhs, required
-    by method 'ark324' (core/problem.py::make_rhs(split=True))."""
+    by method 'ark324' (core/problem.py::make_rhs(split=True)).
+    stage_sync: rkc2 only — cross-shard stage-count max for collective
+    lockstep (rkc.make_rkc2_step_err)."""
     if method == "rkc2":
         from crdmodel_tpu.integrate import rkc
         if rho_fn is None:
             raise ValueError("method 'rkc2' needs rho_fn")
-        step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn, rtol, atol)
+        step_err, init_carry = rkc.make_rkc2_step_err(rhs, rho_fn, rtol, atol,
+                                                      stage_sync=stage_sync)
         return step_err, init_carry, rkc.ERR_ORDER
     if method == "ark324":
         from crdmodel_tpu.integrate import imex
@@ -773,7 +777,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          y_loop0=None, capture=None, spec_k=0, rho_fn=None,
                          kstep_call=None, h_limit_fn=None, rhs_split=None,
                          step_mode="tstop", err_order=None,
-                         n_members=0, params_axes=None, sync_fn=None):
+                         n_members=0, params_axes=None, sync_fn=None,
+                         stage_sync=None):
     """ARK_NORMAL-equivalent outer loop: integrate through each output time,
     emitting the solution at every tout (reference src/FHNmodel_torus.cpp:413-478).
 
@@ -831,7 +836,8 @@ def integrate_to_outputs(rhs, y0, params, t0, touts, *,
                          "with speculative K-step batching")
     if step_err is None:
         step_err, init_carry, err_order = make_stepper(
-            method, rhs, rtol, atol, rho_fn, rhs_split)
+            method, rhs, rtol, atol, rho_fn, rhs_split,
+            stage_sync=stage_sync)
     else:
         # caller-supplied steppers (fused kernels) should pass err_order
         # explicitly; the fallback covers the tableau name

@@ -73,8 +73,19 @@ def h_max_for(rho):
     return STAB_FACTOR * (S_MAX - 1) ** 2 / jnp.maximum(rho, 1e-30)
 
 
-def make_rkc2_step_err(rhs: Callable, rho_fn: Callable, rtol, atol):
-    """Returns (step_err, init_carry) with the erk stepper protocol."""
+def make_rkc2_step_err(rhs: Callable, rho_fn: Callable, rtol, atol,
+                       stage_sync=None):
+    """Returns (step_err, init_carry) with the erk stepper protocol.
+
+    stage_sync(s) -> s: optional cross-shard max on the per-step stage
+    count — the composed ensemble mesh (parallel/ensemble.py) runs
+    members in collective lockstep, and the stage fori_loop contains the
+    halo exchange, so every member must execute the SAME trip count.
+    Taking the max is always stable (the Chebyshev stability interval
+    grows with s) and stays second-order, but members forced above their
+    own requirement take a slightly different (equally valid) step than
+    they would solo — a documented divergence, like the fused kernel's
+    stage-budget h cap."""
 
     def init_carry(t, y, params):
         return rhs(t, y, params)
@@ -84,6 +95,8 @@ def make_rkc2_step_err(rhs: Callable, rho_fn: Callable, rtol, atol):
         one = jnp.asarray(1.0, dtype)
         rho = rho_fn(t, y, params).astype(dtype)
         s = choose_stages(h, rho)
+        if stage_sync is not None:
+            s = stage_sync(s)
         sf = s.astype(dtype)
         w0 = one + EPS_DAMP / (sf * sf)
         ts, dts, d2ts = _cheb_scalars(s, w0)

@@ -402,18 +402,17 @@ def build_local_run(problem: Problem, mesh,
     collectives, so divergent per-member trip counts would deadlock them —
     finished members instead spin through state-frozen no-op iterations
     until the slowest member finishes, preserving exact per-member step
-    sequences. Requires the XLA stepper with a STATIC per-step collective
-    count: rkc2's stage loop is data-dependent (a per-member stage count
-    would unmatch the in-loop halo exchanges), so it is rejected here —
-    use a member-only ensemble mesh (collective-free) for rkc2 sweeps.
+    sequences. Requires a MATCHED per-step collective count: rkc2's stage
+    loop (halo exchange per Chebyshev stage) is data-dependent, so its
+    stage count is additionally pmax'ed over the member axis
+    (rkc.make_rkc2_step_err stage_sync) — always stable, still 2nd order,
+    but members forced above their own stage requirement take a slightly
+    different (equally valid) step than they would solo, so rkc2 composed
+    sweeps match solo runs to integration tolerance rather than bitwise
+    (documented divergence; member-only meshes stay bitwise).
 
     mesh: a Mesh or an {axis: size} dict covering the SPATIAL axes only."""
     cfg = problem.cfg
-    if member_sync and cfg.method == "rkc2":
-        raise ValueError(
-            "rkc2 is unsupported on a composed member x spatial ensemble "
-            "mesh (data-dependent Chebyshev stage count breaks collective "
-            "lockstep); use a member-only ensemble mesh instead")
     model = problem.model
     kind = problem.geometry.kind
     touts = output_times(cfg)
@@ -461,16 +460,19 @@ def build_local_run(problem: Problem, mesh,
                                    interpret=interpret_pallas,
                                    pad_spec=pad_spec)
     sync_fn = None
+    stage_sync = None
     if member_sync:
         # lockstep ensemble: the fused ERK/IMEX shard kernels are
         # lockstep-safe (FIXED ppermute count per step: the splice
         # transport and the in-kernel work don't depend on data). The
         # fused RKC kernel is NOT (per-step halo-depth variant switch
-        # with different collective shapes per branch) — rkc2 is already
-        # rejected above for composed meshes.
+        # with different collective shapes per branch) — rkc2 takes the
+        # XLA path with a member-pmax'ed stage count instead (docstring).
         from crdmodel_tpu.parallel.mesh import AXIS_M
         frkc = None
         sync_fn = lambda go: lax.pmax(go.astype(jnp.int32), AXIS_M) > 0
+        if cfg.method == "rkc2":
+            stage_sync = lambda s: lax.pmax(s, AXIS_M)
     else:
         frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                      interpret=interpret_pallas,
@@ -512,7 +514,7 @@ def build_local_run(problem: Problem, mesh,
             max_steps=cfg.max_steps, breakpoints=breakpoints,
             reduce_fn=reduce_fn, global_size=global_size, rho_fn=rho_fn,
             rhs_split=rhs_split, step_mode=cfg.step_mode, sync_fn=sync_fn,
-            **kw)
+            stage_sync=stage_sync, **kw)
 
     _, param_specs = sharded_params(problem, pad_spec)
     if extra_param_specs:

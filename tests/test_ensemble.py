@@ -8,7 +8,9 @@ generalisation: members distributed over a 'member' mesh axis, each device
 Oracles: the vmapped sweep (bitwise-identical lockstep semantics,
 tests/test_sweep.py pins IT against individual runs) and individual
 simulate() runs. Composed member x spatial meshes run in collective
-lockstep — per-member step counts must still match separate runs exactly.
+lockstep — per-member step counts must still match separate runs exactly,
+EXCEPT composed rkc2, whose member-pmax'ed stage count is a documented
+divergence (integration-tolerance match; identical members stay exact).
 """
 
 import dataclasses
@@ -123,7 +125,7 @@ def test_normal_mode(mesh_kind):
     assert _stats_equal(ref.stats, res.stats)
 
 
-def test_rkc2_member_only_and_composed_rejection():
+def test_rkc2_member_only_bitwise():
     cfg = _cfg(method="rkc2")
     res = sweep_beta(cfg, BETAS6, mesh=make_ensemble_mesh(4))
     assert res.ok()
@@ -131,10 +133,42 @@ def test_rkc2_member_only_and_composed_rejection():
         single = simulate(dataclasses.replace(cfg, beta=b))
         np.testing.assert_array_equal(np.asarray(res.trajectories[i]),
                                       np.asarray(single.trajectory))
-    # the composed mesh cannot lockstep rkc2's data-dependent stage count
-    with pytest.raises(ValueError, match="rkc2"):
-        sweep_beta(cfg, BETAS6,
-                   mesh=make_ensemble_mesh(2, spatial_shape=(2, 2)))
+
+
+def test_rkc2_composed_identical_members_exact():
+    # identical members make the cross-member stage pmax an identity, so
+    # the composed run must reproduce the plain spatially-sharded program
+    # (and hence the solo step sequence) exactly
+    cfg = _cfg(method="rkc2")
+    betas = [1.2] * 2
+    res = sweep_beta(cfg, betas,
+                     mesh=make_ensemble_mesh(2, spatial_shape=(2, 2)))
+    assert res.ok()
+    single = simulate(dataclasses.replace(cfg, beta=1.2))
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(res.trajectories[i]),
+                                   np.asarray(single.trajectory),
+                                   rtol=0, atol=1e-12)
+        assert np.array_equal(np.asarray(res.stats.steps[i]),
+                              np.asarray(single.stats.steps))
+
+
+def test_rkc2_composed_stage_sync():
+    # heterogeneous members on the composed mesh: the Chebyshev stage
+    # count is pmax'ed over the member axis (collective lockstep), so a
+    # member forced above its solo stage requirement takes a different but
+    # equally valid step — solutions match solo runs to integration
+    # tolerance, never bitwise (documented divergence,
+    # parallel/sharded.py::build_local_run)
+    cfg = _cfg(method="rkc2")
+    res = sweep_beta(cfg, BETAS6,
+                     mesh=make_ensemble_mesh(2, spatial_shape=(2, 2)))
+    assert res.ok()
+    for i, b in enumerate(BETAS6):
+        single = simulate(dataclasses.replace(cfg, beta=b))
+        np.testing.assert_allclose(np.asarray(res.trajectories[i]),
+                                   np.asarray(single.trajectory),
+                                   rtol=0, atol=5e-4)
 
 
 @pytest.mark.parametrize("mesh_kind", ["member", "composed"])
