@@ -323,7 +323,8 @@ def cmd_tips(args):
         print("second-variable files not found — rerun the simulation "
               "with --set includeAllVars=1", file=sys.stderr)
         return 2
-    tipsets, tracks, origin = tips.track_spiral_tips(u, v)
+    tipsets, tracks, origin = tips.track_spiral_tips(
+        u, v, periodic=tips.periodic_axes(cfg))
     touts = np.linspace(0.0, cfg.t_final, u.shape[0])
     out = os.path.join(args.dir, f"{cfg.program_name}_tips.csv")
     tips.tips_to_csv(tipsets, touts, out, cfg=cfg)

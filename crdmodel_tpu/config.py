@@ -122,6 +122,17 @@ class SimConfig:
     # normalised so the theta-average diffusivity equals `diffusion`
     # (torus only). Arbitrary fields: build_problem(cfg, diffusion_field=A).
     coupling: str = "none"
+    # Domain boundary conditions (flat surface only; the torus is a closed
+    # surface). "periodic" = the reference's wrap (src/FHNmodel_flat.cpp:
+    # 489-566 with periods={1,1}); "noflux" / "noflux_x" / "noflux_y" close
+    # the corresponding domain edges with zero-flux (reflecting/Neumann)
+    # walls — the standard bounded-tissue setup (e.g. cardiac sheets).
+    # Implemented by zeroing the divergence-form face coefficients across
+    # closed faces (core/grid.py::face_openness): exactly conservative,
+    # self-adjoint, and free on the sharded paths (halo values at closed
+    # faces are multiplied by zero). Internal obstacles:
+    # build_problem(cfg, obstacle_mask=...).
+    boundary: str = "periodic"
 
     # ------------------------------------------------------------------
     # Derived geometry. Conventions reproduced exactly from the reference
@@ -214,6 +225,13 @@ class SimConfig:
             raise ValueError("coupling='curvature' needs surface='torus' "
                              "(the Kneer profile lives in toroidal "
                              "coordinates)")
+        if self.boundary not in ("periodic", "noflux", "noflux_x",
+                                 "noflux_y"):
+            raise ValueError(f"boundary must be periodic|noflux|noflux_x|"
+                             f"noflux_y, got {self.boundary!r}")
+        if self.boundary != "periodic" and self.surface != "flat":
+            raise ValueError("no-flux boundaries need surface='flat' "
+                             "(the torus is a closed surface)")
         return self
 
 

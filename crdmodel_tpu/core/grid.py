@@ -94,7 +94,7 @@ class FlatGeometry:
     def gaussian_curvature(self, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((self.grid.nx,), dtype=dtype)
 
-    def divergence_coeffs(self, dfield, dtype=jnp.float32):
+    def divergence_coeffs(self, dfield, dtype=jnp.float32, face_mask=None):
         """Face coefficients (aE, aW, aN, aS) of the conservative
         variable-coefficient operator div(D grad u) on the flat rectangle:
 
@@ -104,11 +104,14 @@ class FlatGeometry:
         conservative (sum_ij L u = 0) and self-adjoint by construction.
         dfield: absolute D values, scalar / (nx,) / (ny, nx). Computed in
         float64, cast once (setup-time, like stencil_coeffs).
+        face_mask: optional (oE, oW, oN, oS) openness masks
+        (face_openness) — closed faces (no-flux boundaries / obstacle
+        walls) zero the corresponding coefficients.
         """
         return tuple(jnp.asarray(a, dtype=dtype)
-                     for a in self.divergence_coeffs64(dfield))
+                     for a in self.divergence_coeffs64(dfield, face_mask))
 
-    def divergence_coeffs64(self, dfield):
+    def divergence_coeffs64(self, dfield, face_mask=None):
         """The face coefficients as float64 numpy (for the spectral-radius
         bound and the kernel profile remap, which stay in f64 until their
         own cast)."""
@@ -134,7 +137,7 @@ class FlatGeometry:
         aW = aW_of(aE)
         aN = Dn * inv_dy2
         aS = Ds * inv_dy2
-        return aE, aW, aN, aS
+        return _apply_face_mask((aE, aW, aN, aS), face_mask)
 
     def tensor_coeffs64(self, dxx, dyy, dxy):
         """Coefficients of the anisotropic conservative operator
@@ -235,7 +238,7 @@ class TorusGeometry:
         K = np.cos(th) / (self.r * (self.R + self.r * np.cos(th)))
         return jnp.asarray(K, dtype=dtype)
 
-    def divergence_coeffs(self, dfield, dtype=jnp.float32):
+    def divergence_coeffs(self, dfield, dtype=jnp.float32, face_mask=None):
         """Face coefficients (aE, aW, aN, aS) of the conservative
         variable-coefficient Laplace–Beltrami operator
         div(D grad u) = (1/sqrt(g)) d_a(sqrt(g) D g^ab d_b u) on the torus
@@ -255,11 +258,16 @@ class TorusGeometry:
         duplicated-seam convention (x_{nx-1}+dx/2, matching the roll-based
         stencil's treatment of the seam point as a real grid point).
         dfield: absolute D values, scalar / (nx,) / (ny, nx).
+        face_mask: optional openness masks (face_openness) — obstacle
+        walls on the torus (no-flux domain boundaries are flat-only: the
+        torus is closed). Masking the per-face coefficient keeps the
+        ring-weighted conservation exact (oW = roll(oE), so both sides of
+        a shared face close together).
         """
         return tuple(jnp.asarray(a, dtype=dtype)
-                     for a in self.divergence_coeffs64(dfield))
+                     for a in self.divergence_coeffs64(dfield, face_mask))
 
-    def divergence_coeffs64(self, dfield):
+    def divergence_coeffs64(self, dfield, face_mask=None):
         """Float64 numpy face coefficients (see FlatGeometry)."""
         g = self.grid
         th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
@@ -287,7 +295,7 @@ class TorusGeometry:
         aW = roll_x(flux_e) / ring
         aN = Dn * cy
         aS = Ds * cy
-        return aE, aW, aN, aS
+        return _apply_face_mask((aE, aW, aN, aS), face_mask)
 
     def row_weights(self) -> np.ndarray:
         """ring(th) = R + r cos th, shape (nx,): the sqrt(g)/r cell weight in
@@ -296,6 +304,55 @@ class TorusGeometry:
         g = self.grid
         th = g.xmin + np.arange(g.nx, dtype=np.float64) * g.dx
         return self.R + self.r * np.cos(th)
+
+
+def face_openness(ny: int, nx: int, boundary: str = "periodic",
+                  tissue=None):
+    """0/1 face-openness masks (oE, oW, oN, oS) for the divergence-form
+    operator, float64, or None when every face is open.
+
+    A closed face carries zero flux: multiplying the face coefficients of
+    div(D grad u) by these masks implements no-flux (reflecting / Neumann)
+    DOMAIN BOUNDARIES (boundary="noflux"/"noflux_x"/"noflux_y" closes the
+    corresponding domain edges) and internal OBSTACLE WALLS (tissue: bool
+    (ny, nx), True = active medium — every face touching a non-tissue cell
+    closes) exactly, as a zero-flux finite-volume condition. Conservation
+    and self-adjointness are preserved by construction: the masks satisfy
+    oW = roll_x(oE) and oS = roll_y(oN), so both sides of a shared face
+    close together. Beyond-reference capability (the reference is
+    periodic-only, src/FHNmodel_flat.cpp:489-566 with periods={1,1});
+    riding the face coefficients means the sharded paths need NO halo
+    changes — wrap/ppermute values at closed faces are multiplied by zero.
+
+    Shapes are kept minimal for broadcast against the (nx,)-profile face
+    coefficients: (nx,) for x-edge masks, (ny, 1) for y-edge masks,
+    (ny, nx) once a tissue mask is present.
+    """
+    if boundary == "periodic" and tissue is None:
+        return None
+    oE = np.ones(nx, dtype=np.float64)
+    oW = np.ones(nx, dtype=np.float64)
+    oN = np.ones((ny, 1), dtype=np.float64)
+    oS = np.ones((ny, 1), dtype=np.float64)
+    if boundary in ("noflux", "noflux_x"):
+        oE[-1] = 0.0
+        oW[0] = 0.0
+    if boundary in ("noflux", "noflux_y"):
+        oN[-1, 0] = 0.0
+        oS[0, 0] = 0.0
+    if tissue is not None:
+        T = np.broadcast_to(np.asarray(tissue, dtype=bool), (ny, nx))
+        oE = oE * (T & np.roll(T, -1, axis=-1))
+        oW = oW * (T & np.roll(T, 1, axis=-1))
+        oN = oN * (T & np.roll(T, -1, axis=-2))
+        oS = oS * (T & np.roll(T, 1, axis=-2))
+    return oE, oW, oN, oS
+
+
+def _apply_face_mask(faces, face_mask):
+    if face_mask is None:
+        return faces
+    return tuple(a * o for a, o in zip(faces, face_mask))
 
 
 Geometry = Union[FlatGeometry, TorusGeometry]

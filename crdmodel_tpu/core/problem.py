@@ -66,6 +66,16 @@ class Problem:
     # arrays it closes over must be full-grid; under shard_map pass them
     # through params (with extra_param_specs) instead.
     forcing: object = None
+    # no-flux boundaries / internal obstacles (beyond-reference): the
+    # (oE, oW, oN, oS) face-openness masks (grid.py::face_openness) that
+    # zero divergence-form face coefficients across closed faces, and the
+    # bool (ny, nx) tissue mask (True = active medium) whose False cells
+    # are inert walls (zero flux through every adjoining face AND frozen
+    # kinetics — they hold their initial value exactly). face_mask is
+    # non-None whenever cfg.boundary != "periodic" or an obstacle_mask was
+    # passed; fused kernels decline (XLA divergence path).
+    obstacle_mask: object = None
+    face_mask: object = None
     # compiled-driver cache: repeated simulate()/simulate_streaming() calls
     # on the same Problem reuse their jitted closures instead of recompiling
     cache: dict = dataclasses.field(default_factory=dict, repr=False,
@@ -252,7 +262,7 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
 
 def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
              split: bool = False, diffusion_field=None, forcing=None,
-             diffusion_tensor=None):
+             diffusion_tensor=None, face_mask=None, obstacle_mask=None):
     """Build rhs(t, state, params) for the full (unsharded) grid.
 
     split=True returns (rhs_ex, rhs_im) — the explicit (diffusion) and
@@ -268,7 +278,21 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
     diffusion_tensor: optional (Dxx, Dyy, Dxy) SPD tensor field — the
     anisotropic conservative 9-point operator
-    (ops/stencil.py::anisotropic_laplacian; flat surface only)."""
+    (ops/stencil.py::anisotropic_laplacian; flat surface only).
+
+    face_mask: optional (oE, oW, oN, oS) openness masks
+    (grid.py::face_openness — no-flux boundaries / obstacle walls); forces
+    the divergence path (requires diffusion_field, which build_problem
+    defaults to the constant cfg.diffusion). obstacle_mask: bool (ny, nx),
+    True = active tissue; False cells get ydot = 0 (frozen walls; their
+    zero contribution to the WRMS error norm slightly relaxes the
+    effective tolerance, exactly like the reference's frozen boundary
+    rows, src/FHNmodel_torus.cpp:643-653)."""
+    if face_mask is not None and diffusion_field is None \
+            and diffusion_tensor is None:
+        raise ValueError("face_mask needs the divergence operator — pass "
+                         "diffusion_field (build_problem defaults it to "
+                         "the constant cfg.diffusion)")
     if diffusion_tensor is not None:
         face_t, dxy_np, inv4 = geometry.tensor_coeffs64(*diffusion_tensor)
         face_t = tuple(jnp.asarray(a, dtype) for a in face_t)
@@ -280,7 +304,8 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
         coeffs = None
     elif diffusion_field is not None:
-        face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype)
+        face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype,
+                                                 face_mask=face_mask)
 
         def lap(u, _):
             return divergence_laplacian(u, face_coeffs)
@@ -299,6 +324,16 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
     edge[0, 0] = False
     edge[-1, 0] = False
     interior_rows = jnp.asarray(edge)
+
+    tissue_m = None
+    if obstacle_mask is not None:
+        tissue_m = jnp.asarray(np.broadcast_to(
+            np.asarray(obstacle_mask, dtype=bool), geometry.grid.shape))
+
+    def mask_tissue(ydot):
+        if tissue_m is None:
+            return ydot
+        return jnp.where(tissue_m, ydot, 0.0)
 
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
@@ -344,11 +379,11 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         if forcing is not None:
             diff = diff + forcing(t, state, params)
         if just_diffusion:
-            return diff
+            return mask_tissue(diff)
         ydot = model.kinetics(state, params["b"]) + diff
         if has_freeze:
             ydot = apply_freeze(t, params, ydot)
-        return ydot
+        return mask_tissue(ydot)
 
     if not split:
         return rhs
@@ -360,9 +395,9 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         diff = diffusion_terms(state, params)
         if forcing is not None:
             diff = diff + forcing(t, state, params)
-        if just_diffusion or not has_freeze:
-            return diff
-        return apply_freeze(t, params, diff)
+        if not just_diffusion and has_freeze:
+            diff = apply_freeze(t, params, diff)
+        return mask_tissue(diff)
 
     def rhs_im(t, state, params):
         if just_diffusion:
@@ -370,14 +405,14 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         ydot = model.kinetics(state, params["b"])
         if has_freeze:
             ydot = apply_freeze(t, params, ydot)
-        return ydot
+        return mask_tissue(ydot)
 
     return rhs_ex, rhs_im
 
 
 def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
                    dtype, max_reduce=None, diffusion_field=None,
-                   diffusion_tensor=None):
+                   diffusion_tensor=None, face_mask=None):
     """Spectral-radius bound rho(t, y, params) for the RKC2 stabilized
     integrator: static Gershgorin bound of the diffusion operator (variable
     0 only) + the model's pointwise kinetics Jacobian bound over the grid.
@@ -403,7 +438,10 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     elif diffusion_field is not None:
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
-        aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field)
+        # (face_mask zeros closed faces — no-flux boundaries / obstacle
+        # walls shrink the bound, never grow it)
+        aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field,
+                                                      face_mask)
         rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
     elif geometry.kind == "torus":
         coeffs = geometry.stencil_coeffs(jnp.float64)
@@ -434,10 +472,19 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
 
 
 def build_problem(cfg: SimConfig, diffusion_field=None,
-                  forcing=None, diffusion_tensor=None) -> Problem:
+                  forcing=None, diffusion_tensor=None,
+                  obstacle_mask=None) -> Problem:
     """diffusion_field: optional absolute D(x) array (scalar/(nx,)/(ny,nx))
     switching diffusion to the conservative variable-coefficient operator;
     when omitted, cfg.coupling may imply one (diffusion_field_from_cfg).
+
+    obstacle_mask: optional bool array broadcastable to (ny, nx), True =
+    active tissue. False cells are inert obstacles: zero flux through
+    every adjoining face (hard no-flux walls, grid.py::face_openness) and
+    frozen kinetics — they hold their initial value exactly. Composes
+    with cfg.boundary no-flux domain edges. Both force the conservative
+    divergence operator (diffusion_field defaults to the constant
+    cfg.diffusion) and the XLA path (fused kernels decline).
 
     diffusion_tensor: optional (Dxx, Dyy, Dxy) — anisotropic SPD tensor
     field (each entry scalar or broadcastable to (ny, nx)), flat surface
@@ -480,13 +527,40 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
             raise ValueError(
                 f"diffusion_field shape {diffusion_field.shape} does not "
                 f"broadcast to the grid {geometry.grid.shape}")
+    face_mask = None
+    if cfg.boundary != "periodic" or obstacle_mask is not None:
+        if diffusion_tensor is not None:
+            raise ValueError("no-flux boundaries / obstacle_mask are "
+                             "unsupported with diffusion_tensor (the "
+                             "9-point mixed terms need mask-aware "
+                             "one-sided differencing)")
+        if obstacle_mask is not None:
+            obstacle_mask = np.asarray(obstacle_mask, dtype=bool)
+            try:
+                obstacle_mask = np.broadcast_to(obstacle_mask,
+                                                geometry.grid.shape).copy()
+            except ValueError:
+                raise ValueError(
+                    f"obstacle_mask shape {obstacle_mask.shape} does not "
+                    f"broadcast to the grid {geometry.grid.shape}")
+            if not obstacle_mask.any():
+                raise ValueError("obstacle_mask is all-False (no tissue)")
+        from crdmodel_tpu.core.grid import face_openness
+        face_mask = face_openness(cfg.ny, cfg.nx, cfg.boundary,
+                                  obstacle_mask)
+        if diffusion_field is None:
+            # closed faces live in the face coefficients, so the operator
+            # must take the divergence form even for constant D
+            diffusion_field = np.float64(cfg.diffusion)
     steady = model.steady_state(cfg.beta)
     y0 = initial_state(cfg, model, steady, dtype)
     rhs = make_rhs(cfg, model, geometry, dtype,
                    diffusion_field=diffusion_field, forcing=forcing,
-                   diffusion_tensor=diffusion_tensor)
+                   diffusion_tensor=diffusion_tensor,
+                   face_mask=face_mask, obstacle_mask=obstacle_mask)
     params = {"b": beta_field(cfg, dtype)}
     return Problem(cfg=cfg, model=model, geometry=geometry, rhs=rhs,
                    y0=y0, params=params, steady_state=steady,
                    diffusion_field=diffusion_field, forcing=forcing,
-                   diffusion_tensor=diffusion_tensor)
+                   diffusion_tensor=diffusion_tensor,
+                   obstacle_mask=obstacle_mask, face_mask=face_mask)

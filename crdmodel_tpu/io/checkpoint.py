@@ -34,7 +34,7 @@ _PHYSICS_FIELDS = (
     "surface_length", "wave_length", "wave_width", "wave_inside",
     "output_timestep", "t_boundary", "t_final", "x_mesh", "beta_min",
     "beta_max", "vary_beta", "just_diffusion", "ic_type", "rng_seed",
-    "rtol", "atol", "method", "step_mode", "coupling",
+    "rtol", "atol", "method", "step_mode", "coupling", "boundary",
 )
 
 

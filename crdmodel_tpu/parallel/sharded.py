@@ -40,7 +40,7 @@ from crdmodel_tpu.sim import SimResult, output_times
 
 def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                    pad_spec=None, divergence: bool = False, forcing=None,
-                   tensor_inv4=None):
+                   tensor_inv4=None, tissue: bool = False):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
@@ -51,6 +51,9 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
       params["b"]: bifurcation parameter (scalar or (ny,1) ramp)
       params["interior"]: (ny,1) bool, False on global rows 0 and ny-1
       params["valid"]: (nyp, nxp) bool, False on pad cells (padded grids)
+      params["tissue"]: (ny, nx) bool, False on obstacle cells (tissue=True
+        — no-flux walls already live in the masked face coefficients; this
+        freezes the kinetics so obstacle cells hold their IC exactly)
       params["_dxy_pad"]: haloed Dxy block — anisotropic tensor diffusion
         only (tensor_inv4 = the mixed-term weight 1/(4 dx dy); the caller
         halo-pads params["dxy"] ONCE per dispatch, outside the loop)
@@ -106,6 +109,8 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
         return jnp.where(freeze_now, frozen, ydot)
 
     def mask_pads(params, ydot):
+        if tissue:
+            ydot = jnp.where(params["tissue"], ydot, 0.0)
         if not padded:
             return ydot
         return jnp.where(params["valid"], ydot, 0.0)
@@ -187,9 +192,12 @@ def sharded_params(problem: Problem, pad_spec=None):
         dxy = jnp.asarray(dxy_np, dtype)
     elif problem.diffusion_field is not None:
         # conservative variable-coefficient operator: coeffs are the four
-        # face arrays, (nx,) for x-only D fields or (ny, nx) for full fields
+        # face arrays, (nx,) for x-only D fields or (ny, nx) for full
+        # fields; face_mask zeros closed faces (no-flux boundaries /
+        # obstacle walls) so the halo exchange needs no boundary handling
         coeffs = problem.geometry.divergence_coeffs(
-            problem.diffusion_field, dtype)
+            problem.diffusion_field, dtype,
+            face_mask=getattr(problem, "face_mask", None))
     else:
         coeffs = problem.geometry.stencil_coeffs(dtype)
     if padded:
@@ -223,6 +231,16 @@ def sharded_params(problem: Problem, pad_spec=None):
     if dxy is not None:
         params["dxy"] = dxy
         specs["dxy"] = P(AXIS_Y, AXIS_X)
+    obstacle = getattr(problem, "obstacle_mask", None)
+    if obstacle is not None:
+        tis = np.broadcast_to(np.asarray(obstacle, dtype=bool),
+                              (cfg.ny, cfg.nx))
+        if padded:
+            # pad cells are masked by "valid" regardless; wrap-fill keeps
+            # the array mesh-divisible like every other spatial param
+            tis = pad_spec.pad_rows(pad_spec.pad_cols(tis))
+        params["tissue"] = jnp.asarray(tis)
+        specs["tissue"] = P(AXIS_Y, AXIS_X)
     if padded:
         params["valid"] = jnp.asarray(pad_spec.valid_mask())
         specs["valid"] = P(AXIS_Y, AXIS_X)
@@ -273,6 +291,9 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "face_mask", None) is not None:
+        return None   # no-flux boundaries / obstacle walls: masked 2-D
+                      # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
@@ -304,6 +325,9 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "face_mask", None) is not None:
+        return None   # no-flux boundaries / obstacle walls: masked 2-D
+                      # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
@@ -333,6 +357,9 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
+    if getattr(problem, "face_mask", None) is not None:
+        return None   # no-flux boundaries / obstacle walls: masked 2-D
+                      # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
@@ -423,10 +450,11 @@ def build_local_run(problem: Problem, mesh,
     tensor_inv4 = None
     if tensor is not None:
         tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
+    tissue = getattr(problem, "obstacle_mask", None) is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
                                forcing=problem.forcing,
-                               tensor_inv4=tensor_inv4)
+                               tensor_inv4=tensor_inv4, tissue=tissue)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = model.nvars * cfg.ny * cfg.nx
@@ -443,14 +471,15 @@ def build_local_run(problem: Problem, mesh,
             cfg, model, problem.geometry, jnp.dtype(cfg.dtype),
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
             diffusion_field=problem.diffusion_field,
-            diffusion_tensor=tensor)
+            diffusion_tensor=tensor,
+            face_mask=getattr(problem, "face_mask", None))
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
     rhs_split = (make_local_rhs(cfg, model, kind, split=True,
                                 pad_spec=pad_spec, divergence=divergence,
                                 forcing=problem.forcing,
-                                tensor_inv4=tensor_inv4)
+                                tensor_inv4=tensor_inv4, tissue=tissue)
                  if cfg.method == "ark324" else None)
 
     fused = maybe_fused_shard_step(problem, mesh,
@@ -582,10 +611,11 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     tensor_inv4 = None
     if tensor is not None:
         tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
+    tissue = getattr(problem, "obstacle_mask", None) is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
                                forcing=problem.forcing,
-                               tensor_inv4=tensor_inv4)
+                               tensor_inv4=tensor_inv4, tissue=tissue)
     global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
 
@@ -601,7 +631,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
             cfg, model, problem.geometry, dtype,
             max_reduce=lambda x: lax.pmax(x, (AXIS_Y, AXIS_X)),
             diffusion_field=problem.diffusion_field,
-            diffusion_tensor=tensor)
+            diffusion_tensor=tensor,
+            face_mask=getattr(problem, "face_mask", None))
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
@@ -634,7 +665,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                                     pad_spec=pad_spec,
                                     divergence=divergence,
                                     forcing=problem.forcing,
-                                    tensor_inv4=tensor_inv4)
+                                    tensor_inv4=tensor_inv4, tissue=tissue)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)

@@ -87,6 +87,10 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
         return False
+    if getattr(problem, "face_mask", None) is not None:
+        # no-flux boundaries / obstacle walls live in masked 2-D face
+        # coefficients — XLA divergence path only
+        return False
     if interpret:
         # CPU-mesh tests: the Pallas interpreter runs only on explicit
         # request (same policy as parallel/sharded._shard_kernel_eligible)
@@ -144,7 +148,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry,
                                 jnp.dtype(cfg.dtype),
                                 diffusion_field=problem.diffusion_field,
-                                diffusion_tensor=problem.diffusion_tensor)
+                                diffusion_tensor=problem.diffusion_tensor,
+                                face_mask=problem.face_mask)
         if _pallas_eligible(problem, interpret) and \
                 problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_rkc
@@ -164,7 +169,9 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                              jnp.dtype(cfg.dtype), split=True,
                              diffusion_field=problem.diffusion_field,
                              forcing=problem.forcing,
-                             diffusion_tensor=problem.diffusion_tensor)
+                             diffusion_tensor=problem.diffusion_tensor,
+                             face_mask=problem.face_mask,
+                             obstacle_mask=problem.obstacle_mask)
         if _pallas_eligible(problem, interpret) and \
                 problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_imex
@@ -380,7 +387,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         from crdmodel_tpu.integrate import rkc
         rho_fn = make_rho_bound(cfg, problem.model, problem.geometry, dtype,
                                 diffusion_field=problem.diffusion_field,
-                                diffusion_tensor=problem.diffusion_tensor)
+                                diffusion_tensor=problem.diffusion_tensor,
+                                face_mask=problem.face_mask)
         err_order = rkc.ERR_ORDER
         frkc = None
         if _pallas_eligible(problem) and problem.diffusion_tensor is None:
@@ -415,7 +423,9 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                                       dtype, split=True,
                                       diffusion_field=problem.diffusion_field,
                                       forcing=problem.forcing,
-                                      diffusion_tensor=problem.diffusion_tensor)
+                                      diffusion_tensor=problem.diffusion_tensor,
+                                      face_mask=problem.face_mask,
+                                      obstacle_mask=problem.obstacle_mask)
             step_err, init_carry = imex.make_imex_step_err(
                 rhs_ex, rhs_im, cfg.rtol, cfg.atol)
     else:

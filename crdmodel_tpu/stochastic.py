@@ -132,7 +132,9 @@ def simulate_sde(cfg: SimConfig, sigma, dt: float, *, seed: int = 0,
                                 jnp.float64,
                                 diffusion_field=problem.diffusion_field,
                                 diffusion_tensor=getattr(
-                                    problem, "diffusion_tensor", None))
+                                    problem, "diffusion_tensor", None),
+                                face_mask=getattr(problem, "face_mask",
+                                                  None))
         rho0 = float(rho_fn(0.0, problem.y0.astype(jnp.float64), params))
         s = srock1_stages_for(h, margin * rho0)
         mu1, mu, nu, kappa, c = _chebyshev_stage_coeffs(s)

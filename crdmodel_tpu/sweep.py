@@ -245,14 +245,17 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
                               split=True,
                               diffusion_field=base.diffusion_field,
                               forcing=base.forcing,
-                              diffusion_tensor=base.diffusion_tensor)
+                              diffusion_tensor=base.diffusion_tensor,
+                              face_mask=base.face_mask,
+                              obstacle_mask=base.obstacle_mask)
                      if cfg.method == "ark324" else None)
         rho_fn = None
         if cfg.method == "rkc2":
             from crdmodel_tpu.core.problem import make_rho_bound
             rho_fn = make_rho_bound(cfg, base.model, base.geometry, dtype,
                                     diffusion_field=base.diffusion_field,
-                                    diffusion_tensor=base.diffusion_tensor)
+                                    diffusion_tensor=base.diffusion_tensor,
+                                    face_mask=base.face_mask)
 
         def run_one(y0, b, ds):
             params = {"b": b}

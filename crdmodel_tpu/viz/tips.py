@@ -18,10 +18,13 @@ around a phase origin (cu, cv) chosen inside the excitation loop in the
 
 around an elementary grid plaquette is +-1 at the tip and 0 elsewhere.
 Wrapping each edge difference into (-pi, pi] makes q an exact integer
-count, so detection is threshold-free. Both grid dimensions are periodic
-(the framework's surfaces are a flat periodic rectangle and a torus,
-core/grid.py), so plaquettes wrap across the seams and tips sitting on the
-seam are found.
+count, so detection is threshold-free. Periodic grid dimensions (the
+default — the framework's surfaces are a flat periodic rectangle and a
+torus, core/grid.py) wrap plaquettes across the seams so tips sitting on
+the seam are found; for no-flux bounded domains (cfg.boundary, round 3)
+pass periodic=(False, False) (or periodic_axes(cfg)) so the wrap
+plaquettes — which straddle physically disconnected edges and produce
+spurious charges — are excluded, and the tracking metric stops wrapping.
 
 Tracking: greedy nearest-neighbour frame-to-frame linking with periodic
 metric, same-charge constraint, and a max-jump gate; unmatched tips open
@@ -61,19 +64,34 @@ def phase_field(u, v, origin):
     return np.arctan2(np.asarray(v) - cv, np.asarray(u) - cu)
 
 
-def winding_numbers(u, v, origin):
+def winding_numbers(u, v, origin, periodic=(True, True)):
     """Integer winding number q for every grid plaquette, shape (ny, nx).
 
     Plaquette (j, i) has corners (j,i) -> (j,i+1) -> (j+1,i+1) -> (j+1,i)
     with periodic wrap in both dimensions; q[j, i] is the charge of the
-    plaquette whose lower-left corner is (j, i)."""
+    plaquette whose lower-left corner is (j, i). periodic = (wrap_y,
+    wrap_x): a non-periodic axis zeroes its seam plaquettes (last row /
+    column), whose loops would otherwise straddle a no-flux wall."""
     th = phase_field(u, v, origin)
     d_right = _wrap(np.roll(th, -1, axis=1) - th)            # (j,i)->(j,i+1)
     d_up = _wrap(np.roll(th, -1, axis=0) - th)               # (j,i)->(j+1,i)
     # loop: right edge at j, up edge at i+1, -right edge at j+1, -up at i
     circ = (d_right + np.roll(d_up, -1, axis=1)
             - np.roll(d_right, -1, axis=0) - d_up)
-    return np.rint(circ / (2.0 * np.pi)).astype(np.int8)
+    q = np.rint(circ / (2.0 * np.pi)).astype(np.int8)
+    if not periodic[0]:
+        q[-1, :] = 0
+    if not periodic[1]:
+        q[:, -1] = 0
+    return q
+
+
+def periodic_axes(cfg):
+    """(wrap_y, wrap_x) for a SimConfig: which grid axes are physically
+    periodic given cfg.boundary (config.py round-3 no-flux boundaries)."""
+    b = getattr(cfg, "boundary", "periodic")
+    return (b not in ("noflux", "noflux_y"),
+            b not in ("noflux", "noflux_x"))
 
 
 @dataclasses.dataclass
@@ -87,18 +105,19 @@ class TipSet:
         return len(self.charges)
 
 
-def find_tips(u, v, origin=None) -> TipSet:
+def find_tips(u, v, origin=None, periodic=(True, True)) -> TipSet:
     """Detect phase singularities in a single (ny, nx) snapshot pair."""
     if origin is None:
         origin = default_phase_origin(u, v)
-    q = winding_numbers(u, v, origin)
+    q = winding_numbers(u, v, origin, periodic=periodic)
     jj, ii = np.nonzero(q)
     pos = np.stack([jj + 0.5, ii + 0.5], axis=1) if len(jj) else \
         np.zeros((0, 2))
     return TipSet(positions=pos, charges=q[jj, ii].astype(int))
 
 
-def find_tips_trajectory(traj_u, traj_v, origin=None):
+def find_tips_trajectory(traj_u, traj_v, origin=None,
+                         periodic=(True, True)):
     """Detect tips in every frame of (nt, ny, nx) trajectories.
 
     origin defaults to the midrange over the WHOLE trajectory so all
@@ -108,16 +127,18 @@ def find_tips_trajectory(traj_u, traj_v, origin=None):
     traj_v = np.asarray(traj_v)
     if origin is None:
         origin = default_phase_origin(traj_u, traj_v)
-    return [find_tips(traj_u[k], traj_v[k], origin)
+    return [find_tips(traj_u[k], traj_v[k], origin, periodic=periodic)
             for k in range(traj_u.shape[0])], origin
 
 
-def _periodic_dist(a, b, shape):
+def _periodic_dist(a, b, shape, periodic=(True, True)):
     """Pairwise distance matrix between (m,2) and (n,2) points with
-    periodic wrap on a (ny, nx) grid."""
+    periodic wrap on the periodic axes of a (ny, nx) grid."""
     d = np.abs(a[:, None, :] - b[None, :, :])        # (m, n, 2)
     period = np.asarray(shape, dtype=np.float64)
-    d = np.minimum(d, period - d)
+    wrapped = np.minimum(d, period - d)
+    keep = np.asarray(periodic, dtype=bool)
+    d = np.where(keep[None, None, :], wrapped, d)
     return np.sqrt((d * d).sum(axis=2))
 
 
@@ -136,7 +157,8 @@ class TipTrack:
         return np.asarray(self.frames), np.asarray(self.positions)
 
 
-def link_tips(tipsets, shape, max_jump=None) -> list:
+def link_tips(tipsets, shape, max_jump=None,
+              periodic=(True, True)) -> list:
     """Greedy nearest-neighbour linking of per-frame TipSets into
     TipTracks. Matches are same-charge, nearest-first, within max_jump
     grid cells (default: 10% of the smaller grid dimension — a tip moving
@@ -150,7 +172,8 @@ def link_tips(tipsets, shape, max_jump=None) -> list:
         next_open = []
         if open_tracks and len(ts):
             last = np.asarray([p for _, p in open_tracks])
-            dist = _periodic_dist(last, ts.positions, shape)
+            dist = _periodic_dist(last, ts.positions, shape,
+                                  periodic=periodic)
             charges_old = np.asarray([tr.charge for tr, _ in open_tracks])
             same = charges_old[:, None] == ts.charges[None, :]
             dist = np.where(same, dist, np.inf)
@@ -177,11 +200,16 @@ def link_tips(tipsets, shape, max_jump=None) -> list:
     return tracks
 
 
-def track_spiral_tips(traj_u, traj_v, origin=None, max_jump=None):
-    """End-to-end: detect + link. Returns (tipsets, tracks, origin)."""
-    tipsets, origin = find_tips_trajectory(traj_u, traj_v, origin)
+def track_spiral_tips(traj_u, traj_v, origin=None, max_jump=None,
+                      periodic=(True, True)):
+    """End-to-end: detect + link. Returns (tipsets, tracks, origin).
+    periodic = (wrap_y, wrap_x); pass periodic_axes(cfg) for bounded
+    (no-flux) domains."""
+    tipsets, origin = find_tips_trajectory(traj_u, traj_v, origin,
+                                           periodic=periodic)
     shape = np.asarray(traj_u).shape[1:]
-    tracks = link_tips(tipsets, shape, max_jump=max_jump)
+    tracks = link_tips(tipsets, shape, max_jump=max_jump,
+                       periodic=periodic)
     return tipsets, tracks, origin
 
 

@@ -125,3 +125,48 @@ def test_csv_roundtrip(tmp_path):
     rows = open(path).read().strip().splitlines()
     assert rows[0] == "frame,t,row,col,y,x,charge"
     assert len(rows) == 3
+
+
+def test_single_vortex_on_bounded_domain():
+    # a SINGLE +1 vortex is incompatible with a periodic domain (total
+    # charge must be 0 there: the compensating -1 lands on the seam
+    # plaquettes) but is exactly right on a bounded no-flux domain —
+    # periodic=(False, False) drops the seam plaquettes and finds one tip
+    ny, nx = 64, 96
+    jj, ii = np.mgrid[0:ny, 0:nx].astype(np.float64)
+    phi = np.arctan2(jj - 30.25, ii - 40.25)
+    u, v = np.cos(phi), np.sin(phi)
+    q_per = tips.winding_numbers(u, v, (0.0, 0.0))
+    assert int(q_per.sum()) == 0                 # seam carries the -1
+    ts = tips.find_tips(u, v, origin=(0.0, 0.0), periodic=(False, False))
+    assert len(ts) == 1 and ts.charges[0] == 1
+    assert np.hypot(*(ts.positions[0] - np.asarray((30.25, 40.25)))) < 1.0
+
+
+def test_periodic_axes_from_cfg():
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=12,
+                    surface_width=20, surface_length=40)
+    assert tips.periodic_axes(cfg) == (True, True)
+    import dataclasses
+    assert tips.periodic_axes(
+        dataclasses.replace(cfg, boundary="noflux")) == (False, False)
+    assert tips.periodic_axes(
+        dataclasses.replace(cfg, boundary="noflux_x")) == (True, False)
+    assert tips.periodic_axes(
+        dataclasses.replace(cfg, boundary="noflux_y")) == (False, True)
+
+
+def test_bounded_linking_does_not_wrap():
+    # two frames, one tip hugging the left edge then the right edge: with
+    # wrap that is a tiny jump (links), without wrap it exceeds max_jump
+    # (two tracks)
+    ny, nx = 32, 32
+    a = tips.TipSet(positions=np.array([[16.5, 0.5]]),
+                    charges=np.array([1]))
+    b = tips.TipSet(positions=np.array([[16.5, 31.5]]),
+                    charges=np.array([1]))
+    tracks_wrap = tips.link_tips([a, b], (ny, nx), max_jump=3.0)
+    assert len(tracks_wrap) == 1
+    tracks_flat = tips.link_tips([a, b], (ny, nx), max_jump=3.0,
+                                 periodic=(False, False))
+    assert len(tracks_flat) == 2
