@@ -156,6 +156,14 @@ def cmd_run(args):
         generate_torus_vtp(cfg, args.outdir)
         pvd = map_output_to_torus(res, args.outdir)
         print(f"   wrote {pvd}")
+    elif args.map_torus and res.problem.geometry.kind == "revolution":
+        # sphere / generic revolution surfaces: same step-vtp + pvd
+        # pipeline on the parametric revolution mesh
+        from crdmodel_tpu.viz import map_output_to_surface
+        from crdmodel_tpu.viz.torus_mesh import generate_revolution_vtp
+        generate_revolution_vtp(res.problem.geometry, cfg, args.outdir)
+        pvd = map_output_to_surface(res, args.outdir)
+        print(f"   wrote {pvd}")
     return 0 if res.ok else 1
 
 

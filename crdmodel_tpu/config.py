@@ -60,7 +60,15 @@ class SimConfig:
     # --- model / surface selection (reference: which of 4 binaries) ---
     model: str = "fhn"   # any registered family: fhn | goldbeter | barkley
                          # | grayscott | oregonator | brusselator
-    surface: str = "flat"       # "flat" | "torus"
+    # "flat" | "torus" (the reference's two surfaces) plus beyond-reference
+    # surfaces of revolution (core/grid.py::RevolutionGeometry):
+    #   "sphere"            radius = surfaceLength/2pi; polar axis x=v in
+    #                       (0, pi) with finite-volume pole closure, phi=y
+    #   "revolution"        closed (torus-like) generic profile, v in
+    #                       [0, 2pi]; build_problem(cfg, profile=...)
+    #   "revolution_capped" capped (sphere-like) generic profile, v in
+    #                       (0, pi) cell-centred; zero-flux end caps
+    surface: str = "flat"
 
     # --- [Parameters] ---
     diffusion: float = 0.12
@@ -76,6 +84,11 @@ class SimConfig:
     x_mesh: int = 400              # nx (theta/x mesh size)
     beta_min: float = 0.0
     beta_max: float = 0.0
+    # Optional explicit phi/y mesh size (ini key yMesh). 0 = derived from
+    # the surface (torus: nx*R/r; flat: nx*int(L/W); sphere: 2*nx — the
+    # equator/meridian length ratio). Required (>0) for the generic
+    # revolution surfaces, whose profile the config cannot see.
+    y_mesh: int = 0
 
     # --- [System] ---
     include_all_vars: int = 0
@@ -150,9 +163,18 @@ class SimConfig:
 
     @property
     def ny(self) -> int:
+        if self.y_mesh > 0:
+            return self.y_mesh
         if self.surface == "torus":
             radius_ratio = self.major_radius / self.minor_radius
             return int(self.x_mesh * radius_ratio)
+        if self.surface == "sphere":
+            # equator circumference (2 pi R) / meridian length (pi R) = 2
+            return 2 * self.x_mesh
+        if self.surface in ("revolution", "revolution_capped"):
+            raise ValueError("generic revolution surfaces need an explicit "
+                             "yMesh (the config cannot derive ny from a "
+                             "profile it cannot see)")
         # reference truncates L/W to long int BEFORE multiplying
         return self.x_mesh * int(self.surface_length / self.surface_width)
 
@@ -165,12 +187,26 @@ class SimConfig:
         return self.surface_length / TWO_PI
 
     @property
+    def capped(self) -> bool:
+        """Surfaces whose v-axis ends in zero-flux caps (poles / lids)
+        rather than wrapping: cells sit at v_i = (i+1/2)h, h = pi/nx, so
+        faces land exactly on v=0 and v=pi where the flux weight vanishes
+        (or is forced to 0 — core/grid.py::RevolutionGeometry)."""
+        return self.surface in ("sphere", "revolution_capped")
+
+    @property
     def xmin(self) -> float:
+        if self.capped:
+            return 0.5 * math.pi / self.x_mesh
         return 0.0
 
     @property
     def xmax(self) -> float:
-        return TWO_PI if self.surface == "torus" else self.surface_width
+        if self.surface in ("torus", "revolution"):
+            return TWO_PI
+        if self.capped:
+            return math.pi - 0.5 * math.pi / self.x_mesh
+        return self.surface_width
 
     @property
     def ymin(self) -> float:
@@ -178,7 +214,9 @@ class SimConfig:
 
     @property
     def ymax(self) -> float:
-        return TWO_PI if self.surface == "torus" else self.surface_length
+        if self.surface == "flat":
+            return self.surface_length
+        return TWO_PI
 
     @property
     def dx(self) -> float:
@@ -204,8 +242,11 @@ class SimConfig:
         if self.model not in _REGISTRY:
             raise ValueError(f"unknown model {self.model!r}; "
                              f"registered: {sorted(_REGISTRY)}")
-        if self.surface not in ("flat", "torus"):
+        if self.surface not in ("flat", "torus", "sphere", "revolution",
+                                "revolution_capped"):
             raise ValueError(f"unknown surface {self.surface!r}")
+        if self.y_mesh < 0:
+            raise ValueError("yMesh must be >= 0 (0 = derived)")
         if self.wave_inside not in (0, 1):
             raise ValueError("waveInside must be 0 or 1")
         if self.nx < 3 or self.ny < 3:
@@ -231,7 +272,9 @@ class SimConfig:
                              f"noflux_y, got {self.boundary!r}")
         if self.boundary != "periodic" and self.surface != "flat":
             raise ValueError("no-flux boundaries need surface='flat' "
-                             "(the torus is a closed surface)")
+                             "(torus/sphere/revolution surfaces are closed; "
+                             "capped surfaces already carry zero-flux end "
+                             "caps in their face coefficients)")
         return self
 
 
@@ -249,6 +292,7 @@ _PARAM_KEYS = {
     "tFinal": ("t_final", float),
     "xMesh": ("x_mesh", int),
     "thetaMesh": ("x_mesh", int),   # FHN mains' spelling (src/FHNmodel_torus.cpp:170)
+    "yMesh": ("y_mesh", int),       # framework extension (0 = derived)
     "betaMin": ("beta_min", float),
     "betaMax": ("beta_max", float),
 }

@@ -306,6 +306,185 @@ class TorusGeometry:
         return self.R + self.r * np.cos(th)
 
 
+@dataclasses.dataclass(frozen=True)
+class RevolutionGeometry:
+    """Generic surface of revolution — the torus's metric machinery as data
+    (beyond-reference capability; the reference hardcodes two surfaces).
+
+    Parametrised by (v, phi): position (rho(v) cos phi, rho(v) sin phi,
+    z(v)), metric ds^2 = E(v) dv^2 + rho(v)^2 dphi^2 with E = rho'^2 + z'^2.
+    Laplace–Beltrami in divergence form (the same expansion the reference
+    hand-derives for the torus at src/FHNmodel_torus.cpp:527-541, with
+    sqrt(g) = sqrt(E) rho):
+
+      L u = 1/(sqrt(E) rho) d_v( (rho/sqrt(E)) D d_v u ) + (D/rho^2) u_phiphi
+
+    discretised finite-volume on faces, so conservation (in the cell weight
+    w = sqrt(E) rho) and self-adjointness hold by construction for ANY
+    profile. The torus is the special case rho = R + r cos v, z = r sin v
+    (tests pin the equivalence); the sphere is rho = R sin v, z = -R cos v.
+
+    capped=True (sphere-like): the v-axis does not wrap — cells sit at
+    v_i = (i+1/2)h (config.py xmin/xmax conventions), faces land exactly on
+    v=0 and v=pi, and the END-FACE flux weights are forced to 0. Where
+    rho -> 0 there (poles) this is the standard polar finite-volume closure
+    — the pole is not a boundary, the face just has zero length; where
+    rho > 0 it is a zero-flux (no-flux) cap (e.g. a cylinder with closed
+    ends). Both exactly conservative. The array wrap in x (jnp.roll /
+    ppermute halos) then carries only zero-coefficient faces, so every
+    solver path — sharded, fused kernels — works unchanged.
+
+    Pole accuracy (standard latitude-longitude finite-volume behaviour):
+    axisymmetric fields keep full second order pointwise; modes varying in
+    phi lose local order in the O(dx)-measure pole region (the 1/rho^2
+    phi-term), while the SOLUTION still converges under refinement
+    (tests/test_sphere.py::test_nonaxisymmetric_harmonic_solution_convergence
+    measures error halving). The pole cells also set the diffusion CFL
+    (aN ~ D/(rho_min dy)^2) — rkc2 is the right method for fine spheres.
+
+    Profiles are sampled once at build time in float64 (cell centres and
+    east faces); there is no per-point trig in the hot path, matching the
+    torus design. No `stencil_coeffs`: revolution surfaces always take the
+    conservative divergence operator (build_problem defaults
+    diffusion_field to the constant cfg.diffusion).
+    """
+
+    grid: Grid
+    diffusion: float
+    rho_p: np.ndarray    # (nx,) rho at cell centres (float64)
+    se_p: np.ndarray     # (nx,) sqrt(E) at cell centres
+    flux_w_e: np.ndarray  # (nx,) rho/sqrt(E) at EAST faces (x_i + dx/2)
+    kprof: np.ndarray    # (nx,) Gaussian curvature at cell centres
+    capped: bool = False
+    # profile callables, kept for visualisation (viz/torus_mesh.py::
+    # revolution_mesh needs rho/z at mesh node positions); not used by the
+    # solver, which consumes only the sampled arrays above
+    rho_fn: object = dataclasses.field(default=None, compare=False)
+    z_fn: object = dataclasses.field(default=None, compare=False)
+
+    kind = "revolution"
+
+    @staticmethod
+    def from_profile(grid: Grid, diffusion: float, rho, z,
+                     capped: bool = False, derivs=None,
+                     d2: "tuple | None" = None) -> "RevolutionGeometry":
+        """Build from profile callables rho(v), z(v) (vectorised over
+        float64 arrays). derivs=(drho, dz) analytic first derivatives
+        (optional; default 4th-order central differences, h ~ 1e-5 —
+        metric accuracy ~1e-11, far below the O(dx^2) discretisation
+        error). d2=(d2rho, d2z) second derivatives for the Gaussian
+        curvature (optional; FD fallback)."""
+        g = grid
+        vp = np.asarray(np.float64(g.xmin)
+                        + np.arange(g.nx, dtype=np.float64) * g.dx)
+        ve = vp + 0.5 * g.dx
+
+        if derivs is not None:
+            drho, dz = derivs
+        else:
+            h = 1e-5
+            def _fd(f):
+                return lambda v: (8.0 * (f(v + h) - f(v - h))
+                                  - (f(v + 2 * h) - f(v - 2 * h))) / (12.0 * h)
+            drho, dz = _fd(rho), _fd(z)
+        if d2 is not None:
+            d2rho, d2z = d2
+        else:
+            h2 = 1e-4
+            def _fd2(f):
+                return lambda v: (f(v + h2) - 2.0 * f(v) + f(v - h2)) / (h2 * h2)
+            d2rho, d2z = _fd2(rho), _fd2(z)
+
+        def _se(v):
+            return np.sqrt(np.asarray(drho(v), np.float64) ** 2
+                           + np.asarray(dz(v), np.float64) ** 2)
+
+        rho_p = np.asarray(rho(vp), np.float64) + np.zeros_like(vp)
+        se_p = _se(vp) + np.zeros_like(vp)
+        rho_e = np.asarray(rho(ve), np.float64) + np.zeros_like(ve)
+        flux_w_e = rho_e / _se(ve)
+        if capped:
+            # the last east face sits exactly on v = pi (config staggering):
+            # force its flux weight to 0 so the closure is EXACT even when
+            # rho(pi) rounds to ~1e-16 instead of 0, and so rho>0 profiles
+            # get hard no-flux caps. np.roll then feeds the same zero to
+            # cell 0's west face (both end faces carry zero flux).
+            flux_w_e = flux_w_e.copy()
+            flux_w_e[-1] = 0.0
+        if np.any(rho_p <= 0.0):
+            raise ValueError("rho(v) must be positive at every cell centre "
+                             "(capped surfaces keep cells off the axis by "
+                             "the half-cell stagger)")
+        # K = z'(rho' z'' - z' rho'') / (rho E^2)  (standard surface-of-
+        # revolution formula; torus -> cos v/(r(R + r cos v)), the
+        # reference's util/GenCurvatureCoupling.py:87; sphere -> 1/R^2)
+        rp, zp = np.asarray(drho(vp), np.float64), np.asarray(dz(vp), np.float64)
+        rpp, zpp = (np.asarray(d2rho(vp), np.float64),
+                    np.asarray(d2z(vp), np.float64))
+        E = rp * rp + zp * zp
+        kprof = zp * (rp * zpp - zp * rpp) / (rho_p * E * E)
+        return RevolutionGeometry(grid=g, diffusion=diffusion, rho_p=rho_p,
+                                  se_p=se_p, flux_w_e=flux_w_e, kprof=kprof,
+                                  capped=capped, rho_fn=rho, z_fn=z)
+
+    @staticmethod
+    def sphere(grid: Grid, diffusion: float, radius: float) -> "RevolutionGeometry":
+        R = float(radius)
+        return RevolutionGeometry.from_profile(
+            grid, diffusion,
+            rho=lambda v: R * np.sin(v), z=lambda v: -R * np.cos(v),
+            capped=True,
+            derivs=(lambda v: R * np.cos(v), lambda v: R * np.sin(v)),
+            d2=(lambda v: -R * np.sin(v), lambda v: R * np.cos(v)))
+
+    def gaussian_curvature(self, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.asarray(self.kprof, dtype=dtype)
+
+    def row_weights(self) -> np.ndarray:
+        """w(v) = sqrt(E) rho — the cell weight (surface area element per
+        dv dphi) in which the operator conserves sum(w * u) exactly."""
+        return self.se_p * self.rho_p
+
+    def divergence_coeffs(self, dfield, dtype=jnp.float32, face_mask=None):
+        """Face coefficients (aE, aW, aN, aS) of div(D grad u); see
+        FlatGeometry/TorusGeometry — identical contract, generic metric."""
+        return tuple(jnp.asarray(a, dtype=dtype)
+                     for a in self.divergence_coeffs64(dfield, face_mask))
+
+    def divergence_coeffs64(self, dfield, face_mask=None):
+        """Float64 numpy face coefficients:
+
+          aE_i = (rho/sqrt(E))|_{i+1/2} D_{i+1/2} / (w_i dx^2)
+          aW_i = (rho/sqrt(E))|_{i-1/2} D_{i-1/2} / (w_i dx^2)
+          aN = D_{j+1/2} / (rho_i^2 dy^2),  aS likewise
+
+        with w_i = sqrt(E)_i rho_i, so w_i aE_i = w_{i+1} aW_{i+1}
+        (self-adjoint + conservative in w). For the torus profile this
+        reproduces TorusGeometry.divergence_coeffs64 to rounding."""
+        g = self.grid
+        w = self.se_p * self.rho_p
+        cx = 1.0 / np.float64(g.dx) ** 2
+        cy = 1.0 / (self.rho_p * self.rho_p * np.float64(g.dy) ** 2)
+        D = np.asarray(dfield, dtype=np.float64)
+        if D.ndim < 2:
+            D = np.broadcast_to(D, (g.nx,))
+            De = 0.5 * (D + np.roll(D, -1))
+            Dn = Ds = D
+            roll_x = lambda a: np.roll(a, 1)
+        else:
+            D = np.broadcast_to(D, (g.ny, g.nx))
+            De = 0.5 * (D + np.roll(D, -1, axis=-1))
+            Dn = 0.5 * (D + np.roll(D, -1, axis=-2))
+            Ds = np.roll(Dn, 1, axis=-2)
+            roll_x = lambda a: np.roll(a, 1, axis=-1)
+        flux_e = self.flux_w_e * De * cx
+        aE = flux_e / w
+        aW = roll_x(flux_e) / w
+        aN = Dn * cy
+        aS = Ds * cy
+        return _apply_face_mask((aE, aW, aN, aS), face_mask)
+
+
 def face_openness(ny: int, nx: int, boundary: str = "periodic",
                   tissue=None):
     """0/1 face-openness masks (oE, oW, oN, oS) for the divergence-form
@@ -355,7 +534,7 @@ def _apply_face_mask(faces, face_mask):
     return tuple(a * o for a, o in zip(faces, face_mask))
 
 
-Geometry = Union[FlatGeometry, TorusGeometry]
+Geometry = Union[FlatGeometry, TorusGeometry, RevolutionGeometry]
 
 
 def make_grid(cfg: SimConfig) -> Grid:
@@ -363,9 +542,27 @@ def make_grid(cfg: SimConfig) -> Grid:
                 ymin=cfg.ymin, ymax=cfg.ymax)
 
 
-def make_geometry(cfg: SimConfig) -> Geometry:
+def make_geometry(cfg: SimConfig, profile=None) -> Geometry:
+    """profile: for the generic revolution surfaces, (rho, z) or
+    (rho, z, (drho, dz)) — see RevolutionGeometry.from_profile. Closed
+    ("revolution") profiles must be 2pi-periodic callables (the seam face
+    is evaluated at 2pi + dx/2, like TorusGeometry's ring_e)."""
     grid = make_grid(cfg)
     if cfg.surface == "torus":
         return TorusGeometry(grid=grid, diffusion=cfg.diffusion,
                              R=cfg.major_radius, r=cfg.minor_radius)
+    if cfg.surface == "sphere":
+        return RevolutionGeometry.sphere(grid, cfg.diffusion,
+                                         cfg.major_radius)
+    if cfg.surface in ("revolution", "revolution_capped"):
+        if profile is None:
+            raise ValueError(
+                f"surface={cfg.surface!r} needs a profile: "
+                "build_problem(cfg, profile=(rho, z)) or "
+                "(rho, z, (drho, dz))")
+        rho, z = profile[0], profile[1]
+        derivs = profile[2] if len(profile) > 2 else None
+        return RevolutionGeometry.from_profile(
+            grid, cfg.diffusion, rho, z,
+            capped=(cfg.surface == "revolution_capped"), derivs=derivs)
     return FlatGeometry(grid=grid, diffusion=cfg.diffusion)

@@ -135,9 +135,10 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
     wave_len = (cfg.ymax - cfg.ymin) * cfg.wave_length
     wave_wid = (cfg.xmax - cfg.xmin) * cfg.wave_width
 
-    if cfg.surface == "torus":
+    if cfg.surface in ("torus", "revolution"):
         # segment centred at theta=pi (inside) or wrapping theta=0 (outside)
-        # (src/FHNmodel_torus.cpp:284-300)
+        # (src/FHNmodel_torus.cpp:284-300); closed revolution surfaces share
+        # the torus's v in [0, 2pi] convention
         if cfg.wave_inside == 1:
             wxmin = np.pi - wave_wid / 2.0
             wxmax = np.pi + wave_wid / 2.0
@@ -146,6 +147,13 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
             wxmin = -wave_wid / 2.0 + (cfg.xmax - cfg.xmin)
             wxmax = wave_wid / 2.0
             in_x = (X >= wxmin) | (X <= wxmax)
+    elif cfg.capped:
+        # capped (sphere-like) surfaces: v in (0, pi) does not wrap; the
+        # segment straddles the equator v = pi/2 (waveInside is moot — no
+        # seam to wrap across)
+        wxmin = np.pi / 2.0 - wave_wid / 2.0
+        wxmax = np.pi / 2.0 + wave_wid / 2.0
+        in_x = (X >= wxmin) & (X <= wxmax)
     else:
         # flat: segment centred at width/2 (src/FHNmodel_flat.cpp:280-282)
         mid = cfg.surface_width / 2.0
@@ -473,7 +481,7 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
 
 def build_problem(cfg: SimConfig, diffusion_field=None,
                   forcing=None, diffusion_tensor=None,
-                  obstacle_mask=None) -> Problem:
+                  obstacle_mask=None, profile=None) -> Problem:
     """diffusion_field: optional absolute D(x) array (scalar/(nx,)/(ny,nx))
     switching diffusion to the conservative variable-coefficient operator;
     when omitted, cfg.coupling may imply one (diffusion_field_from_cfg).
@@ -495,11 +503,20 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
     NOTE: API-injected fields/tensors/forcing are not part of the
     checkpoint config fingerprint (io/checkpoint.py covers cfg-derived
     physics only) — resuming with a different injected term is the
-    caller's contract."""
+    caller's contract.
+
+    profile: (rho, z) or (rho, z, (drho, dz)) callables for the generic
+    revolution surfaces (cfg.surface in {"revolution",
+    "revolution_capped"}; core/grid.py::RevolutionGeometry.from_profile).
+    Same fingerprint caveat as the other API-injected terms."""
     cfg = cfg.validate()
     dtype = jnp.dtype(cfg.dtype)
     model = get_model(cfg.model)
-    geometry = make_geometry(cfg)
+    if profile is not None and cfg.surface not in ("revolution",
+                                                   "revolution_capped"):
+        raise ValueError("profile= is only meaningful for the generic "
+                         f"revolution surfaces, not surface={cfg.surface!r}")
+    geometry = make_geometry(cfg, profile=profile)
     if diffusion_tensor is not None:
         if diffusion_field is not None or cfg.coupling != "none":
             raise ValueError("diffusion_tensor is mutually exclusive with "
@@ -517,6 +534,11 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
         geometry.tensor_coeffs64(*diffusion_tensor)
     if diffusion_field is None:
         diffusion_field = diffusion_field_from_cfg(cfg, geometry)
+        if diffusion_field is None and geometry.kind == "revolution":
+            # revolution surfaces have no hand-expanded stencil form: they
+            # always take the conservative divergence operator, with the
+            # constant cfg.diffusion as the (x-profile-compatible) field
+            diffusion_field = np.float64(cfg.diffusion)
     else:
         diffusion_field = np.asarray(diffusion_field, dtype=np.float64)
         if not np.all(diffusion_field >= 0.0):

@@ -32,9 +32,10 @@ from crdmodel_tpu.config import SimConfig
 _PHYSICS_FIELDS = (
     "model", "surface", "diffusion", "beta", "surface_width",
     "surface_length", "wave_length", "wave_width", "wave_inside",
-    "output_timestep", "t_boundary", "t_final", "x_mesh", "beta_min",
-    "beta_max", "vary_beta", "just_diffusion", "ic_type", "rng_seed",
-    "rtol", "atol", "method", "step_mode", "coupling", "boundary",
+    "output_timestep", "t_boundary", "t_final", "x_mesh", "y_mesh",
+    "beta_min", "beta_max", "vary_beta", "just_diffusion", "ic_type",
+    "rng_seed", "rtol", "atol", "method", "step_mode", "coupling",
+    "boundary",
 )
 
 

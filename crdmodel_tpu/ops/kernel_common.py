@@ -24,6 +24,19 @@ def lane_pad_width(n_phys: int, p: int) -> int:
     return ((n_phys + 2 * p + 127) // 128) * 128
 
 
+def coeff_kind(geometry_kind: str) -> str:
+    """The kernels' coefficient layout for a geometry kind.
+
+    "torus" = x-profile coefficients (three (nx,) rows in VMEM); "flat" =
+    scalars in SMEM. Surfaces of revolution (core/grid.py::
+    RevolutionGeometry) use the SAME x-profile layout — their conservative
+    face form maps exactly onto the kernels' 3-profile structure via
+    kernel_stencil_coeffs, with capped (sphere-like) surfaces carrying
+    zero end-face coefficients so the kernels' periodic wrap in x leaks
+    nothing (zero-multiplied halo values, like obstacle walls)."""
+    return "torus" if geometry_kind in ("torus", "revolution") else geometry_kind
+
+
 def make_rhs_block(kind: str, model, just_diffusion: bool):
     """Per-strip RHS: rhs_block(yb, stencil, b_rows, live_rows) -> ydot.
 
@@ -146,7 +159,7 @@ def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
     and the physical-lane error mask."""
     cfg = problem.cfg
     geometry = problem.geometry
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
     ny, nx = cfg.ny, cfg.nx
     nxp = lane_pad_width(nx, p)
 

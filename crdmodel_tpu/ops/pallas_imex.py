@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate import imex
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_wrap_strips, make_split_block, prepare_constants,
     read_strip_constants)
 
@@ -155,7 +156,7 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
 
     P = HALO
     S = _pick_strip(ny, _imex_strip_target(nx, nvars))

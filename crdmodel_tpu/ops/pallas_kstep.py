@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
     read_strip_constants)
 
@@ -98,7 +99,7 @@ def build_fused_kstep(problem, tableau: Tableau, k: int,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
 
     assert tableau.fsal and 1 <= k <= max_k(tableau)
     a = tableau.a.tolist()

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.pallas_step import _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
     read_strip_constants)
 
@@ -154,6 +155,29 @@ def choose_blocking(ny: int, nx: int, nvars: int):
     return fallback
 
 
+def pole_inflated_rho(problem, factor: float = 16.0) -> bool:
+    """True when a capped revolution geometry's coefficient profile is
+    pole-dominated: the max stencil row sum exceeds `factor` x the median.
+
+    Near a pole (rho -> 0) the phi-coefficient D/(rho dy)^2 grows like
+    nx^4, so the static diffusion spectral radius is set by a handful of
+    polar cells. The fused RKC kernels cap the Chebyshev stage count at
+    S_MAX_KERNEL (halo depth), which caps h at 0.65 (S-1)^2 / rho — with a
+    pole-inflated rho that cap is ~(256/23)^2 ~ 120x tighter than the XLA
+    path's S_MAX=256, so the kernels must decline and leave rkc2 to XLA
+    (core/grid.py::RevolutionGeometry pole-accuracy note). Capped profiles
+    with rho bounded away from 0 (tubes) are not inflated and stay
+    eligible."""
+    geometry = problem.geometry
+    if getattr(geometry, "kind", None) != "revolution" \
+            or not getattr(geometry, "capped", False):
+        return False
+    aE, aW, aN, aS = geometry.divergence_coeffs64(problem.diffusion_field)
+    rowsum = sum(np.broadcast_to(a, (geometry.grid.nx,)) if a.ndim <= 1
+                 else a.max(axis=0) for a in (aE, aW, aN, aS))
+    return bool(np.max(rowsum) > factor * np.median(rowsum))
+
+
 def is_rkc_supported(problem, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -161,6 +185,8 @@ def is_rkc_supported(problem, dtype) -> bool:
     if not choose_blocking(cfg.ny, cfg.nx, problem.model.nvars)[1]:
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
+        return False
+    if pole_inflated_rho(problem):
         return False
     return True
 
@@ -282,7 +308,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
 
     if rho_fn is None:
         from crdmodel_tpu.core.problem import make_rho_bound
@@ -510,7 +536,7 @@ def _build_blocked(problem, dtype, rho_fn, interpret, nb,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
 
     P_COL = P_RKC
     W = nx // nb

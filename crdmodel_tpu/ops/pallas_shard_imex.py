@@ -30,6 +30,7 @@ from crdmodel_tpu.integrate import imex  # noqa: F401 (re-exported scheme)
 from crdmodel_tpu.ops.pallas_imex import _imex_strip_target, imex_block_step
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_edge_strips, make_shard_halo_helpers,
     make_split_block, read_strip_constants)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
@@ -65,7 +66,7 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = problem.geometry.kind
+    kind = coeff_kind(problem.geometry.kind)
 
     P = HALO
     S = _pick_strip(nyl, target=_imex_strip_target(nxl, nvars))

@@ -35,6 +35,7 @@ from crdmodel_tpu.ops.pallas_rkc import (
     S_MAX_KERNEL, P_RKC, static_stage_tables)
 from crdmodel_tpu.ops.pallas_step import _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_edge_strips, make_shard_halo_helpers, make_rhs_block, read_strip_constants)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
@@ -61,6 +62,10 @@ def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
         return False  # multi-strip row windows must not wrap (see kernel)
     if problem.model.jac_bound is None and not problem.cfg.just_diffusion:
         return False
+    from crdmodel_tpu.ops.pallas_rkc import pole_inflated_rho
+    if pole_inflated_rho(problem):
+        return False  # capped-sphere pole rho exceeds the kernel's
+        # stage-count coverage ~120x sooner than XLA's S_MAX=256
     return True
 
 
@@ -86,7 +91,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = problem.geometry.kind
+    kind = coeff_kind(problem.geometry.kind)
 
     if rho_fn is None:
         raise ValueError("sharded fused RKC needs a pmax'd rho_fn")

@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_edge_strips, make_shard_halo_helpers, make_rhs_block, read_strip_constants)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
@@ -115,7 +116,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = problem.geometry.kind
+    kind = coeff_kind(problem.geometry.kind)
 
     a = tableau.a.tolist()
     bw = tableau.b.tolist()

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.kernel_common import (
+    coeff_kind,
     freeze_scalar, load_wrap_strips, make_rhs_block, prepare_constants,
     read_strip_constants)
 
@@ -113,7 +114,7 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
     rtol, atol = float(cfg.rtol), float(cfg.atol)
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
-    kind = geometry.kind
+    kind = coeff_kind(geometry.kind)
 
     a = tableau.a
     bw = tableau.b

@@ -33,6 +33,7 @@ from crdmodel_tpu.core.problem import Problem, beta_field, build_problem
 from crdmodel_tpu.integrate.erk import integrate_to_outputs
 from crdmodel_tpu.ops.stencil import (divergence_from_padded,
                                       laplacian_from_padded)
+from crdmodel_tpu.ops.kernel_common import coeff_kind
 from crdmodel_tpu.parallel.halo import halo_pad
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
 from crdmodel_tpu.sim import SimResult, output_times
@@ -287,7 +288,7 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
-            problem.geometry.kind != "torus"
+            problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
@@ -321,7 +322,7 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     production configuration for diffusion-limited large grids on a mesh."""
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
-            problem.geometry.kind != "torus"
+            problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
@@ -353,7 +354,7 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
     one halo exchange per ark324 step, shard-local Newton in-kernel."""
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
-            problem.geometry.kind != "torus"
+            problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):
         return None   # only theta-only torus fields map onto the kernels
                       # (ops/kernel_common.py::kernel_stencil_coeffs)
@@ -441,7 +442,7 @@ def build_local_run(problem: Problem, mesh,
     mesh: a Mesh or an {axis: size} dict covering the SPATIAL axes only."""
     cfg = problem.cfg
     model = problem.model
-    kind = problem.geometry.kind
+    kind = coeff_kind(problem.geometry.kind)
     touts = output_times(cfg)
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
@@ -603,7 +604,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
 
     cfg = problem.cfg
     model = problem.model
-    kind = problem.geometry.kind
+    kind = coeff_kind(problem.geometry.kind)
     pad_spec = mesh_pad_spec(cfg, mesh)
     padded = pad_spec is not None
     divergence = problem.diffusion_field is not None

@@ -77,7 +77,7 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
-            problem.geometry.kind != "torus"
+            problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):
         # full 2-D / flat-surface diffusion fields: XLA divergence path only
         # (theta-only torus fields map onto the kernels' profile form —

@@ -51,6 +51,28 @@ def _model_naming(model_name: str):
             f"{model_name.capitalize()}timeSteps.pvd")
 
 
+def map_output_to_surface(result, outdir: str = ".",
+                          mesh_nx: Optional[int] = None) -> str:
+    """Surface-generic mapper: torus runs keep the reference's exact layout
+    (map_output_to_torus); sphere / revolution runs use the parametric
+    revolution mesh (torus_mesh.py::revolution_mesh) with the same step-vtp
+    + pvd collection structure."""
+    cfg = result.cfg
+    if cfg.surface == "torus":
+        return map_output_to_torus(result, outdir, mesh_nx)
+    if result.problem.geometry.kind != "revolution":
+        raise ValueError("map_output_to_surface needs a torus / sphere / "
+                         "revolution run")
+    from crdmodel_tpu.viz.torus_mesh import revolution_mesh
+    geometry = result.problem.geometry
+    pts, tris, cell_rc = revolution_mesh(geometry, mesh_nx,
+                                         None if mesh_nx is None else
+                                         max(1, (mesh_nx * cfg.ny) // cfg.nx))
+    mesh_ny = int(cell_rc[:, 0].max()) + 1
+    mesh_nx = int(cell_rc[:, 1].max()) + 1
+    return _write_steps(result, pts, tris, cell_rc, mesh_nx, mesh_ny, outdir)
+
+
 def map_output_to_torus(result, outdir: str = ".",
                         mesh_nx: Optional[int] = None) -> str:
     """result: SimResult of a torus run. Writes step vtps + pvd; returns the
@@ -62,6 +84,12 @@ def map_output_to_torus(result, outdir: str = ".",
     mesh_ny = int(mesh_nx * cfg.major_radius / cfg.minor_radius)
     pts, tris, cell_rc = torus_mesh(cfg.major_radius, cfg.minor_radius,
                                     mesh_nx, mesh_ny)
+    return _write_steps(result, pts, tris, cell_rc, mesh_nx, mesh_ny, outdir)
+
+
+def _write_steps(result, pts, tris, cell_rc, mesh_nx, mesh_ny,
+                 outdir: str) -> str:
+    cfg = result.cfg
     # grid sample indices for each cell (mesh resolution may differ from the
     # field grid: map proportionally, the reference's rc rounding)
     rows = np.minimum((cell_rc[:, 0] * cfg.ny) // mesh_ny, cfg.ny - 1)

@@ -68,6 +68,7 @@ def render_frames(field: np.ndarray, cfg, outdir: str,
         frame_prefix = default_frame_prefix(cfg)
     var_label = var_label or ("u" if cfg.model == "fhn" else "Z")
     xlabel, ylabel = (("theta", "phi") if cfg.surface == "torus"
+                      else ("v", "phi") if cfg.surface != "flat"
                       else ("x", "y"))
     hopfs = hopf_positions(cfg)
 

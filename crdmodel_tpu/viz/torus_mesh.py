@@ -69,6 +69,66 @@ def xyz_to_angles(xyz, R: float, r: float):
     return phi, theta
 
 
+def revolution_mesh(geometry, mesh_nx: int = None, mesh_ny: int = None):
+    """Parametric mesh for a generic surface of revolution
+    (core/grid.py::RevolutionGeometry) — the torus_mesh construction with
+    the profile as data. Returns (points, triangles, cell_rc) with the same
+    cell -> (row, col) grid-sample association.
+
+    Closed surfaces: node rings at v = 2 pi k / nx, periodic (exactly
+    torus_mesh for the torus profile). Capped surfaces: node rings at the
+    FACE positions v = pi k / nx, k = 0..nx — the end rings sit exactly on
+    the caps (rho -> 0 poles collapse each end ring to a coincident apex;
+    the resulting zero-area triangles are harmless to ParaView), and cell
+    (i, j) spans rings i..i+1 so every grid cell gets a quad.
+    """
+    g = geometry.grid
+    nx = mesh_nx or g.nx
+    ny = mesh_ny or g.ny
+    if geometry.rho_fn is None or geometry.z_fn is None:
+        raise ValueError("revolution_mesh needs the geometry's profile "
+                         "callables (RevolutionGeometry.from_profile)")
+    if geometry.capped:
+        v = np.pi * np.arange(nx + 1) / nx       # faces incl. both caps
+        n_rings, wrap_v = nx + 1, False
+    else:
+        v = 2 * np.pi * np.arange(nx) / nx
+        n_rings, wrap_v = nx, True
+    ph = 2 * np.pi * np.arange(ny) / ny
+    rho = np.asarray(geometry.rho_fn(v), np.float64) + np.zeros_like(v)
+    z = np.asarray(geometry.z_fn(v), np.float64) + np.zeros_like(v)
+    V, PH = np.meshgrid(np.arange(n_rings), ph)   # (ny, n_rings)
+    RHO = rho[V]
+    pts = np.stack([RHO * np.cos(PH), RHO * np.sin(PH),
+                    z[V]], axis=-1).reshape(-1, 3)
+
+    def pid(i, j):
+        return (j % ny) * n_rings + (i % n_rings if wrap_v else i)
+
+    tris = []
+    cell_rc = []
+    for j in range(ny):
+        for i in range(nx):
+            p00, p10 = pid(i, j), pid(i + 1, j)
+            p01, p11 = pid(i, j + 1), pid(i + 1, j + 1)
+            tris.append((p00, p10, p11))
+            tris.append((p00, p11, p01))
+            cell_rc.append((j, i))
+            cell_rc.append((j, i))
+    return (pts, np.asarray(tris, dtype=np.int64),
+            np.asarray(cell_rc, dtype=np.int64))
+
+
+def generate_revolution_vtp(geometry, cfg, outdir: str = ".") -> str:
+    """P5 analogue for the beyond-reference surfaces: writes
+    <surface>_mesh<nx>.vtp for a sphere / generic revolution run."""
+    import os
+    pts, tris, _ = revolution_mesh(geometry)
+    name = f"{cfg.surface}_mesh{cfg.nx}.vtp"
+    os.makedirs(outdir, exist_ok=True)
+    return write_vtp(os.path.join(outdir, name), pts, tris)
+
+
 def generate_torus_vtp(cfg, outdir: str = ".", manual: bool = False) -> str:
     """P5 equivalent: writes torus_R<L>_r<W>_mesh<nx>.vtp (same naming as
     util/GenTorus.py:54). manual=True reproduces P6's hardcoded

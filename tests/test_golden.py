@@ -61,6 +61,12 @@ CASES = {
                                 beta=0.15, diffusion=1.0),
     "aliev_panfilov_torus": dict(model="aliev_panfilov", surface="torus",
                                  beta=0.15, diffusion=1.0),
+    # sphere (round 3): drift anchors for the surfaces-of-revolution
+    # geometry — the capped metric, pole closure and staggered x-grid
+    # (core/grid.py::RevolutionGeometry; tests/test_sphere.py)
+    "fhn_sphere": dict(model="fhn", surface="sphere", beta=1.25),
+    "barkley_sphere": dict(model="barkley", surface="sphere", beta=0.05,
+                           diffusion=1.0),
 }
 BASE = dict(x_mesh=16, surface_width=20, surface_length=40,
             t_final=1.0, output_timestep=2, wave_length=0.1, wave_width=0.5,
@@ -105,7 +111,9 @@ def test_cases_cover_every_model_surface():
     from crdmodel_tpu.models.base import _REGISTRY
     covered = {(CASES[c]["model"], CASES[c]["surface"]) for c in CASES}
     want = {(m, s) for m in _REGISTRY for s in ("flat", "torus")}
-    assert covered == want, want - covered
+    # every model on the reference's two surfaces, plus the sphere drift
+    # anchors (the extra surfaces don't need per-model fixtures)
+    assert want <= covered, want - covered
 
 
 if __name__ == "__main__":
