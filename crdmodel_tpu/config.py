@@ -146,6 +146,17 @@ class SimConfig:
     # faces are multiplied by zero). Internal obstacles:
     # build_problem(cfg, obstacle_mask=...).
     boundary: str = "periodic"
+    # Reduced (pole-coarsened) grid for capped revolution surfaces
+    # (sphere): merge phi cells near the poles into power-of-2 blocks so
+    # the effective phi cell width — and the diffusion spectral radius —
+    # stays at the equatorial scale instead of growing ~nx^4
+    # (core/grid.py::RevolutionGeometry.pole_group_sizes; the standard
+    # climate-model answer to the lat-lon pole tax). Conservative and
+    # self-adjoint (Galerkin block operator); phi resolution near the
+    # poles drops to ~the equatorial physical resolution. Single-device
+    # XLA path only this round (sharded drivers refuse; fused kernels
+    # decline). 0 = off (full lat-lon grid).
+    pole_coarsen: int = 0
 
     # ------------------------------------------------------------------
     # Derived geometry. Conventions reproduced exactly from the reference
@@ -275,6 +286,10 @@ class SimConfig:
                              "(torus/sphere/revolution surfaces are closed; "
                              "capped surfaces already carry zero-flux end "
                              "caps in their face coefficients)")
+        if self.pole_coarsen and not self.capped:
+            raise ValueError("pole_coarsen needs a capped revolution "
+                             "surface (sphere / revolution_capped) — "
+                             "other surfaces have no pole tax to reduce")
         return self
 
 
@@ -305,6 +320,7 @@ _SYSTEM_KEYS = {
     # documented in the reference inis but never read by any main
     # (data/FHNmodelArgs.ini:38); accepted and ignored for compatibility
     "symmetricIC": (None, int),
+    "poleCoarsen": ("pole_coarsen", int),   # framework extension
 }
 
 

@@ -445,6 +445,33 @@ class RevolutionGeometry:
         dv dphi) in which the operator conserves sum(w * u) exactly."""
         return self.se_p * self.rho_p
 
+    def pole_group_sizes(self) -> np.ndarray:
+        """(nx,) power-of-2 phi-coarsening group sizes for the reduced
+        (pole-coarsened) grid (cfg.pole_coarsen=1): the smallest g with
+        rho_i * g >= rho_max / 2, so every coarsened ring's effective phi
+        cell width g*rho_i*dy stays within a factor ~2 of the widest
+        ring's. g divides ny (clamped down to the largest power of 2 that
+        does, and to ny//4). Equatorial rings get g=1 (untouched). The
+        climate-model "reduced grid" answer to the lat-lon pole tax: the
+        phi stencil coefficient D/(g rho dy)^2 — and with it the diffusion
+        spectral radius — stays at the equatorial scale instead of growing
+        ~nx^4 (docs/PERF_NOTES.md "Sphere pole CFL anatomy")."""
+        ny = self.grid.ny
+        rho_max = float(np.max(self.rho_p))
+        g = np.ones(self.grid.nx, dtype=np.int64)
+        need = rho_max / (2.0 * self.rho_p)
+        mask = need > 1.0
+        g[mask] = 2 ** np.ceil(np.log2(need[mask])).astype(np.int64)
+        g_cap = 1
+        while g_cap * 2 <= ny // 4 and ny % (g_cap * 2) == 0:
+            g_cap *= 2
+        g = np.minimum(g, g_cap)
+        # clamp each to the largest power of 2 dividing ny
+        for i in np.nonzero(g > 1)[0]:
+            while ny % g[i]:
+                g[i] //= 2
+        return g
+
     def divergence_coeffs(self, dfield, dtype=jnp.float32, face_mask=None):
         """Face coefficients (aE, aW, aN, aS) of div(D grad u); see
         FlatGeometry/TorusGeometry — identical contract, generic metric."""

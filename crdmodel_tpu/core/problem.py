@@ -268,6 +268,60 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
     return jnp.asarray(bg, dtype=dtype)
 
 
+def pole_bands_spec(cfg: SimConfig, geometry: Geometry):
+    """Contiguous (start, stop, g) runs of phi-coarsened rings, or () when
+    pole coarsening is off / inapplicable (cfg.pole_coarsen,
+    core/grid.py::RevolutionGeometry.pole_group_sizes)."""
+    if not getattr(cfg, "pole_coarsen", 0) \
+            or not getattr(geometry, "capped", False):
+        return ()
+    g_arr = geometry.pole_group_sizes()
+    bands = []
+    i = 0
+    nx = geometry.grid.nx
+    while i < nx:
+        if g_arr[i] > 1:
+            j = i
+            while j < nx and g_arr[j] == g_arr[i]:
+                j += 1
+            bands.append((i, j, int(g_arr[i])))
+            i = j
+        else:
+            i += 1
+    return tuple(bands)
+
+
+def _pole_bands(cfg, geometry, diffusion_field, dtype, face_mask=None,
+                diffusion_tensor=None):
+    """(bands, face_coeffs) for the pole-coarsened operator, or None when
+    coarsening is off. bands = ((col_slice, g, coeff (w,)), ...) with
+    coeff = aN/g^2 (the block phi-Laplacian weight D/(rho g dy)^2);
+    face_coeffs = the fine flux form with phi faces zeroed on coarsened
+    rings."""
+    spec = pole_bands_spec(cfg, geometry)
+    if not spec:
+        return None
+    if face_mask is not None:
+        raise ValueError("pole_coarsen does not compose with no-flux/"
+                         "obstacle face masks (the block operator assumes "
+                         "ring-constant phi coefficients)")
+    if np.ndim(diffusion_field) > 1:
+        raise ValueError("pole_coarsen needs an x-profile (or constant) "
+                         "diffusion field")
+    aE64, aW64, aN64, aS64 = geometry.divergence_coeffs64(diffusion_field)
+    nx = geometry.grid.nx
+    fine = np.ones(nx, dtype=np.float64)
+    for i, j, _g in spec:
+        fine[i:j] = 0.0
+    face_coeffs = (jnp.asarray(aE64, dtype), jnp.asarray(aW64, dtype),
+                   jnp.asarray(aN64 * fine, dtype),
+                   jnp.asarray(aS64 * fine, dtype))
+    bands = tuple((slice(i, j), g,
+                   jnp.asarray(aN64[i:j] / (g * g), dtype))
+                  for i, j, g in spec)
+    return bands, face_coeffs
+
+
 def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
              split: bool = False, diffusion_field=None, forcing=None,
              diffusion_tensor=None, face_mask=None, obstacle_mask=None):
@@ -312,11 +366,35 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
         coeffs = None
     elif diffusion_field is not None:
-        face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype,
-                                                 face_mask=face_mask)
+        pole_bands = _pole_bands(cfg, geometry, diffusion_field, dtype,
+                                 face_mask=face_mask,
+                                 diffusion_tensor=diffusion_tensor)
+        if pole_bands is not None:
+            bands, face_coeffs = pole_bands
 
-        def lap(u, _):
-            return divergence_laplacian(u, face_coeffs)
+            def lap(u, _):
+                # reduced (pole-coarsened) grid: fine 5-point flux form
+                # with the phi faces zeroed on coarsened rings, plus the
+                # conservative Galerkin block operator per band —
+                # fine-cell rate = broadcast of the block-mean Laplacian,
+                # coeff aN/g^2 (core/grid.py::pole_group_sizes)
+                out = divergence_laplacian(u, face_coeffs)
+                for sl, g, c in bands:
+                    usub = u[..., sl]
+                    nyg = usub.shape[-2] // g
+                    ub = usub.reshape(usub.shape[:-2]
+                                      + (nyg, g, usub.shape[-1])).mean(-2)
+                    lapb = c * (jnp.roll(ub, -1, -2) - 2.0 * ub
+                                + jnp.roll(ub, 1, -2))
+                    out = out.at[..., sl].add(
+                        jnp.repeat(lapb, g, axis=-2))
+                return out
+        else:
+            face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype,
+                                                     face_mask=face_mask)
+
+            def lap(u, _):
+                return divergence_laplacian(u, face_coeffs)
 
         coeffs = None
     else:
@@ -450,7 +528,18 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
         # walls shrink the bound, never grow it)
         aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field,
                                                       face_mask)
-        rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
+        spec = pole_bands_spec(cfg, geometry)
+        if spec:
+            # reduced grid: coarsened rings' phi operator is the Galerkin
+            # block form with coefficient aN/g^2, whose Gershgorin radius
+            # replaces the fine 4*aN — this is the whole point: the bound
+            # drops from the polar ~nx^4 scale to the equatorial scale
+            geff = np.ones(geometry.grid.nx, dtype=np.float64)
+            for i, j, g in spec:
+                geff[i:j] = float(g * g)
+            rho_diff = float(2.0 * np.max(aE + aW + (aN + aS) / geff))
+        else:
+            rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
     elif geometry.kind == "torus":
         coeffs = geometry.stencil_coeffs(jnp.float64)
         c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)

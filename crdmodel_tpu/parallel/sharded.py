@@ -177,6 +177,12 @@ def sharded_params(problem: Problem, pad_spec=None):
     the physical value range (they are masked out of the dynamics, but
     spectral-radius bounds still see their values)."""
     cfg = problem.cfg
+    if getattr(cfg, "pole_coarsen", 0):
+        raise ValueError(
+            "pole_coarsen is a single-device XLA feature this round: the "
+            "phi block means span whole rings, which a phi-sharded mesh "
+            "splits across devices (core/problem.py::_pole_bands). Run "
+            "the sphere unsharded, or sharded without pole_coarsen.")
     dtype = jnp.dtype(cfg.dtype)
     padded = pad_spec is not None and pad_spec.active
     dxy = None
@@ -299,6 +305,8 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    if getattr(cfg, "pole_coarsen", 0):
+        return None   # reduced-grid pole coarsening: XLA single-device only
     if pad_spec is not None and pad_spec.active:
         return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
@@ -333,6 +341,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    if getattr(cfg, "pole_coarsen", 0):
+        return None   # reduced-grid pole coarsening: XLA single-device only
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
@@ -365,6 +375,8 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
         return None   # anisotropic 9-point operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    if getattr(cfg, "pole_coarsen", 0):
+        return None   # reduced-grid pole coarsening: XLA single-device only
     if pad_spec is not None and pad_spec.active:
         return None   # see maybe_fused_shard_step
     if cfg.method != "ark324":

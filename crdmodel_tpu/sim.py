@@ -87,6 +87,10 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
         return False
+    if getattr(cfg, "pole_coarsen", 0):
+        # reduced-grid pole coarsening is an XLA-only operator (block
+        # means + scatter-add; core/problem.py::_pole_bands)
+        return False
     if getattr(problem, "face_mask", None) is not None:
         # no-flux boundaries / obstacle walls live in masked 2-D face
         # coefficients — XLA divergence path only

@@ -401,6 +401,119 @@ class TestPoleRhoGate:
         assert not pole_inflated_rho(build_problem(cfg))
 
 
+class TestPoleCoarsen:
+    """Reduced (pole-coarsened) grid: cfg.pole_coarsen=1 merges phi cells
+    near the poles into power-of-2 blocks (Galerkin block operator), so
+    the diffusion spectral radius stays at the equatorial scale instead
+    of the polar ~nx^4 (docs/PERF_NOTES.md "Sphere pole CFL anatomy")."""
+
+    def _cfg(self, **kw):
+        base = dict(model="fhn", surface="sphere", x_mesh=96,
+                    dtype="float64", diffusion=0.12, surface_length=80.0,
+                    t_final=1.0, output_timestep=1, pole_coarsen=1)
+        base.update(kw)
+        return SimConfig(**base)
+
+    def test_group_sizes(self):
+        g = build_problem(self._cfg()).geometry.pole_group_sizes()
+        ny = self._cfg().ny
+        assert g[0] > 1 and g[-1] > 1            # poles coarsened
+        assert (g[g.size // 2 - 2:g.size // 2 + 2] == 1).all()  # equator
+        assert all(ny % int(x) == 0 for x in g)   # blocks tile the ring
+        assert np.array_equal(g, g[::-1])         # symmetric
+        assert set(np.unique(g)) <= {2 ** k for k in range(16)}
+
+    def test_conservation_and_self_adjoint_coarse(self):
+        cfg = self._cfg(just_diffusion=1)
+        p = build_problem(cfg)
+        w = p.geometry.row_weights()[None, :]
+        rng = np.random.default_rng(3)
+        u = rng.standard_normal((cfg.ny, cfg.nx))
+        v = rng.standard_normal((cfg.ny, cfg.nx))
+        z = jnp.zeros((2, cfg.ny, cfg.nx))
+        Lu = np.asarray(p.rhs(0.0, z.at[0].set(u), p.params))[0]
+        Lv = np.asarray(p.rhs(0.0, z.at[0].set(v), p.params))[0]
+        assert abs(np.sum(w * Lu)) < 1e-13 * np.abs(w * u).sum()
+        a, b = np.sum(w * v * Lu), np.sum(w * u * Lv)
+        assert abs(a - b) < 1e-12 * abs(a)
+
+    def test_rho_bound_drops_to_equatorial_scale(self):
+        from crdmodel_tpu.core.problem import make_rho_bound
+        cfg = self._cfg(just_diffusion=1)
+        p = build_problem(cfg)
+        cfg0 = dataclasses.replace(cfg, pole_coarsen=0)
+        p0 = build_problem(cfg0)
+        z = jnp.zeros((2, cfg.ny, cfg.nx))
+        rc = float(make_rho_bound(cfg, p.model, p.geometry, jnp.float64,
+                                  diffusion_field=p.diffusion_field)(
+                                      0.0, z, p.params))
+        rf = float(make_rho_bound(cfg0, p0.model, p0.geometry, jnp.float64,
+                                  diffusion_field=p0.diffusion_field)(
+                                      0.0, z, p0.params))
+        assert rf / rc > 100.0, (rc, rf)
+
+    def test_heat_decay_unaffected(self):
+        """Axisymmetric Y_2^0 decay through the driver is unchanged by
+        coarsening (block means of an axisymmetric field are exact)."""
+        cfg = self._cfg(just_diffusion=1, t_final=2.0)
+        p = build_problem(cfg)
+        R = cfg.major_radius
+        th = cfg.xmin + np.arange(cfg.nx) * cfg.dx
+        P2 = 0.5 * (3 * np.cos(th) ** 2 - 1)
+        p = dataclasses.replace(p, y0=p.y0.at[0].set(jnp.asarray(
+            np.broadcast_to(P2, (cfg.ny, cfg.nx)))).at[1].set(0.0))
+        res = simulate(cfg, problem=p)
+        assert res.ok
+        amp = np.median(np.asarray(res.trajectory)[-1, 0] / P2[None, :])
+        assert abs(amp - np.exp(-6 * 0.12 / R ** 2 * 2.0)) < 2e-5
+
+    def test_wave_dynamics_match_fine_grid_away_from_poles(self):
+        """An equatorial FHN wave is insensitive to pole coarsening: the
+        coarse and fine runs agree except in the coarsened rings."""
+        cfg = self._cfg(x_mesh=64, t_final=1.0)
+        r_c = simulate(cfg)
+        r_f = simulate(dataclasses.replace(cfg, pole_coarsen=0))
+        g = build_problem(cfg).geometry.pole_group_sizes()
+        fine_cols = np.nonzero(g == 1)[0]
+        d = np.abs(np.asarray(r_c.trajectory)[-1][:, :, fine_cols]
+                   - np.asarray(r_f.trajectory)[-1][:, :, fine_cols])
+        assert d.max() < 1e-4, d.max()
+
+    def test_refusals_and_gates(self):
+        # non-capped surfaces refuse the flag
+        with pytest.raises(ValueError, match="pole_coarsen"):
+            SimConfig(model="fhn", surface="torus",
+                      pole_coarsen=1).validate()
+        # sharded drivers refuse
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import simulate_sharded
+        with pytest.raises(ValueError, match="single-device"):
+            simulate_sharded(self._cfg(x_mesh=64),
+                             mesh=make_mesh(shape=(2, 2)))
+        # fused kernels decline
+        from crdmodel_tpu.sim import _pallas_eligible
+        p = build_problem(self._cfg(x_mesh=64, dtype="float32",
+                                    use_pallas=True))
+        assert not _pallas_eligible(p, interpret=True)
+
+    def test_fingerprint_includes_pole_coarsen(self):
+        from crdmodel_tpu.io.checkpoint import config_fingerprint
+        assert config_fingerprint(self._cfg()) != \
+            config_fingerprint(self._cfg(pole_coarsen=0))
+
+    def test_checkpoint_resume_coarse(self, tmp_path):
+        from crdmodel_tpu.io.checkpoint import resume_streaming
+        from crdmodel_tpu.sim import simulate_streaming
+        cfg = self._cfg(x_mesh=48, output_timestep=4)
+        full = simulate_streaming(cfg)
+        ck = str(tmp_path / "ck.npz")
+        simulate_streaming(cfg, checkpoint_every=2, checkpoint_path=ck)
+        resumed = resume_streaming(cfg, ck)
+        np.testing.assert_allclose(
+            np.asarray(resumed.trajectory), np.asarray(full.trajectory),
+            rtol=1e-12, atol=1e-12)
+
+
 class TestViz:
     def test_revolution_mesh_on_sphere(self):
         cfg = _sphere_cfg(x_mesh=24, dtype="float32")
