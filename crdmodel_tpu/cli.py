@@ -345,6 +345,58 @@ def cmd_tips(args):
     return 0
 
 
+def cmd_maps(args):
+    """Wavefront-analysis maps over a finished run's output files
+    (viz/maps.py; beyond-reference analysis — activation/APD/CV maps are
+    the standard cardiac-mapping readouts, dominant-frequency maps the
+    standard fibrillation readout; the reference's post-processing stops
+    at movies/torus maps)."""
+    from crdmodel_tpu.core.grid import make_geometry
+    from crdmodel_tpu.io.trajectory import read_reference_files
+    from crdmodel_tpu.models import get_model
+    from crdmodel_tpu.viz import maps
+    cfg = _cfg_from_args(args)
+    model = get_model(cfg.model)
+    var = model.var_names[args.var]
+    u, _ = read_reference_files(args.dir, cfg.program_name, var)
+    touts = np.linspace(0.0, cfg.t_final, u.shape[0])
+    geometry = make_geometry(cfg)
+
+    act = maps.activation_times(u, touts, threshold=args.threshold)
+    apd = maps.apd_map(u, touts, frac=args.apd_frac)
+    speed, sx, sy = maps.conduction_velocity(act, geometry, vmax=args.vmax)
+    freq, frac = maps.dominant_frequency_map(u, touts)
+
+    out = os.path.join(args.dir, f"{cfg.program_name}_maps.npz")
+    maps.maps_to_npz(out, cfg=cfg, activation=act, apd=apd, cv=speed,
+                     slowness_x=sx, slowness_y=sy, dominant_freq=freq,
+                     dominant_power_frac=frac)
+    for name, arr in (("activation", act), (f"APD{args.apd_frac:.0%}"
+                                            .rstrip("%"), apd),
+                      ("conduction velocity", speed),
+                      ("dominant frequency", freq)):
+        print(maps.summarize(name, arr))
+    print(f"wrote {out}")
+    if args.png:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(2, 2, figsize=(11, 7), dpi=110)
+        for ax, (title, arr) in zip(axes.flat, (
+                ("activation time", act), ("APD", apd),
+                ("conduction velocity", speed), ("dominant freq", freq))):
+            im = ax.imshow(arr, origin="lower", aspect="auto",
+                           interpolation="nearest")
+            ax.set_title(title)
+            fig.colorbar(im, ax=ax, shrink=0.85)
+        fig.suptitle(f"{cfg.program_name} [{var}]")
+        png = os.path.join(args.dir, f"{cfg.program_name}_maps.png")
+        fig.savefig(png, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {png}")
+    return 0
+
+
 def cmd_stability(args):
     """Linear-stability report computed from the kinetics via AD — the
     numbers the reference hardcodes into its plot scripts (FHN Hopf line at
@@ -475,6 +527,26 @@ def main(argv=None):
     _add_model_args(p)
     p.add_argument("--dir", default="outputs")
     p.set_defaults(fn=cmd_tips)
+
+    p = sub.add_parser("maps",
+                       help="wavefront-analysis maps (activation time, "
+                            "APD, conduction velocity, dominant "
+                            "frequency) over a finished run's output "
+                            "files; writes <prog>_maps.npz")
+    _add_model_args(p)
+    p.add_argument("--dir", default="outputs")
+    p.add_argument("--var", type=int, default=0,
+                   help="variable index to analyse (default 0)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="activation threshold (default: data midrange)")
+    p.add_argument("--apd-frac", type=float, default=0.9,
+                   help="APD repolarisation fraction (0.9 = APD90)")
+    p.add_argument("--vmax", type=float, default=None,
+                   help="cap reported conduction velocities (collision "
+                        "ridges/breakthroughs read as near-infinite)")
+    p.add_argument("--png", action="store_true",
+                   help="also render a 4-panel figure <prog>_maps.png")
+    p.set_defaults(fn=cmd_maps)
 
     args = ap.parse_args(argv)
     return args.fn(args)

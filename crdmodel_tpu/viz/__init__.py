@@ -9,6 +9,10 @@ from crdmodel_tpu.viz.curvature import (
     gaussian_curvature, coupling_strength,
 )
 from crdmodel_tpu.viz.vtp import write_vtp, read_vtp, write_pvd
+from crdmodel_tpu.viz.maps import (activation_times, apd_map,
+                                   conduction_velocity,
+                                   dominant_frequency_map,
+                                   physical_spacings)
 
 __all__ = [
     "plot_movie", "render_frames", "hopf_positions",
@@ -17,4 +21,6 @@ __all__ = [
     "generate_curvature_coupling_vtp", "plot_curvature_profiles",
     "gaussian_curvature", "coupling_strength",
     "write_vtp", "read_vtp", "write_pvd",
+    "activation_times", "apd_map", "conduction_velocity",
+    "dominant_frequency_map", "physical_spacings",
 ]
