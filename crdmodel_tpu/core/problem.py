@@ -48,7 +48,10 @@ class Problem:
     # to (ny, nx)) when cfg.coupling != "none" or an explicit field was
     # passed to build_problem; None = the reference's constant-D stencil.
     # Kept on the Problem so the sharded drivers and kernel-eligibility
-    # gates can see it (fused kernels fall back to XLA for field diffusion).
+    # gates can see it (theta-only torus/revolution fields remap onto the
+    # profile kernels; everything else runs the generic divergence fused
+    # kernel, ops/pallas_divform.py, for the ERK methods and XLA for
+    # rkc2/ark324 — kernel_common.needs_divform).
     diffusion_field: object = None
     # anisotropic diffusion tensor (Dxx, Dyy, Dxy) — float64 numpy arrays
     # broadcastable to (ny, nx); flat surface only. Switches the operator
@@ -73,7 +76,8 @@ class Problem:
     # are inert walls (zero flux through every adjoining face AND frozen
     # kinetics — they hold their initial value exactly). face_mask is
     # non-None whenever cfg.boundary != "periodic" or an obstacle_mask was
-    # passed; fused kernels decline (XLA divergence path).
+    # passed; the divergence fused kernel runs these for the ERK methods
+    # (ops/pallas_divform.py; rkc2/ark324 + sharded take the XLA path).
     obstacle_mask: object = None
     face_mask: object = None
     # compiled-driver cache: repeated simulate()/simulate_streaming() calls
@@ -581,7 +585,8 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
     frozen kinetics — they hold their initial value exactly. Composes
     with cfg.boundary no-flux domain edges. Both force the conservative
     divergence operator (diffusion_field defaults to the constant
-    cfg.diffusion) and the XLA path (fused kernels decline).
+    cfg.diffusion); ERK methods run them through the fused divergence
+    kernel (ops/pallas_divform.py), rkc2/ark324 take the XLA path.
 
     diffusion_tensor: optional (Dxx, Dyy, Dxy) — anisotropic SPD tensor
     field (each entry scalar or broadcastable to (ny, nx)), flat surface

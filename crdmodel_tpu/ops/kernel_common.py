@@ -24,6 +24,30 @@ def lane_pad_width(n_phys: int, p: int) -> int:
     return ((n_phys + 2 * p + 127) // 128) * 128
 
 
+def needs_divform(problem) -> bool:
+    """True when the diffusion operator only exists in the general
+    divergence (face-coefficient) form — coefficients the 3-profile
+    kernels cannot express: masked faces (no-flux boundaries / obstacle
+    walls, grid.py::face_openness), full (ny, nx) diffusion fields, or
+    any diffusion field on the flat surface (only torus/revolution have
+    the profile remap of kernel_stencil_coeffs). These route to the
+    generic divergence fused kernel (ops/pallas_divform.py, ERK methods)
+    or the XLA divergence path (core/problem.py::make_rhs); the profile
+    kernels' is_*_supported gates must decline them."""
+    if problem.diffusion_tensor is not None:
+        return False            # the 9-point aniso kernel's territory
+    if getattr(problem.cfg, "pole_coarsen", 0):
+        return False            # reduced-grid operator is XLA-only
+    if getattr(problem, "face_mask", None) is not None:
+        return True
+    df = problem.diffusion_field
+    if df is None:
+        return False
+    if problem.geometry.kind not in ("torus", "revolution"):
+        return True
+    return np.ndim(df) > 1
+
+
 def coeff_kind(geometry_kind: str) -> str:
     """The kernels' coefficient layout for a geometry kind.
 
@@ -82,6 +106,98 @@ def make_rhs_block(kind: str, model, just_diffusion: bool):
         return ydot
 
     return rhs_block
+
+
+def make_divform_rhs_block(model, just_diffusion: bool):
+    """Per-strip RHS for the GENERAL divergence-form operator
+    (ops/pallas_divform.py and the divform branch of ops/pallas_rkc.py):
+
+        rhs_block(yb, faces, tis, ds, b_rows, live_rows) -> ydot
+
+    faces = (ae, aw, an, as_) — (R, nxp) face-coefficient strip windows
+    (as_ recovered by the caller's row roll of an); tis = None or a 0/1
+    tissue window multiplying ydot (obstacle scars, == the XLA path's
+    jnp.where); ds = scalar diffusion rescale (sweeps). Same difference
+    grouping as ops/stencil.py::divergence_laplacian."""
+    nvars = model.nvars
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+
+    def div_lap(u, faces, ds):
+        ae, aw, an, as_ = faces
+        ue = jnp.roll(u, -1, axis=-1)
+        uw = jnp.roll(u, 1, axis=-1)
+        un = jnp.roll(u, -1, axis=-2)
+        us = jnp.roll(u, 1, axis=-2)
+        lap = (ae * (ue - u) + aw * (uw - u)
+               + an * (un - u) + as_ * (us - u))
+        # ds=None skips the rescale entirely (pallas_rkc's divform branch:
+        # rkc2 sweeps never carry dscale, and a captured traced scalar is
+        # not a legal Pallas kernel constant)
+        return lap if ds is None else ds * lap
+
+    def rhs_block(yb, faces, tis, ds, b_rows, live_rows):
+        laps = {}
+        for idx, v in enumerate(dvars):
+            lap = div_lap(yb[v], faces, ds)
+            laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
+        if just_diffusion:
+            ydot = jnp.stack([laps[v] if v in laps else jnp.zeros_like(yb[0])
+                              for v in range(nvars)])
+        else:
+            react = model.kinetics(yb, b_rows)
+            ydot = jnp.stack([react[v] + laps[v] if v in laps else react[v]
+                              for v in range(nvars)])
+        if live_rows is not None:
+            ydot = ydot * live_rows
+        if tis is not None:
+            ydot = ydot * tis
+        return ydot
+
+    return rhs_block
+
+
+def build_coeff_hbm(fields, p_col, nx, nxp, dtype):
+    """Stack (ny, nx) f64 coefficient fields into ONE (n_coeff, ny, nxp)
+    array living in HBM: p_col wrapped halo columns + zero fill, no row
+    duplication. The kernels DMA per-strip row windows out of it at run
+    time with the same wrapped-row schedule as the state
+    (load_wrap_strips), so — unlike prebuilt (n_strips, R, nxp) windows —
+    there is no (R/S)x storage amplification and, passed as a RUNTIME
+    input (params['_divform_coeffs']), no giant baked constant: closure
+    constants ride the compile request, which the axon tunnel serves at
+    ~0.5 MB/s and rejects outright above ~128 MB (HTTP 413, measured
+    2026-08-19 — docs/PERF_NOTES.md 'fused divergence-form kernel')."""
+    rows = []
+    for f in fields:
+        ap = np.asarray(f, np.float64)
+        ap = np.concatenate([ap[:, -p_col:], ap, ap[:, :p_col]], axis=1)
+        fill = nxp - (ap.shape[1])
+        if fill:
+            ap = np.concatenate(
+                [ap, np.zeros((ap.shape[0], fill), ap.dtype)], axis=1)
+        rows.append(ap)
+    return jnp.asarray(np.stack(rows), dtype)
+
+
+def build_strip_windows(arr2d, n_strips, S, p_row, p_col, nx, nxp, dtype):
+    """(ny, nx) f64 field -> (n_strips, R, nxp) per-strip halo windows
+    (R = S + 2*p_row): p_col wrapped halo columns + zero fill to nxp, and
+    p_row wrapped halo rows around each strip — the coefficient-window
+    layout the divergence/anisotropic kernels pipeline via BlockSpecs
+    (the state's lane layout uses the kernel's column pad p_col, which
+    may differ from the row halo depth p_row — pallas_rkc's P_COL=24 vs
+    its P_LADDER row variants)."""
+    ap = np.asarray(arr2d, np.float64)
+    ap = np.concatenate([ap[:, -p_col:], ap, ap[:, :p_col]], axis=1)
+    fill = nxp - (nx + 2 * p_col)
+    if fill:
+        ap = np.concatenate(
+            [ap, np.zeros((ap.shape[0], fill), ap.dtype)], axis=1)
+    rows = np.concatenate([ap[-p_row:], ap, ap[:p_row]], axis=0)
+    R = S + 2 * p_row
+    return jnp.asarray(
+        np.stack([rows[i * S:i * S + R] for i in range(n_strips)]), dtype)
 
 
 def make_split_block(kind: str, model, just_diffusion: bool):
@@ -153,24 +269,32 @@ class KernelConstants:
     has_freeze: bool
 
 
-def prepare_constants(problem, dtype, p: int, pad_cols) -> KernelConstants:
+def prepare_constants(problem, dtype, p: int, pad_cols,
+                      with_coeffs: bool = True) -> KernelConstants:
     """Stencil coefficient profiles (lane-padded for the torus metric),
     the beta field and interior mask (row-padded by p with periodic wrap),
-    and the physical-lane error mask."""
+    and the physical-lane error mask. with_coeffs=False skips the
+    3-profile coefficient build (kernels that carry their own coefficient
+    layout — pallas_aniso reads tensor_coeffs64, pallas_divform full face
+    fields — and only want the beta/mask/col-mask plumbing)."""
     cfg = problem.cfg
     geometry = problem.geometry
     kind = coeff_kind(geometry.kind)
     ny, nx = cfg.ny, cfg.nx
     nxp = lane_pad_width(nx, p)
 
-    coeffs = kernel_stencil_coeffs(problem, dtype)
-    if kind == "torus":
+    if not with_coeffs:
+        c0 = c1 = c2 = None
+        coeff_spec = None
+    elif kind == "torus":
+        coeffs = kernel_stencil_coeffs(problem, dtype)
         c0 = pad_cols(jnp.asarray(coeffs[0]).reshape(1, nx))
         c1 = pad_cols(jnp.asarray(coeffs[1]).reshape(1, nx))
         c2 = pad_cols(jnp.asarray(coeffs[2]).reshape(1, nx))
         coeff_spec = pl.BlockSpec((1, nxp), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
     else:
+        coeffs = kernel_stencil_coeffs(problem, dtype)
         c0 = jnp.reshape(coeffs[0].astype(dtype), (1, 1))
         c1 = jnp.reshape(coeffs[1].astype(dtype), (1, 1))
         c2 = jnp.reshape(coeffs[2].astype(dtype), (1, 1))

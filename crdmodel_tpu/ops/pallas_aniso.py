@@ -113,8 +113,8 @@ def build_fused_aniso_step(problem, tableau: Tableau, dtype=jnp.float32,
         return arr[..., P:P + nx]
 
     # beta / freeze-mask / error-column-mask inputs (identical handling to
-    # the isotropic kernel; the c0..c2 profiles it also builds are unused)
-    kc = prepare_constants(problem, dtype, P, pad_cols)
+    # the isotropic kernel; the tensor coefficients ride their own windows)
+    kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
     # --- coefficient strip windows: (n_strips, R, nxp), f64 setup ---

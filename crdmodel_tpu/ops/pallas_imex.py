@@ -65,6 +65,9 @@ def is_imex_supported(problem, dtype) -> bool:
     matches the XLA stepper's ti = t + C[i]*h evaluation only because no
     registered model's kinetics depend on t. A time-dependent-kinetics
     extension must return False here (fall back to the XLA path)."""
+    from crdmodel_tpu.ops.kernel_common import needs_divform
+    if needs_divform(problem):
+        return False   # masked faces / 2-D fields: XLA divergence path
     if jnp.dtype(dtype) != jnp.float32:
         return False
     return _pick_strip(problem.cfg.ny,

@@ -56,17 +56,20 @@ VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _strip_target(nx: int, nvars: int, p: int = P_RKC,
-                  budget: int = VMEM_BUDGET) -> int:
+                  budget: int = VMEM_BUDGET, extra_live: int = 0) -> int:
     # column pad is ALWAYS P_RKC (the driver's padded-state layout is
-    # shared by every halo-depth variant); p sizes only the ROW halo
+    # shared by every halo-depth variant); p sizes only the ROW halo.
+    # extra_live: additional non-nvars-scaled (R, nxp) resident arrays
+    # (the divform branch's double-buffered coefficient windows)
     nxp = ((nx + 2 * P_RKC + 127) // 128) * 128
     live = 2 + 7   # 2 scratch slots + (y0, f0, yjm1, yjm2, fy, yj, est)
-    bytes_per_row = 4 * nxp * nvars * live
+    bytes_per_row = 4 * nxp * (nvars * live + extra_live)
     rows = max(1, budget // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * p) // 8 * 8))
 
 
-def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False):
+def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False,
+                 extra_live: int = 0):
     """Feasible (P, S) halo-depth variants, deepest first.
 
     A variant is feasible when (a) ny has a strip divisor at that depth's
@@ -99,13 +102,14 @@ def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False):
         if blocked:
             R = S + 2 * P
             return 4 * nxp * nvars * (14 * R + 2 * S) <= 15_500_000
-        return 4 * nxp * nvars * 9 * (S + 2 * P) <= guard
+        return 4 * nxp * (9 * nvars + extra_live) * (S + 2 * P) <= guard
 
     plan = []
     best_S = 0
     for P in P_LADDER:
         S = _pick_strip(ny, target=_strip_target(nx, nvars, P,
-                                                 budget=budget))
+                                                 budget=budget,
+                                                 extra_live=extra_live))
         while S is not None and not fits(P, S):
             S = _pick_strip(ny, target=S - 8)
         if S is None:
@@ -178,11 +182,35 @@ def pole_inflated_rho(problem, factor: float = 16.0) -> bool:
     return bool(np.max(rowsum) > factor * np.median(rowsum))
 
 
+def _divform_extra_live(problem) -> int:
+    """Double-buffered coefficient windows resident in the divform branch
+    (aE, aW, aN + the obstacle tissue mask) — fed to variant_plan's
+    extra_live VMEM accounting."""
+    from crdmodel_tpu.ops.pallas_divform import _n_windows
+    return 2 * _n_windows(problem)
+
+
 def is_rkc_supported(problem, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
-    if not choose_blocking(cfg.ny, cfg.nx, problem.model.nvars)[1]:
+    from crdmodel_tpu.ops.kernel_common import needs_divform
+    if needs_divform(problem):
+        # general divergence form (masked faces / 2-D fields): runs the
+        # divform branch of build_fused_rkc_step — nb=1 plans only (the
+        # column-blocked layout has no per-block window build), and the
+        # in-kernel aS = roll_y(aN) recovery must be exact
+        # (ops/pallas_divform.py module docstring)
+        from crdmodel_tpu.ops.pallas_divform import _face_coeffs64
+        if problem.geometry.kind not in ("flat", "torus", "revolution"):
+            return False
+        if not variant_plan(cfg.ny, cfg.nx, problem.model.nvars,
+                            extra_live=_divform_extra_live(problem)):
+            return False
+        _aE, _aW, aN, aS = _face_coeffs64(problem)
+        if not np.array_equal(aS, np.roll(aN, 1, axis=0)):
+            return False
+    elif not choose_blocking(cfg.ny, cfg.nx, problem.model.nvars)[1]:
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
@@ -313,12 +341,19 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     if rho_fn is None:
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, model, geometry, dtype,
-                                diffusion_field=problem.diffusion_field)
+                                diffusion_field=problem.diffusion_field,
+                                face_mask=getattr(problem, "face_mask",
+                                                  None))
 
-    nb, plan_blocked = choose_blocking(ny, nx, nvars)
-    if nb > 1:
-        return _build_blocked(problem, dtype, rho_fn, interpret,
-                              nb, plan_blocked)
+    from crdmodel_tpu.ops.kernel_common import needs_divform
+    divform = needs_divform(problem)
+    if divform:
+        nb = 1   # is_rkc_supported requires a feasible nb=1 divform plan
+    else:
+        nb, plan_blocked = choose_blocking(ny, nx, nvars)
+        if nb > 1:
+            return _build_blocked(problem, dtype, rho_fn, interpret,
+                                  nb, plan_blocked)
 
     P_COL = P_RKC
     nxp = ((nx + 2 * P_COL + 127) // 128) * 128
@@ -335,9 +370,36 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     def unpad_cols(arr):
         return arr[..., P_COL:P_COL + nx]
 
-    kc = prepare_constants(problem, dtype, P_COL, pad_cols)
+    kc = prepare_constants(problem, dtype, P_COL, pad_cols,
+                           with_coeffs=not divform)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
-    rhs_block_of = make_rhs_block(kind, model, just_diffusion)
+    if divform:
+        # general divergence form: full face-coefficient fields stacked
+        # into ONE (n_coeff, ny, nxp) HBM array, row-windowed per strip by
+        # in-kernel DMAs and passed as a RUNTIME input (the
+        # ops/pallas_divform.py design — aS recovered in-kernel by a row
+        # roll of aN, aW shipped whole; one array serves every halo-depth
+        # variant). See kernel_common.build_coeff_hbm for why it must not
+        # be a baked constant.
+        from crdmodel_tpu.ops.kernel_common import (build_coeff_hbm,
+                                                    make_divform_rhs_block)
+        from crdmodel_tpu.ops.pallas_divform import _face_coeffs64
+        aE64, aW64, aN64, aS64 = _face_coeffs64(problem)
+        if not np.array_equal(aS64, np.roll(aN64, 1, axis=0)):
+            raise ValueError("aS != roll_y(aN): unsupported geometry "
+                             "(is_rkc_supported should have declined)")
+        has_tissue = getattr(problem, "obstacle_mask", None) is not None
+        divform_rhs = make_divform_rhs_block(model, just_diffusion)
+        fields = [aE64, aW64, aN64]
+        if has_tissue:
+            fields.append(np.asarray(problem.obstacle_mask, np.float64))
+        n_coeff = len(fields)
+        coeffs_hbm = build_coeff_hbm(fields, P_COL, nx, nxp, dtype)
+        problem.params["_divform_coeffs"] = coeffs_hbm
+    else:
+        has_tissue = False
+        n_coeff = 0
+        rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
     def make_call(P, S):
         """One pallas_call at row-halo depth P with strip S."""
@@ -360,9 +422,13 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
             dtype)
 
-        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
-                   c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-                   y_hbm, ynew_ref, ss_ref, yv, sems):
+        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref, *rest):
+            if divform:
+                (b_ref, m_ref, cm_ref, y_hbm, c_hbm,
+                 ynew_ref, ss_ref, yv, sems, cv, csems) = rest
+            else:
+                (c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref, y_hbm,
+                 ynew_ref, ss_ref, yv, sems) = rest
             i = pl.program_id(0)
             row0 = pl.multiple_of(i * S, 8)
 
@@ -371,12 +437,34 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             h = h_ref[0, 0]
             s = s_ref[0, 0]
             mu1 = mu1_ref[0, 0]
-            stencil, b_rows, live_rows = read_strip_constants(
-                kind, b_is_field, has_freeze,
-                c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
+            if divform:
+                cslot = load_wrap_strips(c_hbm, cv, csems, ny, S, P,
+                                         n_strips, i)
+                if b_is_field:
+                    b_rows = b_ref[pl.ds(row0, R), :]
+                else:
+                    b_rows = b_ref[0, 0]
+                if has_freeze:
+                    fz = fz_ref[0, 0]
+                    live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+                else:
+                    live_rows = None
+                cb = cv[cslot]
+                faces = (cb[0], cb[1], cb[2],
+                         jnp.roll(cb[2], 1, axis=-2))
+                tis = cb[3] if has_tissue else None
 
-            def rhs_block(yb):
-                return rhs_block_of(yb, stencil, b_rows, live_rows)
+                def rhs_block(yb):
+                    return divform_rhs(yb, faces, tis, None,
+                                       b_rows, live_rows)
+            else:
+                stencil, b_rows, live_rows = read_strip_constants(
+                    kind, b_is_field, has_freeze,
+                    c0_ref, c1_ref, c2_ref,
+                    b_ref, m_ref, fz_ref, row0, R)
+
+                def rhs_block(yb):
+                    return rhs_block_of(yb, stencil, b_rows, live_rows)
 
             y0 = yv[slot]
             f0 = rhs_block(y0)                       # ring 1
@@ -426,7 +514,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
+            ] + ([] if divform else [kc.coeff_spec] * 3) + [
                 pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(m_pad.shape, lambda i: (0, 0),
@@ -434,7 +522,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                 pl.BlockSpec((1, nxp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
+            ] + ([pl.BlockSpec(memory_space=pltpu.HBM)]   # coeff fields
+                 if divform else []),
             out_specs=[
                 pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
@@ -443,7 +532,9 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             scratch_shapes=[
                 pltpu.VMEM((2, nvars, R, nxp), dtype),
                 pltpu.SemaphoreType.DMA((2, 3)),
-            ],
+            ] + ([pltpu.VMEM((2, n_coeff, R, nxp), dtype),
+                  pltpu.SemaphoreType.DMA((2, 3))]
+                 if divform else []),
         )
 
         call = pl.pallas_call(
@@ -456,15 +547,23 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             interpret=interpret,
         )
 
-        def run(h_s, fz_s, s_s, mu1_s, ctab, yp):
-            ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
-                            kc.c0, kc.c1, kc.c2, b_pad, m_pad,
-                            kc.col_mask, yp)
-            return ynew, jnp.sum(ss)
+        if divform:
+            def run(h_s, fz_s, s_s, mu1_s, ctab, yp, ch):
+                ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                                b_pad, m_pad, kc.col_mask, yp, ch)
+                return ynew, jnp.sum(ss)
+        else:
+            def run(h_s, fz_s, s_s, mu1_s, ctab, yp):
+                ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                                kc.c0, kc.c1, kc.c2, b_pad, m_pad,
+                                kc.col_mask, yp)
+                return ynew, jnp.sum(ss)
 
         return run
 
-    plan = variant_plan(ny, nx, nvars)
+    plan = variant_plan(ny, nx, nvars,
+                        extra_live=(_divform_extra_live(problem)
+                                    if divform else 0))
     if not plan:
         raise ValueError(f"no feasible fused-RKC variant for "
                          f"ny={ny}, nx={nx} (see is_rkc_supported)")
@@ -490,12 +589,17 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
+        args = (h_s, fz_s, s_s, mu1_s, ctab, yp)
+        if divform:
+            ch = coeffs_hbm   # fallback: callers that don't thread params
+            if isinstance(params, dict) and "_divform_coeffs" in params:
+                ch = params["_divform_coeffs"]
+            args = args + (ch,)
         if len(branches) == 1:
-            ynew, ss = branches[0](h_s, fz_s, s_s, mu1_s, ctab, yp)
+            ynew, ss = branches[0](*args)
         else:
             idx = jnp.sum((s > jnp.asarray(caps)).astype(jnp.int32))
-            ynew, ss = jax.lax.switch(idx, branches,
-                                      h_s, fz_s, s_s, mu1_s, ctab, yp)
+            ynew, ss = jax.lax.switch(idx, branches, *args)
         return ynew, ss, ()
 
     def h_limit(t, yp, params):

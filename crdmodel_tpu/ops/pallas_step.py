@@ -84,6 +84,9 @@ def _pick_strip(ny: int, target: int = 256) -> int | None:
 
 
 def is_supported(problem, tableau: Tableau, dtype) -> bool:
+    from crdmodel_tpu.ops.kernel_common import needs_divform
+    if needs_divform(problem):
+        return False   # masked faces / 2-D fields: ops/pallas_divform.py
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if tableau.stages > HALO:

@@ -76,13 +76,6 @@ def output_times(cfg: SimConfig) -> np.ndarray:
 def _pallas_eligible(problem, interpret: bool = False) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
     cfg = problem.cfg
-    if problem.diffusion_field is not None and (
-            problem.geometry.kind not in ("torus", "revolution")
-            or np.ndim(problem.diffusion_field) > 1):
-        # full 2-D / flat-surface diffusion fields: XLA divergence path only
-        # (theta-only torus fields map onto the kernels' profile form —
-        # ops/kernel_common.py::kernel_stencil_coeffs)
-        return False
     if problem.forcing is not None:
         # time-dependent forcing needs true stage times — the kernels
         # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
@@ -91,10 +84,11 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # reduced-grid pole coarsening is an XLA-only operator (block
         # means + scatter-add; core/problem.py::_pole_bands)
         return False
-    if getattr(problem, "face_mask", None) is not None:
-        # no-flux boundaries / obstacle walls live in masked 2-D face
-        # coefficients — XLA divergence path only
-        return False
+    # masked faces / 2-D diffusion fields are no longer rejected here:
+    # the generic divergence kernel (ops/pallas_divform.py) runs them for
+    # the ERK methods; the profile kernels' is_*_supported gates decline
+    # them via kernel_common.needs_divform (theta-only torus fields still
+    # map onto the profile form — ops/kernel_common.kernel_stencil_coeffs)
     if interpret:
         # CPU-mesh tests: the Pallas interpreter runs only on explicit
         # request (same policy as parallel/sharded._shard_kernel_eligible)
@@ -188,7 +182,7 @@ def make_run_fn(problem: Problem, interpret: bool = False):
     if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(problem,
                                                                  interpret):
         from crdmodel_tpu.integrate.erk import TABLEAUS
-        from crdmodel_tpu.ops import pallas_kstep, pallas_step
+        from crdmodel_tpu.ops import kernel_common, pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
         if problem.diffusion_tensor is not None:
             # anisotropic tensor: the 9-point fused kernel
@@ -197,6 +191,15 @@ def make_run_fn(problem: Problem, interpret: bool = False):
             if pallas_aniso.is_aniso_supported(problem, tableau,
                                                jnp.dtype(cfg.dtype)):
                 fused = pallas_aniso.build_fused_aniso_step(
+                    problem, tableau, jnp.dtype(cfg.dtype),
+                    interpret=interpret)
+        elif kernel_common.needs_divform(problem):
+            # masked faces / 2-D fields: the generic divergence kernel
+            # (ops/pallas_divform.py); no kstep (it bakes 5-point profiles)
+            from crdmodel_tpu.ops import pallas_divform
+            if pallas_divform.is_divform_supported(problem, tableau,
+                                                   jnp.dtype(cfg.dtype)):
+                fused = pallas_divform.build_fused_divform_step(
                     problem, tableau, jnp.dtype(cfg.dtype),
                     interpret=interpret)
         elif pallas_step.is_supported(problem, tableau,
@@ -443,8 +446,14 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                     fused = pallas_aniso.build_fused_aniso_step(
                         problem, tableau, dtype)
             else:
-                from crdmodel_tpu.ops import pallas_step
-                if pallas_step.is_supported(problem, tableau, dtype):
+                from crdmodel_tpu.ops import (kernel_common, pallas_divform,
+                                              pallas_step)
+                if kernel_common.needs_divform(problem):
+                    if pallas_divform.is_divform_supported(problem, tableau,
+                                                           dtype):
+                        fused = pallas_divform.build_fused_divform_step(
+                            problem, tableau, dtype)
+                elif pallas_step.is_supported(problem, tableau, dtype):
                     fused = pallas_step.build_fused_step(problem, tableau,
                                                          dtype)
         if fused is not None:
@@ -458,9 +467,13 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
 
     global_size = problem.model.nvars * cfg.ny * cfg.nx
 
+    # pparams rides as a jit ARGUMENT (not a closure) so large entries —
+    # the divform kernels' params["_divform_coeffs"] coefficient array —
+    # stay runtime buffers instead of baked constants (PERF_NOTES "fused
+    # divergence-form kernel", the HTTP-413 lesson)
     @jax.jit
-    def one_interval(t, y, h, errp, status, tout, first):
-        params = {**problem.params, "_seg_end": tout}
+    def one_interval(t, y, h, errp, status, tout, first, pparams):
+        params = {**pparams, "_seg_end": tout}
         fc0 = init_carry(t, y, params)
         return integrate_interval(
             step_err, t, y, h, errp, tout, params,
@@ -469,9 +482,9 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             first_interval=first, h_limit_fn=h_limit_fn)
 
     @jax.jit
-    def h0_fn(y):
+    def h0_fn(y, pparams):
         t0 = jnp.asarray(0.0, dtype)
-        params = {**problem.params, "_seg_end": jnp.asarray(stops[0][0], dtype)}
+        params = {**pparams, "_seg_end": jnp.asarray(stops[0][0], dtype)}
         f0 = problem.rhs(t0, y, params)
         h0 = _initial_step(problem.rhs, t0, y, f0, params,
                            jnp.asarray(stops[0][0], dtype),
@@ -493,8 +506,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
 
         @jax.jit
         def one_interval_free(t, y, h, errp, status, tout, first,
-                              br_t, br_y, cap):
-            params = {**problem.params, "_seg_end": tout}
+                              br_t, br_y, cap, pparams):
+            params = {**pparams, "_seg_end": tout}
             fc0 = init_carry(t, y, params)
             t, y, h, errp, br, stats = integrate_interval_free(
                 step_err, t, y, h, errp, tout, params,
@@ -505,8 +518,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             return t, y, h, errp, br, stats
 
         @jax.jit
-        def snap_at(br_t, br_y, t, y, tout):
-            params = {**problem.params, "_seg_end": tout}
+        def snap_at(br_t, br_y, t, y, tout, pparams):
+            params = {**pparams, "_seg_end": tout}
             return hermite_interpolate(problem.rhs, br_t, unpad(br_y),
                                        t, unpad(y), tout, params)
 
@@ -645,7 +658,7 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
                      for k in ("steps", "accepted", "rejected", "status")}
     else:
         k_start = 0
-        h = h0_fn(problem.y0)
+        h = h0_fn(problem.y0, problem.params)
         y = pad(problem.y0)
         t = jnp.asarray(0.0, dtype)
         errp = jnp.asarray(1.0, dtype)
@@ -687,13 +700,14 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
              (ns, na, nr, state["status"])) = one_interval_free(
                 state["t"], state["y"], state["h"], state["errp"],
                 state["status"], jnp.asarray(stop, dtype),
-                jnp.asarray(first), state["br_t"], state["br_y"], cap)
+                jnp.asarray(first), state["br_t"], state["br_y"], cap,
+                problem.params)
         else:
             (state["t"], state["y"], state["h"], state["errp"],
              (ns, na, nr, state["status"])) = one_interval(
                 state["t"], state["y"], state["h"], state["errp"],
                 state["status"], jnp.asarray(stop, dtype),
-                jnp.asarray(first))
+                jnp.asarray(first), problem.params)
             if normal:
                 # clamped stop (breakpoint): degenerate bracket — the
                 # dense output at a coinciding tout falls back to y
@@ -711,7 +725,7 @@ def _run_streaming_loop(cfg, problem, touts, stops, one_interval, h0_fn,
         if normal:
             snap = snap_at(state["br_t"], state["br_y"], state["t"],
                            state["y"], jnp.asarray(float(touts[k_done - 1]),
-                                                   dtype))
+                                                   dtype), problem.params)
         else:
             snap = unpad(state["y"])
         if host_offload:

@@ -74,6 +74,23 @@ def curvature_fhn():
                                t_final=5.0, output_timestep=2)
 
 
+def bounded_tissue():
+    """Bounded cardiac tissue (round 3, session 11): no-flux walls + a
+    circular scar through the fused divergence-form kernel
+    (ops/pallas_divform.py; measured 1.51x vs the XLA divergence path —
+    PERF_NOTES 'fused divergence-form kernel'). Returns (cfg, build_kw)."""
+    from crdmodel_tpu.config import SimConfig
+    cfg = SimConfig(model="aliev_panfilov", surface="flat", x_mesh=400,
+                    surface_width=20, surface_length=80, diffusion=1.0,
+                    beta=0.10, wave_length=0.25, wave_width=0.5,
+                    t_final=8.0, output_timestep=2, dtype="float32",
+                    rtol=1e-4, atol=1e-7, boundary="noflux")
+    ny, nx = cfg.ny, cfg.nx
+    jj, ii = np.mgrid[0:ny, 0:nx]
+    scar = (jj - ny * 0.5) ** 2 + (ii - nx * 0.55) ** 2 <= (nx * 0.09) ** 2
+    return cfg, dict(obstacle_mask=~scar)
+
+
 ROWS = [
     # (name, cfg builder, quick?)
     ("FHN torus 400x1600 Tf=50 bs32 (headline)",
@@ -96,6 +113,8 @@ ROWS = [
      lambda: large_fhn("rkc2"), False),
     ("FHN flat 12800x3200 Tf=0.5 rkc2 (halo ladder)",
      lambda: wide_fhn("rkc2"), False),
+    ("AP bounded tissue 1600x400 Tf=8 bs32 (noflux+scar, divform kernel)",
+     bounded_tissue, False),
 ]
 
 
@@ -154,7 +173,10 @@ def main():
         if args.quick and not quick:
             continue
         cfg = make_cfg()
-        problem = build_problem(cfg)
+        build_kw = {}
+        if isinstance(cfg, tuple):
+            cfg, build_kw = cfg
+        problem = build_problem(cfg, **build_kw)
         r = simulate(cfg, problem=problem)          # compile + warm
         t0 = time.perf_counter()
         r = simulate(cfg, problem=problem)

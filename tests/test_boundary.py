@@ -57,7 +57,7 @@ class TestValidation:
     def test_noflux_needs_flat(self):
         cfg = dataclasses.replace(flat_cfg(boundary="noflux"),
                                   surface="torus")
-        with pytest.raises(ValueError, match="closed surface"):
+        with pytest.raises(ValueError, match="closed"):
             cfg.validate()
 
     def test_all_false_obstacle(self):
