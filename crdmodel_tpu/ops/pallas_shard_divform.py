@@ -1,0 +1,331 @@
+"""Fused embedded-ERK shard step for the GENERAL divergence-form operator.
+
+The multi-chip counterpart of ops/pallas_divform.py: bounded-tissue
+configurations — no-flux domain boundaries, obstacle walls / inert scars,
+full 2-D diffusion fields, and flat-surface diffusion fields — previously
+ran the XLA per-stage path under shard_map (halo exchange per RK stage,
+fusion broken at every collective). This kernel gives them the same
+one-exchange-per-step fused treatment as the constant-coefficient shard
+kernel (ops/pallas_shard_step.py — read that module's docstring for the
+v3 splice transport and the temporal-blocking validity argument; both
+apply unchanged here).
+
+What differs from the constant-coefficient shard kernel is only the
+operator: the conservative face form
+
+    L u = aE (uE - u) + aW (uW - u) + aN (uN - u) + aS (uS - u)
+
+with full per-cell coefficient FIELDS. Coefficient transport: the fields
+are static per dispatch, so prepare_params (inside shard_map, outside the
+integration loop) stacks the local aE/aW/aN blocks (+ the 0/1 tissue mask
+for obstacles) and runs ONE two-phase deep-halo exchange
+(parallel/halo.py::halo_pad, width P — corners carry true diagonal values,
+which interior stage rings do read), producing a (n_coeff, nyl+2P, nxp)
+HBM-resident array. Because that array is already halo-padded, the
+kernel's per-strip coefficient window is a single contiguous row DMA
+[iS, iS+S+2P) — no wrap, no block-edge special-casing (the state, by
+contrast, is NOT pre-padded: its halos arrive as thin ppermuted strips
+spliced in-kernel, ops/kernel_common.py::load_edge_strips).
+
+aS is recovered in-kernel as a row roll of aN — exact for every geometry
+here because the conservative cell weight varies only along x
+(ops/pallas_divform.py module docstring has the identity; the build
+verifies it on the GLOBAL f64 fields and refuses otherwise). The roll is
+valid on window rows [1, R): row 0's value is garbage, but row 0 sits at
+halo depth P, outside every stage's validity region (the same shrinking-
+ring argument that already discards it).
+
+No-flux boundaries and obstacle walls need NO halo special-casing: closed
+faces carry zero coefficients, so whatever the ppermute ring delivers at a
+closed edge is multiplied by zero — identical to the XLA sharded path
+(parallel/sharded.py::sharded_params note).
+
+float32 only; the freeze / runtime-beta ("_fused_b") / diffusion-rescale
+("dscale", an SMEM runtime scalar exactly like the single-chip divform
+kernel) contracts match ops/pallas_divform.py. Padded (uneven) grids take
+the XLA path (parallel/sharded.py::maybe_fused_shard_divform).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate.erk import Tableau
+from crdmodel_tpu.ops.kernel_common import (
+    freeze_scalar, load_edge_strips, make_divform_rhs_block,
+    make_shard_halo_helpers, needs_divform)
+from crdmodel_tpu.ops.pallas_divform import _face_coeffs64
+from crdmodel_tpu.ops.pallas_shard_step import VMEM_BUDGET, FusedShardStep
+from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
+from crdmodel_tpu.parallel.halo import halo_pad, halo_pad_rows
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+def _n_windows(problem) -> int:
+    """Coefficient fields riding the stacked halo-padded array: aE, aW, aN
+    (+ the 0/1 tissue mask when an obstacle is present)."""
+    return 3 + (1 if getattr(problem, "obstacle_mask", None) is not None
+                else 0)
+
+
+def _strip_target(nxl: int, nvars: int, n_stages: int,
+                  n_windows: int) -> int:
+    """Strip row cap: the shard-step live-set accounting plus the
+    double-buffered coefficient strip windows."""
+    nxp = ((nxl + 2 * HALO + 127) // 128) * 128
+    live = nvars * (2 + n_stages + 4) + 2 * n_windows
+    bytes_per_row = 4 * nxp * live
+    rows = max(1, VMEM_BUDGET // bytes_per_row)
+    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+
+
+def is_shard_divform_supported(problem, tableau: Tableau, dtype,
+                               nyl: int, nxl: int) -> bool:
+    if not needs_divform(problem):
+        return False
+    if problem.geometry.kind not in ("flat", "torus", "revolution"):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if tableau.stages > HALO:
+        return False
+    if nyl < HALO or nxl < HALO:
+        return False  # halo deeper than a neighbour's block
+    if _pick_strip(nyl, target=_strip_target(
+            nxl, problem.model.nvars, tableau.stages,
+            _n_windows(problem))) is None:
+        return False
+    # the in-kernel aS recovery must be exact (checked on the GLOBAL f64
+    # fields: the local blocks inherit it under any decomposition)
+    _aE, _aW, aN, aS = _face_coeffs64(problem)
+    return np.array_equal(aS, np.roll(aN, 1, axis=0))
+
+
+def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
+                              dtype=jnp.float32, interpret: bool = False,
+                              axis_y: str = AXIS_Y,
+                              axis_x: str = AXIS_X) -> FusedShardStep:
+    """Build the fused divergence-form step for (nyl, nxl) local blocks.
+
+    step_err and prepare_params must run INSIDE shard_map over
+    (axis_y, axis_x) — prepare_params ppermutes the coefficient stack and
+    the beta/freeze shards once per dispatch, outside the loop."""
+    cfg = problem.cfg
+    model = problem.model
+    nvars = model.nvars
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+
+    a = tableau.a
+    bw = tableau.b
+    d = tableau.b - tableau.bhat
+    n_stages = tableau.stages
+    P = HALO
+    assert n_stages <= P
+    S = _pick_strip(nyl, target=_strip_target(nxl, nvars, n_stages,
+                                              _n_windows(problem)))
+    if S is None:
+        raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor in [8,256]")
+    assert S >= P  # load_edge_strips strip windows must not span both edges
+    n_strips = nyl // S
+    R = S + 2 * P
+    nxp = ((nxl + 2 * P + 127) // 128) * 128
+    fill = nxp - (nxl + 2 * P)
+    n_coeff = _n_windows(problem)
+
+    b_is_field = cfg.vary_beta == 1
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+    rhs_block = make_divform_rhs_block(model, just_diffusion)
+
+    # v3 splice transport for the STATE (its prepare_params is the
+    # 3-profile one — superseded by the divform version below)
+    pad, unpad, splice_inputs, _ = make_shard_halo_helpers(
+        "flat", nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
+        axis_y, axis_x)
+
+    def prepare_params(params):
+        out = dict(params)
+        aE, aW, aN = (jnp.asarray(c, dtype) for c in params["coeffs"][:3])
+        fields = [jnp.broadcast_to(c, (nyl, nxl)) for c in (aE, aW, aN)]
+        if has_tissue:
+            fields.append(params["tissue"].astype(dtype))
+        # ONE two-phase deep-halo exchange for the whole coefficient stack
+        # (corners carry true diagonal values — interior stage rings read
+        # them); lane fill keeps the padded width at nxp with zeros, whose
+        # flux contribution is zero by construction
+        stack = halo_pad(jnp.stack(fields), axis_y, axis_x, p=P)
+        if fill:
+            stack = jnp.pad(stack, ((0, 0), (0, 0), (0, fill)))
+        out["_divform_coeffs"] = stack
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nxl] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, ds_ref, b_ref, m_ref, cm_ref,
+               y_hbm, c_hbm, w_ref, e_ref, lo_ref, hi_ref,
+               ynew_ref, ss_ref, yv, sems, cv, csems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * S, 8)
+
+        slot = load_edge_strips(y_hbm, yv, sems, nyl, S, P,
+                                n_strips, i, lo_ref, hi_ref)
+
+        # coefficient strip window: c_hbm is ALREADY halo-padded, so rows
+        # [iS, iS+R) are one contiguous DMA (window row r <-> state row
+        # r - P + iS); double-buffered with strip i+1 prefetch
+        def start_coeff(strip, cslot):
+            r0 = pl.multiple_of(strip * S, 8)
+            pltpu.make_async_copy(
+                c_hbm.at[:, pl.ds(r0, R), :],
+                cv.at[cslot], csems.at[cslot]).start()
+
+        two = jnp.asarray(2, i.dtype)
+        cslot = jax.lax.rem(i, two)
+        ncslot = jax.lax.rem(i + jnp.asarray(1, i.dtype), two)
+
+        @pl.when(i == 0)
+        def _():
+            start_coeff(0, 0)
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            start_coeff(i + 1, ncslot)
+
+        pltpu.make_async_copy(
+            c_hbm.at[:, pl.ds(0, R), :], cv.at[cslot],
+            csems.at[cslot]).wait()
+
+        h = h_ref[0, 0]
+        ds = ds_ref[0, 0]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+        cb = cv[cslot]
+        ae, aw, an = cb[0], cb[1], cb[2]
+        # aS recovery: valid on window rows [1, R) (module docstring)
+        as_ = jnp.roll(an, 1, axis=-2)
+        tis = cb[3] if has_tissue else None
+        faces = (ae, aw, an, as_)
+
+        # splice the fresh column halos into the resident strip (the HBM
+        # state's halo lanes are stale — ops/pallas_shard_step.py)
+        wrow = w_ref[:, pl.ds(row0, R), :]
+        erow = e_ref[:, pl.ds(row0, R), :]
+        y0 = jnp.concatenate(
+            [wrow, yv[slot][..., P:P + nxl], erow,
+             yv[slot][..., P + nxl + P:]], axis=-1)
+
+        ks = []
+        for s in range(n_stages):
+            yi = y0
+            for j in range(s):
+                if a[s, j] != 0.0:
+                    yi = yi + (h * float(a[s, j])) * ks[j]
+            ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows))
+
+        ynew = y0
+        err = jnp.zeros_like(y0)
+        for s in range(n_stages):
+            if bw[s] != 0.0:
+                ynew = ynew + (h * float(bw[s])) * ks[s]
+            if d[s] != 0.0:
+                err = err + (h * float(d[s])) * ks[s]
+
+        ynew_ref[:, :, :] = ynew[:, P:P + S, :]
+
+        yc = y0[:, P:P + S, :]
+        w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+        scaled = err[:, P:P + S, :] * w
+        ss_ref[i, 0] = jnp.sum(scaled * scaled)
+
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+    b_shape = (nyl + 2 * P, 1) if b_is_field else (1, 1)
+    m_shape = (nyl + 2 * P, 1) if has_freeze else (1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips,),
+        in_specs=[
+            smem_scalar, smem_scalar, smem_scalar,
+            pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nxp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # state stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # halo-padded coeffs
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # west column strips
+            pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # east column strips
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows below the block
+            pl.BlockSpec((nvars, P, nxp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # rows above the block
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, S, nxp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, n_coeff, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    vma = frozenset({axis_y, axis_x})
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, nyl, nxp), dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype, vma=vma),
+        ],
+        interpret=interpret,
+    )
+
+    one = jnp.ones((1, 1), dtype)
+
+    def step_err(t, yp, h, params):
+        del t  # stage times only matter through the per-segment freeze flag
+        fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        ds_s = one
+        if isinstance(params, dict) and "dscale" in params:
+            ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        ynew, ss = call(h_s, fz_s, ds_s, params["_fused_b"],
+                        params.get("_fused_live", one), col_mask,
+                        yp, params["_divform_coeffs"],
+                        w_ext, e_ext, lo_rows, hi_rows)
+        return ynew, ss
+
+    return FusedShardStep(step_err=step_err, pad=pad, unpad=unpad,
+                          prepare_params=prepare_params, nxp=nxp)

@@ -324,6 +324,36 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
         problem, tableau, nyl, nxl, dtype, interpret=interpret)
 
 
+def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
+                              interpret: bool = False, pad_spec=None):
+    """The fused divergence-form shard kernel (ops/pallas_shard_divform.py)
+    for the configurations maybe_fused_shard_step declines — no-flux
+    boundaries, obstacle walls, 2-D/flat diffusion fields — else None.
+    Same FusedShardStep protocol, so the drivers treat it as `fused`."""
+    from crdmodel_tpu.integrate.erk import TABLEAUS
+    from crdmodel_tpu.ops.kernel_common import needs_divform
+    cfg = problem.cfg
+    if not needs_divform(problem):
+        return None   # the profile/aniso kernels' territory
+    if problem.forcing is not None:
+        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    if pad_spec is not None and pad_spec.active:
+        return None   # see maybe_fused_shard_step
+    if cfg.method not in TABLEAUS:
+        return None
+    if not _shard_kernel_eligible(cfg, mesh, interpret):
+        return None
+    from crdmodel_tpu.ops import pallas_shard_divform
+    tableau = TABLEAUS[cfg.method]
+    nyl, nxl = _local_block_shape(cfg, mesh)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_divform.is_shard_divform_supported(
+            problem, tableau, dtype, nyl, nxl):
+        return None
+    return pallas_shard_divform.build_fused_shard_divform(
+        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+
+
 def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
                           interpret: bool = False, pad_spec=None):
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
@@ -495,9 +525,12 @@ def build_local_run(problem: Problem, mesh,
                                 tensor_inv4=tensor_inv4, tissue=tissue)
                  if cfg.method == "ark324" else None)
 
-    fused = maybe_fused_shard_step(problem, mesh,
-                                   interpret=interpret_pallas,
-                                   pad_spec=pad_spec)
+    fused = (maybe_fused_shard_step(problem, mesh,
+                                    interpret=interpret_pallas,
+                                    pad_spec=pad_spec)
+             or maybe_fused_shard_divform(problem, mesh,
+                                          interpret=interpret_pallas,
+                                          pad_spec=pad_spec))
     fimex = maybe_fused_shard_imex(problem, mesh,
                                    interpret=interpret_pallas,
                                    pad_spec=pad_spec)
@@ -649,8 +682,12 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
         if padded:
             rho_fn = _mask_rho(rho_fn)
 
-    fused = maybe_fused_shard_step(problem, mesh, interpret=interpret_pallas,
-                                   pad_spec=pad_spec)
+    fused = (maybe_fused_shard_step(problem, mesh,
+                                    interpret=interpret_pallas,
+                                    pad_spec=pad_spec)
+             or maybe_fused_shard_divform(problem, mesh,
+                                          interpret=interpret_pallas,
+                                          pad_spec=pad_spec))
     frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                  interpret=interpret_pallas,
                                  pad_spec=pad_spec)
