@@ -53,10 +53,16 @@ def main():
     assert np.all(np.asarray(stats.status) == 0), np.asarray(stats.status)
     float(jnp.sum(traj[-1]))
 
-    t0 = time.perf_counter()
-    traj, stats = run(problem.y0, problem.params)
-    float(jnp.sum(traj[-1]))  # sync
-    wall = time.perf_counter() - t0
+    # best-of-3: the axon backend charges a one-time ~2.6 s cost to the
+    # SECOND execution of a fresh executable (program upload; measured
+    # 2026-08-19, docs/PERF_NOTES.md "fused rkc2 driver anomaly resolved"),
+    # so a single warm+time pair over-reads. Steady state starts at call 3.
+    wall = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        traj, stats = run(problem.y0, problem.params)
+        float(jnp.sum(traj[-1]))  # sync
+        wall = min(wall, time.perf_counter() - t0)
 
     steps = int(np.sum(np.asarray(stats.steps)))
     rate = cfg.nx * cfg.ny * steps / wall

@@ -178,9 +178,14 @@ def main():
             cfg, build_kw = cfg
         problem = build_problem(cfg, **build_kw)
         r = simulate(cfg, problem=problem)          # compile + warm
-        t0 = time.perf_counter()
-        r = simulate(cfg, problem=problem)
-        wall = time.perf_counter() - t0
+        # best-of-2: the axon backend charges a one-time ~2.6 s cost to the
+        # SECOND execution of a fresh executable (PERF_NOTES "fused rkc2
+        # driver anomaly resolved"), so warm-once/time-once over-reads
+        wall = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = simulate(cfg, problem=problem)
+            wall = min(wall, time.perf_counter() - t0)
         steps = r.total_steps()
         rate = cfg.nx * cfg.ny * steps / wall
         results.append(dict(name=name, ok=bool(r.ok), steps=int(steps),
