@@ -68,6 +68,12 @@ class SimConfig:
     #                       [0, 2pi]; build_problem(cfg, profile=...)
     #   "revolution_capped" capped (sphere-like) generic profile, v in
     #                       (0, pi) cell-centred; zero-flux end caps
+    # and the 3-D volumetric domain (core/grid.py::BoxGeometry):
+    #   "box"               rectangular slab [0,W]x[0,L]x[0,depth], state
+    #                       (nvars, nz, ny, nx); needs zMesh + surfaceDepth.
+    #                       The 2-D-only reference cannot express volumetric
+    #                       tissue (scroll waves); conservative 7-point
+    #                       face-coefficient operator, XLA compute path
     surface: str = "flat"
 
     # --- [Parameters] ---
@@ -89,6 +95,12 @@ class SimConfig:
     # equator/meridian length ratio). Required (>0) for the generic
     # revolution surfaces, whose profile the config cannot see.
     y_mesh: int = 0
+    # 3-D box only (surface="box"): depth-axis extent and mesh size (ini
+    # keys surfaceDepth / zMesh). State gains a leading z axis:
+    # (nvars, nz, ny, nx); z spacing follows the same duplicated-seam
+    # (n-1) convention as x/y.
+    surface_depth: float = 0.0
+    z_mesh: int = 0
 
     # --- [System] ---
     include_all_vars: int = 0
@@ -187,7 +199,25 @@ class SimConfig:
                              "yMesh (the config cannot derive ny from a "
                              "profile it cannot see)")
         # reference truncates L/W to long int BEFORE multiplying
+        # (box: same flat-sheet convention for the in-plane axes)
         return self.x_mesh * int(self.surface_length / self.surface_width)
+
+    @property
+    def nz(self) -> int:
+        """Depth mesh size — 0 for every 2-D surface, z_mesh for the box."""
+        return self.z_mesh if self.surface == "box" else 0
+
+    @property
+    def zmin(self) -> float:
+        return 0.0
+
+    @property
+    def zmax(self) -> float:
+        return self.surface_depth
+
+    @property
+    def dz(self) -> float:
+        return (self.zmax - self.zmin) / (self.nz - 1.0)
 
     @property
     def minor_radius(self) -> float:
@@ -225,7 +255,7 @@ class SimConfig:
 
     @property
     def ymax(self) -> float:
-        if self.surface == "flat":
+        if self.surface in ("flat", "box"):
             return self.surface_length
         return TWO_PI
 
@@ -254,10 +284,26 @@ class SimConfig:
             raise ValueError(f"unknown model {self.model!r}; "
                              f"registered: {sorted(_REGISTRY)}")
         if self.surface not in ("flat", "torus", "sphere", "revolution",
-                                "revolution_capped"):
+                                "revolution_capped", "box"):
             raise ValueError(f"unknown surface {self.surface!r}")
         if self.y_mesh < 0:
             raise ValueError("yMesh must be >= 0 (0 = derived)")
+        if self.surface == "box":
+            if self.z_mesh < 3:
+                raise ValueError("surface='box' needs zMesh >= 3")
+            if self.surface_depth <= 0.0:
+                raise ValueError("surface='box' needs surfaceDepth > 0")
+            if self.pole_coarsen:
+                raise ValueError("pole_coarsen is a capped-surface feature; "
+                                 "the box has no poles")
+            if self.coupling != "none":
+                raise ValueError("coupling='curvature' lives in toroidal "
+                                 "coordinates; the box is flat — pass "
+                                 "build_problem(cfg, diffusion_field=...) "
+                                 "for variable diffusivity")
+        elif self.z_mesh or self.surface_depth:
+            raise ValueError("zMesh / surfaceDepth are only meaningful for "
+                             "surface='box'")
         if self.wave_inside not in (0, 1):
             raise ValueError("waveInside must be 0 or 1")
         if self.nx < 3 or self.ny < 3:
@@ -278,14 +324,17 @@ class SimConfig:
                              "(the Kneer profile lives in toroidal "
                              "coordinates)")
         if self.boundary not in ("periodic", "noflux", "noflux_x",
-                                 "noflux_y"):
+                                 "noflux_y", "noflux_z"):
             raise ValueError(f"boundary must be periodic|noflux|noflux_x|"
-                             f"noflux_y, got {self.boundary!r}")
-        if self.boundary != "periodic" and self.surface != "flat":
-            raise ValueError("no-flux boundaries need surface='flat' "
-                             "(torus/sphere/revolution surfaces are closed; "
-                             "capped surfaces already carry zero-flux end "
-                             "caps in their face coefficients)")
+                             f"noflux_y|noflux_z, got {self.boundary!r}")
+        if self.boundary != "periodic" and self.surface not in ("flat",
+                                                                "box"):
+            raise ValueError("no-flux boundaries need surface='flat' or "
+                             "'box' (torus/sphere/revolution surfaces are "
+                             "closed; capped surfaces already carry "
+                             "zero-flux end caps in their face coefficients)")
+        if self.boundary == "noflux_z" and self.surface != "box":
+            raise ValueError("boundary='noflux_z' needs surface='box'")
         if self.pole_coarsen and not self.capped:
             raise ValueError("pole_coarsen needs a capped revolution "
                              "surface (sphere / revolution_capped) — "
@@ -308,6 +357,8 @@ _PARAM_KEYS = {
     "xMesh": ("x_mesh", int),
     "thetaMesh": ("x_mesh", int),   # FHN mains' spelling (src/FHNmodel_torus.cpp:170)
     "yMesh": ("y_mesh", int),       # framework extension (0 = derived)
+    "zMesh": ("z_mesh", int),               # framework extension (3-D box)
+    "surfaceDepth": ("surface_depth", float),  # framework extension (box)
     "betaMin": ("beta_min", float),
     "betaMax": ("beta_max", float),
 }

@@ -31,7 +31,11 @@ from crdmodel_tpu.config import SimConfig
 
 @dataclasses.dataclass(frozen=True)
 class Grid:
-    """Static grid descriptor. Arrays are built lazily per-dtype."""
+    """Static grid descriptor. Arrays are built lazily per-dtype.
+
+    nz > 0 marks a 3-D box grid (surface="box"): arrays gain a LEADING z
+    axis, (nz, ny, nx) — the x/y axes keep their (..., ny, nx) trailing
+    positions so every 2-D stencil/halo convention carries over unchanged."""
 
     nx: int
     ny: int
@@ -39,6 +43,9 @@ class Grid:
     xmax: float
     ymin: float
     ymax: float
+    nz: int = 0
+    zmin: float = 0.0
+    zmax: float = 0.0
 
     @property
     def dx(self) -> float:
@@ -47,6 +54,10 @@ class Grid:
     @property
     def dy(self) -> float:
         return (self.ymax - self.ymin) / (self.ny - 1.0)
+
+    @property
+    def dz(self) -> float:
+        return (self.zmax - self.zmin) / (self.nz - 1.0)
 
     def x_coords(self, dtype=jnp.float32) -> jnp.ndarray:
         """theta/x values, shape (nx,): x_i = XMIN + i*dx."""
@@ -58,8 +69,15 @@ class Grid:
         j = np.arange(self.ny, dtype=np.float64)
         return jnp.asarray(self.ymin + j * self.dy, dtype=dtype)
 
+    def z_coords(self, dtype=jnp.float32) -> jnp.ndarray:
+        """depth values, shape (nz,): z_k = ZMIN + k*dz (box only)."""
+        k = np.arange(self.nz, dtype=np.float64)
+        return jnp.asarray(self.zmin + k * self.dz, dtype=dtype)
+
     @property
     def shape(self) -> tuple:
+        if self.nz > 0:
+            return (self.nz, self.ny, self.nx)
         return (self.ny, self.nx)
 
 
@@ -512,6 +530,117 @@ class RevolutionGeometry:
         return _apply_face_mask((aE, aW, aN, aS), face_mask)
 
 
+@dataclasses.dataclass(frozen=True)
+class BoxGeometry:
+    """3-D rectangular volume [0,W] x [0,L] x [0,depth] — volumetric tissue
+    (beyond-reference capability: the reference is strictly 2-D,
+    src/FHNmodel_flat.cpp:489-566; scroll waves / transmural propagation
+    need a depth axis).
+
+    The diffusion operator is ALWAYS the conservative face-coefficient
+    divergence form (7-point): six face arrays (aE, aW, aN, aS, aU, aD)
+    with aE = D_{i+1/2}/dx^2 etc. (arithmetic face means), exactly
+    conservative and self-adjoint by construction — the 3-D extension of
+    FlatGeometry.divergence_coeffs64, with the same face-mask hook for
+    no-flux domain walls and 3-D obstacle scars (face_openness3). Axis
+    layout: z leads ((nz, ny, nx)); E/W = x (axis -1), N/S = y (axis -2),
+    U/D = z (axis -3). There is no hand-expanded constant-coefficient
+    stencil form (same policy as RevolutionGeometry): build_problem
+    defaults diffusion_field to the constant cfg.diffusion.
+    """
+
+    grid: Grid
+    diffusion: float
+
+    kind = "box"
+
+    def gaussian_curvature(self, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((self.grid.nx,), dtype=dtype)
+
+    def divergence_coeffs(self, dfield, dtype=jnp.float32, face_mask=None):
+        """Face coefficients (aE, aW, aN, aS, aU, aD) of div(D grad u) on
+        the box; see FlatGeometry.divergence_coeffs — same contract, six
+        faces. Shapes stay broadcast-minimal: scalars for constant D
+        (x-profile (nx,) D fields likewise stay profiles), (nz, ny, nx)
+        for full fields; face_mask entries multiply in (face_openness3)."""
+        return tuple(jnp.asarray(a, dtype=dtype)
+                     for a in self.divergence_coeffs64(dfield, face_mask))
+
+    def divergence_coeffs64(self, dfield, face_mask=None):
+        """Float64 numpy face coefficients (aE, aW, aN, aS, aU, aD)."""
+        g = self.grid
+        inv_dx2 = 1.0 / np.float64(g.dx) ** 2
+        inv_dy2 = 1.0 / np.float64(g.dy) ** 2
+        inv_dz2 = 1.0 / np.float64(g.dz) ** 2
+        D = np.asarray(dfield, dtype=np.float64)
+        if D.ndim == 0:
+            De = Dn = Du = D
+            roll_x = roll_y = roll_z = lambda a: a
+        elif D.ndim == 1:
+            # x-profile D(x): E/W faces are x-face means; N/S and U/D
+            # faces sit at the same x, so they keep the centre value
+            D = np.broadcast_to(D, (g.nx,))
+            De = 0.5 * (D + np.roll(D, -1))
+            Dn = Du = D
+            roll_x = lambda a: np.roll(a, 1)
+            roll_y = roll_z = lambda a: a
+        else:
+            D = np.broadcast_to(D, (g.nz, g.ny, g.nx))
+            De = 0.5 * (D + np.roll(D, -1, axis=-1))
+            Dn = 0.5 * (D + np.roll(D, -1, axis=-2))
+            Du = 0.5 * (D + np.roll(D, -1, axis=-3))
+            roll_x = lambda a: np.roll(a, 1, axis=-1)
+            roll_y = lambda a: np.roll(a, 1, axis=-2)
+            roll_z = lambda a: np.roll(a, 1, axis=-3)
+        aE = De * inv_dx2
+        aN = Dn * inv_dy2
+        aU = Du * inv_dz2
+        faces = (aE, roll_x(aE), aN, roll_y(aN), aU, roll_z(aU))
+        return _apply_face_mask(faces, face_mask)
+
+
+def face_openness3(nz: int, ny: int, nx: int, boundary: str = "periodic",
+                   tissue=None):
+    """0/1 face-openness masks (oE, oW, oN, oS, oU, oD) for the 3-D box
+    divergence operator, or None when every face is open — the 3-D
+    extension of face_openness below (same conservation/self-adjointness
+    guarantees: oW = roll_x(oE) etc., so both sides of a shared face close
+    together).
+
+    boundary="noflux" closes ALL six domain walls; "noflux_x"/"noflux_y"/
+    "noflux_z" close one axis pair. tissue: bool broadcastable to
+    (nz, ny, nx), True = active medium — every face touching a non-tissue
+    cell closes (3-D obstacle scars). Mask shapes stay broadcast-minimal:
+    (nx,) for x-edge masks, (ny, 1) for y, (nz, 1, 1) for z, full
+    (nz, ny, nx) once a tissue mask is present."""
+    if boundary == "periodic" and tissue is None:
+        return None
+    oE = np.ones(nx, dtype=np.float64)
+    oW = np.ones(nx, dtype=np.float64)
+    oN = np.ones((ny, 1), dtype=np.float64)
+    oS = np.ones((ny, 1), dtype=np.float64)
+    oU = np.ones((nz, 1, 1), dtype=np.float64)
+    oD = np.ones((nz, 1, 1), dtype=np.float64)
+    if boundary in ("noflux", "noflux_x"):
+        oE[-1] = 0.0
+        oW[0] = 0.0
+    if boundary in ("noflux", "noflux_y"):
+        oN[-1, 0] = 0.0
+        oS[0, 0] = 0.0
+    if boundary in ("noflux", "noflux_z"):
+        oU[-1, 0, 0] = 0.0
+        oD[0, 0, 0] = 0.0
+    if tissue is not None:
+        T = np.broadcast_to(np.asarray(tissue, dtype=bool), (nz, ny, nx))
+        oE = oE * (T & np.roll(T, -1, axis=-1))
+        oW = oW * (T & np.roll(T, 1, axis=-1))
+        oN = oN * (T & np.roll(T, -1, axis=-2))
+        oS = oS * (T & np.roll(T, 1, axis=-2))
+        oU = oU * (T & np.roll(T, -1, axis=-3))
+        oD = oD * (T & np.roll(T, 1, axis=-3))
+    return oE, oW, oN, oS, oU, oD
+
+
 def face_openness(ny: int, nx: int, boundary: str = "periodic",
                   tissue=None):
     """0/1 face-openness masks (oE, oW, oN, oS) for the divergence-form
@@ -561,12 +690,14 @@ def _apply_face_mask(faces, face_mask):
     return tuple(a * o for a, o in zip(faces, face_mask))
 
 
-Geometry = Union[FlatGeometry, TorusGeometry, RevolutionGeometry]
+Geometry = Union[FlatGeometry, TorusGeometry, RevolutionGeometry,
+                 BoxGeometry]
 
 
 def make_grid(cfg: SimConfig) -> Grid:
     return Grid(nx=cfg.nx, ny=cfg.ny, xmin=cfg.xmin, xmax=cfg.xmax,
-                ymin=cfg.ymin, ymax=cfg.ymax)
+                ymin=cfg.ymin, ymax=cfg.ymax,
+                nz=cfg.nz, zmin=cfg.zmin, zmax=cfg.zmax)
 
 
 def make_geometry(cfg: SimConfig, profile=None) -> Geometry:
@@ -575,6 +706,8 @@ def make_geometry(cfg: SimConfig, profile=None) -> Geometry:
     ("revolution") profiles must be 2pi-periodic callables (the seam face
     is evaluated at 2pi + dx/2, like TorusGeometry's ring_e)."""
     grid = make_grid(cfg)
+    if cfg.surface == "box":
+        return BoxGeometry(grid=grid, diffusion=cfg.diffusion)
     if cfg.surface == "torus":
         return TorusGeometry(grid=grid, diffusion=cfg.diffusion,
                              R=cfg.major_radius, r=cfg.minor_radius)

@@ -31,7 +31,8 @@ from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.grid import Grid, Geometry, make_geometry
 from crdmodel_tpu.models.base import ReactionModel, get_model
 from crdmodel_tpu.ops.stencil import (anisotropic_laplacian,
-                                      divergence_laplacian, flat_laplacian,
+                                      divergence_laplacian,
+                                      divergence_laplacian3, flat_laplacian,
                                       torus_laplacian)
 
 
@@ -269,6 +270,15 @@ def initial_state(cfg: SimConfig, model: ReactionModel, steady: tuple,
     else:
         raise ValueError(cfg.model)
 
+    if cfg.surface == "box":
+        # 3-D box: the 2-D wave-segment pattern extruded along z — a
+        # z-invariant slab seed. For the broken-front excitable seeds
+        # (barkley / aliev_panfilov) the extrusion is exactly the standard
+        # scroll-wave initiation: the 2-D spiral core becomes a straight
+        # filament spanning the depth axis.
+        bg = np.broadcast_to(bg[:, None],
+                             (model.nvars, cfg.nz, ny, nx)).copy()
+
     return jnp.asarray(bg, dtype=dtype)
 
 
@@ -396,9 +406,12 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
         else:
             face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype,
                                                      face_mask=face_mask)
+            # 3-D box: six faces, 7-point conservative operator
+            div_op = (divergence_laplacian3 if len(face_coeffs) == 6
+                      else divergence_laplacian)
 
             def lap(u, _):
-                return divergence_laplacian(u, face_coeffs)
+                return div_op(u, face_coeffs)
 
         coeffs = None
     else:
@@ -529,9 +542,11 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
         # (face_mask zeros closed faces — no-flux boundaries / obstacle
-        # walls shrink the bound, never grow it)
-        aE, aW, aN, aS = geometry.divergence_coeffs64(diffusion_field,
-                                                      face_mask)
+        # walls shrink the bound, never grow it). Works for any face count:
+        # 4 on surfaces, 6 on the 3-D box.
+        faces = geometry.divergence_coeffs64(diffusion_field, face_mask)
+        if len(faces) == 4:
+            aE, aW, aN, aS = faces
         spec = pole_bands_spec(cfg, geometry)
         if spec:
             # reduced grid: coarsened rings' phi operator is the Galerkin
@@ -543,7 +558,10 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
                 geff[i:j] = float(g * g)
             rho_diff = float(2.0 * np.max(aE + aW + (aN + aS) / geff))
         else:
-            rho_diff = float(2.0 * np.max(aE + aW + aN + aS))
+            row_sum = 0.0
+            for a in faces:
+                row_sum = row_sum + a
+            rho_diff = float(2.0 * np.max(row_sum))
     elif geometry.kind == "torus":
         coeffs = geometry.stencil_coeffs(jnp.float64)
         c_asym, c_th, c_phi = (np.asarray(c) for c in coeffs)
@@ -628,10 +646,11 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
         geometry.tensor_coeffs64(*diffusion_tensor)
     if diffusion_field is None:
         diffusion_field = diffusion_field_from_cfg(cfg, geometry)
-        if diffusion_field is None and geometry.kind == "revolution":
-            # revolution surfaces have no hand-expanded stencil form: they
-            # always take the conservative divergence operator, with the
-            # constant cfg.diffusion as the (x-profile-compatible) field
+        if diffusion_field is None and geometry.kind in ("revolution",
+                                                         "box"):
+            # revolution surfaces and the 3-D box have no hand-expanded
+            # stencil form: they always take the conservative divergence
+            # operator, with the constant cfg.diffusion as the field
             diffusion_field = np.float64(cfg.diffusion)
     else:
         diffusion_field = np.asarray(diffusion_field, dtype=np.float64)
@@ -661,9 +680,13 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
                     f"broadcast to the grid {geometry.grid.shape}")
             if not obstacle_mask.any():
                 raise ValueError("obstacle_mask is all-False (no tissue)")
-        from crdmodel_tpu.core.grid import face_openness
-        face_mask = face_openness(cfg.ny, cfg.nx, cfg.boundary,
-                                  obstacle_mask)
+        from crdmodel_tpu.core.grid import face_openness, face_openness3
+        if cfg.surface == "box":
+            face_mask = face_openness3(cfg.nz, cfg.ny, cfg.nx, cfg.boundary,
+                                       obstacle_mask)
+        else:
+            face_mask = face_openness(cfg.ny, cfg.nx, cfg.boundary,
+                                      obstacle_mask)
         if diffusion_field is None:
             # closed faces live in the face coefficients, so the operator
             # must take the divergence form even for constant D

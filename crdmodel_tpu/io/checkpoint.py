@@ -35,7 +35,7 @@ _PHYSICS_FIELDS = (
     "output_timestep", "t_boundary", "t_final", "x_mesh", "y_mesh",
     "beta_min", "beta_max", "vary_beta", "just_diffusion", "ic_type",
     "rng_seed", "rtol", "atol", "method", "step_mode", "coupling",
-    "boundary", "pole_coarsen",
+    "boundary", "pole_coarsen", "z_mesh", "surface_depth",
 )
 
 

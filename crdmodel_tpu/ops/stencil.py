@@ -99,6 +99,49 @@ def divergence_from_padded(up, face_coeffs):
             + aN * (un - u) + aS * (us - u))
 
 
+def shift_d(u):
+    """u[..., k-1, j, i] (down/depth- neighbour, periodic; box grids)."""
+    return jnp.roll(u, 1, axis=-3)
+
+
+def shift_u3(u):
+    """u[..., k+1, j, i] (up/depth+ neighbour, periodic; box grids)."""
+    return jnp.roll(u, -1, axis=-3)
+
+
+def divergence_laplacian3(u, face_coeffs):
+    """Conservative 7-point div(D grad u) on the 3-D box (..., nz, ny, nx).
+
+    face_coeffs = (aE, aW, aN, aS, aU, aD) from BoxGeometry.divergence_coeffs
+    (core/grid.py) — the 3-D extension of divergence_laplacian, same
+    difference form (exactly zero for constant u), exactly conservative and
+    self-adjoint by construction. Beyond-reference capability: the
+    reference is strictly 2-D (src/FHNmodel_flat.cpp:489-566)."""
+    aE, aW, aN, aS, aU, aD = face_coeffs
+    return (aE * (shift_e(u) - u) + aW * (shift_w(u) - u)
+            + aN * (shift_n(u) - u) + aS * (shift_s(u) - u)
+            + aU * (shift_u3(u) - u) + aD * (shift_d(u) - u))
+
+
+def divergence3_from_padded(up, face_coeffs):
+    """divergence_laplacian3 over a block haloed in the TRAILING (y, x)
+    axes only: (..., nz, nyl+2, nxl+2). The z axis is mesh-local (the box
+    shards its y/x axes over the device mesh, z stays on-device —
+    parallel/sharded.py), so z neighbours come from the local periodic
+    roll; face coefficients are the LOCAL centre blocks."""
+    aE, aW, aN, aS, aU, aD = face_coeffs
+    u = up[..., 1:-1, 1:-1]
+    uw = up[..., 1:-1, 0:-2]
+    ue = up[..., 1:-1, 2:]
+    us = up[..., 0:-2, 1:-1]
+    un = up[..., 2:, 1:-1]
+    ud = jnp.roll(u, 1, axis=-3)
+    uu = jnp.roll(u, -1, axis=-3)
+    return (aE * (ue - u) + aW * (uw - u)
+            + aN * (un - u) + aS * (us - u)
+            + aU * (uu - u) + aD * (ud - u))
+
+
 def anisotropic_laplacian(u, face_coeffs, dxy, inv4):
     """Conservative anisotropic diffusion div(D grad u) on the flat
     periodic rectangle, D = [[Dxx, Dxy], [Dxy, Dyy]] (grid.py::

@@ -181,7 +181,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         k_start = 0
         y0_full = (pad_spec.pad_field(np.asarray(problem.y0))
                    if pad_spec is not None else np.asarray(problem.y0))
-        y = distribute(mesh, P(None, AXIS_Y, AXIS_X), y0_full)
+        from crdmodel_tpu.parallel.sharded import _state_spec
+        y = distribute(mesh, _state_spec(problem), y0_full)
         t = jnp.asarray(0.0, dtype)
         h = h0_fn(y, {**params,
                       "_h0_tout": jnp.asarray(stop_times[0], dtype)})
@@ -264,8 +265,7 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         traj = (np.stack([np.asarray(s) for s in snaps]) if host_offload
                 else jnp.stack(snaps))
     else:
-        traj = jnp.zeros(
-            (0, problem.model.nvars, cfg.ny, cfg.nx), dtype)
+        traj = jnp.zeros((0,) + tuple(problem.y0.shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),

@@ -31,7 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.problem import Problem, beta_field, build_problem
 from crdmodel_tpu.integrate.erk import integrate_to_outputs
-from crdmodel_tpu.ops.stencil import (divergence_from_padded,
+from crdmodel_tpu.ops.stencil import (divergence3_from_padded,
+                                      divergence_from_padded,
                                       laplacian_from_padded)
 from crdmodel_tpu.ops.kernel_common import coeff_kind
 from crdmodel_tpu.parallel.halo import halo_pad
@@ -89,7 +90,11 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                     term = anisotropic_from_padded(
                         up, coeffs, params["_dxy_pad"], tensor_inv4)
                 elif divergence:
-                    term = divergence_from_padded(up, coeffs)
+                    # 3-D box: six faces, z mesh-local (ops/stencil.py::
+                    # divergence3_from_padded — z neighbours via local roll)
+                    term = (divergence3_from_padded(up, coeffs)
+                            if len(coeffs) == 6
+                            else divergence_from_padded(up, coeffs))
                 else:
                     term = laplacian_from_padded(up, coeffs, kind)
                 out.append(term if r == 1.0 else r * term)
@@ -209,27 +214,37 @@ def sharded_params(problem: Problem, pad_spec=None):
         coeffs = problem.geometry.stencil_coeffs(dtype)
     if padded:
         def _pad_coeff(c):
-            nd = getattr(c, "ndim", 0)
-            if nd == 1:
-                return pad_spec.pad_cols(c)
-            if nd == 2:
-                return pad_spec.pad_rows(pad_spec.pad_cols(c))
+            # pad only the axes whose extent matches the grid: the box's
+            # broadcast-minimal coefficients carry size-1 placeholders
+            # (e.g. aN (ny, 1), aU (nz, 1, 1)) that must stay untouched
+            shp = getattr(c, "shape", ())
+            if len(shp) >= 1 and shp[-1] == cfg.nx:
+                c = pad_spec.pad_cols(c)
+            if len(shp) >= 2 and shp[-2] == cfg.ny:
+                c = pad_spec.pad_rows(c)
             return c
         coeffs = tuple(_pad_coeff(c) for c in coeffs)
 
+    ny_arr = pad_spec.y.n_pad if padded else cfg.ny
+    nx_arr = pad_spec.x.n_pad if padded else cfg.nx
+
     def _coeff_spec(c):
-        nd = getattr(c, "ndim", 0)
-        if nd == 1:
-            return P(AXIS_X)
-        if nd == 2:
-            return P(AXIS_Y, AXIS_X)
-        return P()
+        # shard an axis only where the coefficient actually spans the grid
+        # (size-1 broadcast axes and the box's leading z axis replicate)
+        shp = getattr(c, "shape", ())
+        if not shp:
+            return P()
+        spec = [None] * len(shp)
+        if shp[-1] == nx_arr:
+            spec[-1] = AXIS_X
+        if len(shp) >= 2 and shp[-2] == ny_arr:
+            spec[-2] = AXIS_Y
+        return P(*spec)
     coeff_spec = tuple(_coeff_spec(c) for c in coeffs)
     b = beta_field(cfg, dtype)
     if padded and getattr(b, "ndim", 0) == 2:
         b = pad_spec.pad_rows(b)
     b_spec = P(AXIS_Y, None) if getattr(b, "ndim", 0) == 2 else P()
-    ny_arr = pad_spec.y.n_pad if padded else cfg.ny
     interior = np.ones((ny_arr, 1), dtype=bool)
     interior[0, 0] = False
     interior[cfg.ny - 1, 0] = False   # last PHYSICAL row, not last array row
@@ -241,13 +256,14 @@ def sharded_params(problem: Problem, pad_spec=None):
     obstacle = getattr(problem, "obstacle_mask", None)
     if obstacle is not None:
         tis = np.broadcast_to(np.asarray(obstacle, dtype=bool),
-                              (cfg.ny, cfg.nx))
+                              problem.geometry.grid.shape)
         if padded:
             # pad cells are masked by "valid" regardless; wrap-fill keeps
             # the array mesh-divisible like every other spatial param
             tis = pad_spec.pad_rows(pad_spec.pad_cols(tis))
         params["tissue"] = jnp.asarray(tis)
-        specs["tissue"] = P(AXIS_Y, AXIS_X)
+        specs["tissue"] = (P(None, AXIS_Y, AXIS_X) if tis.ndim == 3
+                           else P(AXIS_Y, AXIS_X))
     if padded:
         params["valid"] = jnp.asarray(pad_spec.valid_mask())
         specs["valid"] = P(AXIS_Y, AXIS_X)
@@ -333,6 +349,8 @@ def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
     from crdmodel_tpu.integrate.erk import TABLEAUS
     from crdmodel_tpu.ops.kernel_common import needs_divform
     cfg = problem.cfg
+    if problem.geometry.kind == "box":
+        return None   # 3-D box: XLA 7-point path (kernels are 2-D machines)
     if not needs_divform(problem):
         return None   # the profile/aniso kernels' territory
     if problem.forcing is not None:
@@ -500,7 +518,7 @@ def build_local_run(problem: Problem, mesh,
                                tensor_inv4=tensor_inv4, tissue=tissue)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
-    global_size = model.nvars * cfg.ny * cfg.nx
+    global_size = problem.y0.size   # nvars*ny*nx (+ nz on the 3-D box)
 
     breakpoints = ()
     if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
@@ -608,8 +626,8 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
     on the XLA path, which sweeps force)."""
     run_local, param_specs, _, touts = build_local_run(
         problem, mesh, interpret_pallas, extra_param_specs)
-    state_spec = P(None, AXIS_Y, AXIS_X)
-    traj_spec = P(None, None, AXIS_Y, AXIS_X)
+    state_spec = _state_spec(problem)
+    traj_spec = P(None, *state_spec)
     stats_spec = jax.tree_util.tree_map(lambda _: P(), _stats_struct())
 
     fn = jax.shard_map(
@@ -622,6 +640,12 @@ def make_sharded_simulation_fn(problem: Problem, mesh: Mesh,
         check_vma=not interpret_pallas,
     )
     return jax.jit(fn), touts
+
+
+def _state_spec(problem):
+    """PartitionSpec of the state: trailing (y, x) axes on the mesh,
+    everything leading (nvars, and the box's z axis) replicated."""
+    return P(*([None] * (problem.y0.ndim - 2)), AXIS_Y, AXIS_X)
 
 
 def _stats_struct():
@@ -662,7 +686,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                                divergence=divergence,
                                forcing=problem.forcing,
                                tensor_inv4=tensor_inv4, tissue=tissue)
-    global_size = model.nvars * cfg.ny * cfg.nx   # physical (see sim fn)
+    global_size = problem.y0.size   # physical count (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
 
     def tensor_params(p):
@@ -722,7 +746,7 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
 
     kernel = next((k for k in (fused, fimex, frkc) if k is not None), None)
     _, param_specs = sharded_params(problem, pad_spec)
-    state_spec = P(None, AXIS_Y, AXIS_X)
+    state_spec = _state_spec(problem)
     scalar = P()
     stats_spec = (scalar, scalar, scalar, scalar)
 
@@ -1015,8 +1039,7 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     else:
         # resumed run whose first interval failed: no snapshots, but the
         # caller still gets a SimResult carrying the failure stats
-        traj = jnp.zeros(
-            (0, problem.model.nvars, cfg.ny, cfg.nx), dtype)
+        traj = jnp.zeros((0,) + tuple(problem.y0.shape), dtype)
     stats = SolveStats(steps=jnp.asarray(acc["steps"]),
                        accepted=jnp.asarray(acc["accepted"]),
                        rejected=jnp.asarray(acc["rejected"]),

@@ -56,7 +56,8 @@ class SimResult:
         else:
             worst = int(np.max(np.asarray(s.status)))
             status = f"FAILED ({STATUS_NAMES.get(worst, worst)})"
-        return (f"{self.cfg.program_name}: grid {self.cfg.ny}x{self.cfg.nx}, "
+        nz = f"{self.cfg.nz}x" if self.cfg.surface == "box" else ""
+        return (f"{self.cfg.program_name}: grid {nz}{self.cfg.ny}x{self.cfg.nx}, "
                 f"Tf={self.cfg.t_final}, steps={int(np.sum(np.asarray(s.steps)))} "
                 f"(acc {int(np.sum(np.asarray(s.accepted)))}, "
                 f"rej {int(np.sum(np.asarray(s.rejected)))}), "
@@ -83,6 +84,10 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
     if getattr(cfg, "pole_coarsen", 0):
         # reduced-grid pole coarsening is an XLA-only operator (block
         # means + scatter-add; core/problem.py::_pole_bands)
+        return False
+    if problem.geometry.kind == "box":
+        # 3-D box: the fused kernels are 2-D strip machines; the 7-point
+        # volumetric operator runs the XLA path
         return False
     # masked faces / 2-D diffusion fields are no longer rejected here:
     # the generic divergence kernel (ops/pallas_divform.py) runs them for
@@ -287,8 +292,11 @@ def simulate(cfg: SimConfig, problem: Optional[Problem] = None,
 def print_banner(cfg: SimConfig, problem: Problem):
     """Startup parameter dump (C14 equivalent,
     reference src/FHNmodel_torus.cpp:246-276)."""
-    print(f"\n2D {cfg.model.upper()} model PDE problem on a {cfg.surface}:")
+    dim = "3D" if cfg.surface == "box" else "2D"
+    print(f"\n{dim} {cfg.model.upper()} model PDE problem on a {cfg.surface}:")
     print(f"   nx = {cfg.nx}\n   ny = {cfg.ny}")
+    if cfg.surface == "box":
+        print(f"   nz = {cfg.nz}\n   Surface depth = {cfg.surface_depth}")
     print(f"   Diff = {cfg.diffusion}")
     print(f"   Tfinal = {cfg.t_final}")
     print(f"   Output timesteps = {cfg.output_timestep}")
@@ -465,7 +473,7 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
             step_err, init_carry = make_default_step_err(
                 tableau, problem.rhs, cfg.rtol, cfg.atol)
 
-    global_size = problem.model.nvars * cfg.ny * cfg.nx
+    global_size = problem.y0.size   # nvars*ny*nx (+ nz on the 3-D box)
 
     # pparams rides as a jit ARGUMENT (not a closure) so large entries —
     # the divform kernels' params["_divform_coeffs"] coefficient array —
