@@ -33,7 +33,10 @@ def _model_choices():
 def _add_model_args(p):
     p.add_argument("ini", help="reference-format ini file")
     p.add_argument("--model", choices=_model_choices(), required=True)
-    p.add_argument("--surface", choices=["flat", "torus"], required=True)
+    # the generic revolution surfaces need profile callables
+    # (build_problem(cfg, profile=...)) and are library-only
+    p.add_argument("--surface", choices=["flat", "torus", "sphere", "box"],
+                   required=True)
     p.add_argument("--dtype", default=None,
                    help="float32 (default) or float64")
     p.add_argument("--method", default=None,
@@ -136,22 +139,36 @@ def cmd_run(args):
         print(f"   wrote {mpath} (snapshot-mode none: no field outputs)")
         return 0 if res.ok else 1
 
-    write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
-    print(f"   wrote reference-format files to {args.outdir}/")
+    if cfg.surface == "box":
+        # the per-rank text contract is 2-D (SURVEY.md C11); volumes go
+        # out as npz + VTK ImageData instead
+        path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
+        save_npz(res, path)
+        print(f"   wrote {path}")
+    else:
+        write_reference_files(res, args.outdir, nprocs=args.nprocs_files)
+        print(f"   wrote reference-format files to {args.outdir}/")
     from crdmodel_tpu.utils import RunManifest
     mpath = RunManifest.from_result(res).save(
         os.path.join(args.outdir, f"{cfg.program_name}_manifest.json"))
     print(f"   wrote {mpath}")
-    if args.npz:
+    if args.npz and cfg.surface != "box":
         path = os.path.join(args.outdir, f"{cfg.program_name}.npz")
         save_npz(res, path)
         print(f"   wrote {path}")
     if args.plot:
-        from crdmodel_tpu.viz import plot_movie
-        out = plot_movie(res, cfg, args.outdir)
+        from crdmodel_tpu.viz import plot_movie, volume_slice
+        source = volume_slice(res) if cfg.surface == "box" else res
+        out = plot_movie(source, cfg, args.outdir)
         print(f"   wrote {len(out['frames'])} frames"
               + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
-    if args.map_torus and cfg.surface == "torus":
+    if args.map_torus and cfg.surface == "box":
+        # the 3-D analogue of the step-vtp pipeline: a .vti volume per
+        # snapshot + ParaView collection (viz/volume.py)
+        from crdmodel_tpu.viz import save_volume_series
+        pvd = save_volume_series(res, args.outdir)
+        print(f"   wrote {pvd}")
+    elif args.map_torus and cfg.surface == "torus":
         from crdmodel_tpu.viz import generate_torus_vtp, map_output_to_torus
         generate_torus_vtp(cfg, args.outdir)
         pvd = map_output_to_torus(res, args.outdir)

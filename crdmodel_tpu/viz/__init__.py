@@ -9,6 +9,8 @@ from crdmodel_tpu.viz.curvature import (
     gaussian_curvature, coupling_strength,
 )
 from crdmodel_tpu.viz.vtp import write_vtp, read_vtp, write_pvd
+from crdmodel_tpu.viz.volume import (read_vti, save_volume_series,
+                                     volume_slice, write_vti)
 from crdmodel_tpu.viz.maps import (activation_times, apd_map,
                                    conduction_velocity,
                                    dominant_frequency_map,
@@ -21,6 +23,7 @@ __all__ = [
     "generate_curvature_coupling_vtp", "plot_curvature_profiles",
     "gaussian_curvature", "coupling_strength",
     "write_vtp", "read_vtp", "write_pvd",
+    "write_vti", "read_vti", "save_volume_series", "volume_slice",
     "activation_times", "apd_map", "conduction_velocity",
     "dominant_frequency_map", "physical_spacings",
 ]

@@ -1,0 +1,77 @@
+"""Example: a scroll wave in a 3-D slab of cardiac tissue.
+
+The 3-D capability the strictly-2-D reference cannot express
+(surface="box", core/grid.py::BoxGeometry): an Aliev-Panfilov no-flux slab
+seeded with the broken-front excitation extruded along z — the 2-D spiral
+core becomes a straight vortex FILAMENT spanning the depth axis, and the
+rotating solution is a scroll wave (Winfree's organising centre of 3-D
+re-entry). The run stays z-invariant to rounding because the filament is
+straight and diffusion along z of a z-invariant field vanishes — each
+depth slice reproduces the 2-D rotor, which is exactly the textbook
+relationship between spiral and (untwisted) scroll.
+
+Writes mid-depth movie frames + a ParaView .vti volume series
+(viz/volume.py) for 3-D rendering, and prints the filament geometry
+(per-slice phase-singularity positions, viz/tips.py).
+
+    python examples/scroll_wave.py [outdir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.sim import simulate
+from crdmodel_tpu.utils import throughput
+from crdmodel_tpu.viz import plot_movie, save_volume_series, tips, volume_slice
+
+
+def main(outdir: str = "scroll_out"):
+    cfg = SimConfig(
+        model="aliev_panfilov", surface="box", x_mesh=96,
+        surface_width=30, surface_length=30, surface_depth=8,
+        z_mesh=24, diffusion=1.0, beta=0.10,
+        wave_length=0.25, wave_width=0.5,
+        t_final=40.0, output_timestep=40,
+        dtype="float32", rtol=1e-4, atol=1e-7,
+        boundary="noflux",
+    ).validate()
+
+    print(f"grid {cfg.nz}x{cfg.ny}x{cfg.nx} "
+          f"({cfg.nz * cfg.ny * cfg.nx / 1e6:.2f}M points)")
+    res = simulate(cfg)
+    print(res.describe())
+    assert res.ok
+    print(f"throughput: {throughput(res):.3g} points*steps/s")
+
+    # filament geometry: the phase singularity per depth slice at t_final
+    traj = np.asarray(res.trajectory)          # (nt, nvars, nz, ny, nx)
+    periodic = (False, False)                  # no-flux walls: nothing wraps
+    cols = []
+    for k in range(cfg.nz):
+        ts = tips.find_tips(traj[-1, 0, k], traj[-1, 1, k],
+                            periodic=periodic)
+        if len(ts):
+            cols.append((k, float(ts.positions[0, 0]),
+                         float(ts.positions[0, 1])))
+    if cols:
+        ys = [c[1] for c in cols]
+        xs = [c[2] for c in cols]
+        print(f"filament threads {len(cols)}/{cfg.nz} slices; "
+              f"straightness (row/col spread): "
+              f"{np.ptp(ys):.2f} / {np.ptp(xs):.2f} cells")
+
+    os.makedirs(outdir, exist_ok=True)
+    pvd = save_volume_series(res, outdir)
+    print(f"wrote {pvd}")
+    out = plot_movie(volume_slice(res), cfg, outdir)
+    print(f"wrote {len(out['frames'])} mid-depth frames"
+          + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "scroll_out")

@@ -324,3 +324,87 @@ class TestSharded:
         np.testing.assert_allclose(np.asarray(rs.trajectory),
                                    np.asarray(rb.trajectory),
                                    rtol=1e-11, atol=1e-11)
+
+
+class TestVolumeViz:
+    def test_vti_round_trip(self, tmp_path):
+        from crdmodel_tpu.viz.volume import read_vti, write_vti
+        rng = np.random.default_rng(7)
+        u = rng.standard_normal((4, 6, 5))
+        v = rng.standard_normal((4, 6, 5))
+        for fmt in ("binary", "ascii"):
+            path = str(tmp_path / f"t_{fmt}.vti")
+            write_vti(path, {"u": u, "v": v}, spacing=(0.1, 0.2, 0.3),
+                      origin=(1.0, 2.0, 3.0), fmt=fmt)
+            fields, spacing, origin = read_vti(path)
+            np.testing.assert_allclose(fields["u"], u, rtol=1e-15)
+            np.testing.assert_allclose(fields["v"], v, rtol=1e-15)
+            assert spacing == (0.1, 0.2, 0.3) and origin == (1.0, 2.0, 3.0)
+
+    def test_vti_point_order_is_x_fastest(self, tmp_path):
+        """VTK ImageData expects x-fastest ordering — the C-order ravel of
+        (nz, ny, nx). Pin it with an index-encoding field."""
+        from crdmodel_tpu.viz.volume import write_vti
+        from crdmodel_tpu.viz.vtp import _decode_array
+        import xml.etree.ElementTree as ET
+        nz, ny, nx = 2, 3, 4
+        K, J, I = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                              indexing="ij")
+        enc = I + 10 * J + 100 * K
+        path = str(tmp_path / "o.vti")
+        write_vti(path, {"e": enc}, spacing=(1, 1, 1))
+        da = ET.parse(path).getroot().find(
+            "./ImageData/Piece/PointData/DataArray")
+        flat = _decode_array(da)
+        # first nx entries: x sweeps 0..nx-1 at j=k=0
+        np.testing.assert_array_equal(flat[:nx], np.arange(nx))
+        # entry nx: j=1, i=0
+        assert flat[nx] == 10.0
+
+    def test_volume_series_and_slice(self, tmp_path):
+        from crdmodel_tpu.viz.volume import (read_vti, save_volume_series,
+                                             volume_slice)
+        cfg = _box_cfg(t_final=0.2, output_timestep=2).validate()
+        res = simulate(cfg)
+        pvd = save_volume_series(res, str(tmp_path))
+        assert pvd.endswith("VolumeSteps.pvd")
+        import glob
+        vtis = sorted(glob.glob(str(tmp_path / "*step" / "*.vti")))
+        assert len(vtis) == 3   # IC + 2 outputs
+        fields, spacing, _ = read_vti(vtis[0])
+        np.testing.assert_allclose(fields["u"],
+                                   np.asarray(res.trajectory[0, 0]),
+                                   rtol=1e-7)
+        assert spacing == (cfg.dx, cfg.dy, cfg.dz)
+        sl = volume_slice(res)                      # mid-z
+        np.testing.assert_array_equal(
+            sl, np.asarray(res.trajectory[:, 0, cfg.nz // 2]))
+        sly = volume_slice(res, axis="y", index=3)
+        np.testing.assert_array_equal(
+            sly, np.asarray(res.trajectory[:, 0, :, 3, :]))
+        with pytest.raises(ValueError, match="out of range"):
+            volume_slice(res, axis="z", index=99)
+
+    def test_cli_run_box(self, tmp_path):
+        """CLI pipeline on the box: npz + frames + volume series."""
+        import subprocess, sys, os, glob
+        ini = tmp_path / "box.ini"
+        ini.write_text(
+            "[Parameters]\ndiffusion = 0.3\nbeta = 0.1\n"
+            "surfaceWidth = 4\nsurfaceLength = 8\nsurfaceDepth = 2\n"
+            "waveLength = 0.25\nwaveWidth = 0.5\noutputTimestep = 1\n"
+            "tBoundary = 0\ntFinal = 0.2\nxMesh = 12\nzMesh = 4\n"
+            "[System]\nincludeAllVars = 0\nvaryBeta = 0\n")
+        out = tmp_path / "out"
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "crdmodel_tpu", "run", str(ini),
+             "--model", "aliev_panfilov", "--surface", "box",
+             "--outdir", str(out), "--plot", "--map-torus", "--quiet"],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert glob.glob(str(out / "*.npz"))
+        assert glob.glob(str(out / "*VolumeSteps.pvd"))
+        assert glob.glob(str(out / "*step" / "*.vti"))
+        assert glob.glob(str(out / "png" / "*.png"))
