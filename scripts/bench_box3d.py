@@ -1,0 +1,80 @@
+"""Measure the 3-D box (XLA 7-point divergence path) on the chip.
+
+For each size: warm once, then best-of-3 timed runs (the axon backend
+charges ~2.6 s one-time to the SECOND execution of a fresh executable —
+PERF_NOTES "fused rkc2 driver anomaly resolved"). Also times the same
+point count as a 2-D flat divergence grid (ny*nz rows) to isolate the
+3-D-operator tax from sheer size.
+
+Run ONE case per invocation (TPU compiles are slow; the tunnel punishes
+killed processes): python scripts/bench_box3d.py CASE
+Cases: box1M box8M flat1M flat8M box1M_rkc2 box8M_rkc2 flat8M_rkc2
+"""
+
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from crdmodel_tpu.config import SimConfig
+from crdmodel_tpu.core.problem import build_problem
+from crdmodel_tpu.sim import make_simulation_fn
+
+
+def box_cfg(nz, nxy, method):
+    return SimConfig(model="aliev_panfilov", surface="box", x_mesh=nxy,
+                     y_mesh=nxy, surface_width=float(nxy) / 16,
+                     surface_length=float(nxy) / 16,
+                     surface_depth=float(nz) / 16, z_mesh=nz,
+                     diffusion=1.0, beta=0.10, wave_length=0.25,
+                     wave_width=0.5, t_final=0.5, output_timestep=1,
+                     dtype="float32", rtol=1e-4, atol=1e-7, method=method)
+
+
+def flat_cfg(ny, nx, method, use_pallas=False):
+    return SimConfig(model="aliev_panfilov", surface="flat", x_mesh=nx,
+                     y_mesh=ny, surface_width=float(nx) / 16,
+                     surface_length=float(ny) / 16,
+                     diffusion=1.0, beta=0.10, wave_length=0.25,
+                     wave_width=0.5, t_final=0.5, output_timestep=1,
+                     dtype="float32", rtol=1e-4, atol=1e-7, method=method,
+                     use_pallas=use_pallas)
+
+
+CASES = {
+    "box1M": lambda: (box_cfg(16, 256, "bs32"), {}),
+    "box8M": lambda: (box_cfg(32, 512, "bs32"), {}),
+    "flat1M": lambda: (flat_cfg(16 * 256, 256, "bs32"),
+                       dict(diffusion_field=np.float64(1.0))),
+    "flat8M": lambda: (flat_cfg(32 * 512, 512, "bs32"),
+                       dict(diffusion_field=np.float64(1.0))),
+    "box1M_rkc2": lambda: (box_cfg(16, 256, "rkc2"), {}),
+    "box8M_rkc2": lambda: (box_cfg(32, 512, "rkc2"), {}),
+    "flat8M_rkc2": lambda: (flat_cfg(32 * 512, 512, "rkc2"),
+                            dict(diffusion_field=np.float64(1.0))),
+}
+
+
+def main():
+    for case in sys.argv[1:] or ["box1M"]:
+        cfg, bkw = CASES[case]()
+        problem = build_problem(cfg, **bkw)
+        pts = problem.y0[0].size
+        run, _ = make_simulation_fn(problem)
+        traj, stats = run(problem.y0, problem.params)   # compile + warm
+        steps = int(np.sum(np.asarray(stats.steps)))
+        ok = int(np.max(np.asarray(stats.status))) == 0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            traj, stats = run(problem.y0, problem.params)
+            float(jnp.sum(traj[-1]))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{case:12s}: {pts / 1e6:5.2f}M pts  {steps:5d} steps  "
+              f"{best:7.3f}s  {best / steps * 1e6:9.1f} us/step  "
+              f"{pts * steps / best:.3e} pts*steps/s  ok={ok}")
+
+
+if __name__ == "__main__":
+    main()
