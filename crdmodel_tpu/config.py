@@ -33,6 +33,14 @@ TWO_PI = 2.0 * math.pi
 # tiny grids, where kernel launch overhead dominates, stay on XLA.
 PALLAS_AUTO_POINTS = 150_000
 
+# 3-D box auto-threshold for the z-streaming fused kernel
+# (ops/pallas_box3d.py): measured 2026-08-20 — at 1.05M points the kernel's
+# per-z-plane iteration overhead makes it lose narrowly (199 vs 188
+# us/step); at 8.4M it wins 4.1x (1206 vs 4970) as XLA's non-fused falloff
+# bites. Crossover sits between; explicit use_pallas=True still forces it
+# (docs/PERF_NOTES.md "fused 3-D box step").
+PALLAS_BOX3D_AUTO_POINTS = 2_000_000
+
 
 def load_ini(path: str) -> dict:
     """Parse a reference-style ini file into {section: {key: str}}.

@@ -85,10 +85,6 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         # reduced-grid pole coarsening is an XLA-only operator (block
         # means + scatter-add; core/problem.py::_pole_bands)
         return False
-    if problem.geometry.kind == "box":
-        # 3-D box: the fused kernels are 2-D strip machines; the 7-point
-        # volumetric operator runs the XLA path
-        return False
     # masked faces / 2-D diffusion fields are no longer rejected here:
     # the generic divergence kernel (ops/pallas_divform.py) runs them for
     # the ERK methods; the profile kernels' is_*_supported gates decline
@@ -100,8 +96,15 @@ def _pallas_eligible(problem, interpret: bool = False) -> bool:
         return cfg.use_pallas is True
     if cfg.use_pallas is False:
         return False
-    if cfg.use_pallas is None and cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
-        return False  # XLA's step fusion wins at small/medium sizes
+    if cfg.use_pallas is None:
+        if problem.geometry.kind == "box":
+            # the z-streaming kernel's per-plane iteration overhead moves
+            # its crossover up (config.py::PALLAS_BOX3D_AUTO_POINTS)
+            from crdmodel_tpu.config import PALLAS_BOX3D_AUTO_POINTS
+            if cfg.nz * cfg.ny * cfg.nx < PALLAS_BOX3D_AUTO_POINTS:
+                return False
+        elif cfg.ny * cfg.nx < PALLAS_AUTO_POINTS:
+            return False  # XLA's step fusion wins at small/medium sizes
     try:
         if jax.default_backend() != "tpu":
             return False
@@ -196,6 +199,15 @@ def make_run_fn(problem: Problem, interpret: bool = False):
             if pallas_aniso.is_aniso_supported(problem, tableau,
                                                jnp.dtype(cfg.dtype)):
                 fused = pallas_aniso.build_fused_aniso_step(
+                    problem, tableau, jnp.dtype(cfg.dtype),
+                    interpret=interpret)
+        elif problem.geometry.kind == "box":
+            # 3-D box: the z-streaming fused volume kernel
+            # (ops/pallas_box3d.py); no kstep (it bakes 2-D profiles)
+            from crdmodel_tpu.ops import pallas_box3d
+            if pallas_box3d.is_box3d_supported(problem, tableau,
+                                               jnp.dtype(cfg.dtype)):
+                fused = pallas_box3d.build_fused_box3d_step(
                     problem, tableau, jnp.dtype(cfg.dtype),
                     interpret=interpret)
         elif kernel_common.needs_divform(problem):
@@ -454,9 +466,14 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
                     fused = pallas_aniso.build_fused_aniso_step(
                         problem, tableau, dtype)
             else:
-                from crdmodel_tpu.ops import (kernel_common, pallas_divform,
-                                              pallas_step)
-                if kernel_common.needs_divform(problem):
+                from crdmodel_tpu.ops import (kernel_common, pallas_box3d,
+                                              pallas_divform, pallas_step)
+                if problem.geometry.kind == "box":
+                    if pallas_box3d.is_box3d_supported(problem, tableau,
+                                                       dtype):
+                        fused = pallas_box3d.build_fused_box3d_step(
+                            problem, tableau, dtype)
+                elif kernel_common.needs_divform(problem):
                     if pallas_divform.is_divform_supported(problem, tableau,
                                                            dtype):
                         fused = pallas_divform.build_fused_divform_step(

@@ -11,6 +11,7 @@ killed processes): python scripts/bench_box3d.py CASE
 Cases: box1M box8M flat1M flat8M box1M_rkc2 box8M_rkc2 flat8M_rkc2
 """
 
+import dataclasses
 import sys
 import time
 
@@ -22,14 +23,15 @@ from crdmodel_tpu.core.problem import build_problem
 from crdmodel_tpu.sim import make_simulation_fn
 
 
-def box_cfg(nz, nxy, method):
+def box_cfg(nz, nxy, method, boundary="periodic", use_pallas=None):
     return SimConfig(model="aliev_panfilov", surface="box", x_mesh=nxy,
                      y_mesh=nxy, surface_width=float(nxy) / 16,
                      surface_length=float(nxy) / 16,
                      surface_depth=float(nz) / 16, z_mesh=nz,
                      diffusion=1.0, beta=0.10, wave_length=0.25,
                      wave_width=0.5, t_final=0.5, output_timestep=1,
-                     dtype="float32", rtol=1e-4, atol=1e-7, method=method)
+                     dtype="float32", rtol=1e-4, atol=1e-7, method=method,
+                     boundary=boundary, use_pallas=use_pallas)
 
 
 def flat_cfg(ny, nx, method, use_pallas=False):
@@ -49,6 +51,19 @@ CASES = {
                        dict(diffusion_field=np.float64(1.0))),
     "flat8M": lambda: (flat_cfg(32 * 512, 512, "bs32"),
                        dict(diffusion_field=np.float64(1.0))),
+    # fused z-streaming kernel (ops/pallas_box3d.py) vs XLA on the SAME
+    # bounded slab (the kernel needs closed z walls)
+    "box1M_nf_fused": lambda: (box_cfg(16, 256, "bs32", "noflux", True), {}),
+    "box1M_nf_xla": lambda: (box_cfg(16, 256, "bs32", "noflux", False), {}),
+    "box8M_nf_fused": lambda: (box_cfg(32, 512, "bs32", "noflux", True), {}),
+    "box8M_nf_xla": lambda: (box_cfg(32, 512, "bs32", "noflux", False), {}),
+    # 33.5M: tall orientation (ny > nx) keeps the strip divisor large
+    "box33M_nf_fused": lambda: (dataclasses.replace(
+        box_cfg(64, 512, "bs32", "noflux", True), y_mesh=1024,
+        surface_length=64.0), {}),
+    "box33M_nf_xla": lambda: (dataclasses.replace(
+        box_cfg(64, 512, "bs32", "noflux", False), y_mesh=1024,
+        surface_length=64.0), {}),
     "box1M_rkc2": lambda: (box_cfg(16, 256, "rkc2"), {}),
     "box8M_rkc2": lambda: (box_cfg(32, 512, "rkc2"), {}),
     "flat8M_rkc2": lambda: (flat_cfg(32 * 512, 512, "rkc2"),

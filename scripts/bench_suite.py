@@ -91,6 +91,19 @@ def bounded_tissue():
     return cfg, dict(obstacle_mask=~scar)
 
 
+def volumetric_box():
+    """Volumetric bounded slab (round 3, session 14): the z-streaming fused
+    3-D box kernel (ops/pallas_box3d.py; measured 4.1x at 8.4M / 4.4x at
+    33.5M vs the XLA 7-point path — PERF_NOTES 'fused 3-D box step')."""
+    from crdmodel_tpu.config import SimConfig
+    return SimConfig(model="aliev_panfilov", surface="box", x_mesh=512,
+                     y_mesh=512, z_mesh=32, surface_width=32.0,
+                     surface_length=32.0, surface_depth=2.0, diffusion=1.0,
+                     beta=0.10, wave_length=0.25, wave_width=0.5,
+                     t_final=0.5, output_timestep=1, dtype="float32",
+                     rtol=1e-4, atol=1e-7, boundary="noflux")
+
+
 ROWS = [
     # (name, cfg builder, quick?)
     ("FHN torus 400x1600 Tf=50 bs32 (headline)",
@@ -115,6 +128,8 @@ ROWS = [
      lambda: wide_fhn("rkc2"), False),
     ("AP bounded tissue 1600x400 Tf=8 bs32 (noflux+scar, divform kernel)",
      bounded_tissue, False),
+    ("AP box 32x512x512 (8.4M pts) Tf=0.5 bs32 (noflux, box3d kernel)",
+     volumetric_box, False),
 ]
 
 
@@ -187,7 +202,7 @@ def main():
             r = simulate(cfg, problem=problem)
             wall = min(wall, time.perf_counter() - t0)
         steps = r.total_steps()
-        rate = cfg.nx * cfg.ny * steps / wall
+        rate = cfg.nx * cfg.ny * max(cfg.nz, 1) * steps / wall
         results.append(dict(name=name, ok=bool(r.ok), steps=int(steps),
                             wall_s=round(wall, 4),
                             us_per_step=round(1e6 * wall / max(steps, 1), 2),
