@@ -158,11 +158,22 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                                 face_mask=problem.face_mask)
         if _pallas_eligible(problem, interpret) and \
                 problem.diffusion_tensor is None:
-            from crdmodel_tpu.ops import pallas_rkc
-            if pallas_rkc.is_rkc_supported(problem, jnp.dtype(cfg.dtype)):
-                frkc = pallas_rkc.build_fused_rkc_step(
-                    problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn,
-                    interpret=interpret)
+            if problem.geometry.kind == "box":
+                # 3-D box: the z-streaming fused Chebyshev pipeline
+                # (ops/pallas_box3d_rkc.py)
+                from crdmodel_tpu.ops import pallas_box3d_rkc
+                if pallas_box3d_rkc.is_box3d_rkc_supported(
+                        problem, jnp.dtype(cfg.dtype)):
+                    frkc = pallas_box3d_rkc.build_fused_box3d_rkc_step(
+                        problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn,
+                        interpret=interpret)
+            else:
+                from crdmodel_tpu.ops import pallas_rkc
+                if pallas_rkc.is_rkc_supported(problem,
+                                               jnp.dtype(cfg.dtype)):
+                    frkc = pallas_rkc.build_fused_rkc_step(
+                        problem, jnp.dtype(cfg.dtype), rho_fn=rho_fn,
+                        interpret=interpret)
 
     rhs_split = None
     fimex = None
@@ -419,10 +430,16 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
         err_order = rkc.ERR_ORDER
         frkc = None
         if _pallas_eligible(problem) and problem.diffusion_tensor is None:
-            from crdmodel_tpu.ops import pallas_rkc
-            if pallas_rkc.is_rkc_supported(problem, dtype):
-                frkc = pallas_rkc.build_fused_rkc_step(problem, dtype,
-                                                       rho_fn=rho_fn)
+            if problem.geometry.kind == "box":
+                from crdmodel_tpu.ops import pallas_box3d_rkc
+                if pallas_box3d_rkc.is_box3d_rkc_supported(problem, dtype):
+                    frkc = pallas_box3d_rkc.build_fused_box3d_rkc_step(
+                        problem, dtype, rho_fn=rho_fn)
+            else:
+                from crdmodel_tpu.ops import pallas_rkc
+                if pallas_rkc.is_rkc_supported(problem, dtype):
+                    frkc = pallas_rkc.build_fused_rkc_step(problem, dtype,
+                                                           rho_fn=rho_fn)
         if frkc is not None:
             pad, unpad = frkc.pad, frkc.unpad
             step_err = frkc.step_err

@@ -66,6 +66,22 @@ CASES = {
         surface_length=64.0), {}),
     "box1M_rkc2": lambda: (box_cfg(16, 256, "rkc2"), {}),
     "box8M_rkc2": lambda: (box_cfg(32, 512, "rkc2"), {}),
+    # fused z-streaming RKC (ops/pallas_box3d_rkc.py) vs XLA rkc2 on the
+    # bounded slab
+    "box1M_rkc2_nf_fused": lambda: (
+        box_cfg(16, 256, "rkc2", "noflux", True), {}),
+    "box1M_rkc2_nf_xla": lambda: (
+        box_cfg(16, 256, "rkc2", "noflux", False), {}),
+    "box8M_rkc2_nf_fused": lambda: (
+        box_cfg(32, 512, "rkc2", "noflux", True), {}),
+    "box8M_rkc2_nf_xla": lambda: (
+        box_cfg(32, 512, "rkc2", "noflux", False), {}),
+    "box33M_rkc2_nf_fused": lambda: (dataclasses.replace(
+        box_cfg(64, 512, "rkc2", "noflux", True), y_mesh=1024,
+        surface_length=64.0), {}),
+    "box33M_rkc2_nf_xla": lambda: (dataclasses.replace(
+        box_cfg(64, 512, "rkc2", "noflux", False), y_mesh=1024,
+        surface_length=64.0), {}),
     "flat8M_rkc2": lambda: (flat_cfg(32 * 512, 512, "rkc2"),
                             dict(diffusion_field=np.float64(1.0))),
 }

@@ -9,6 +9,7 @@ full run. Prints a markdown table and writes bench_suite.json next to it.
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -130,6 +131,8 @@ ROWS = [
      bounded_tissue, False),
     ("AP box 32x512x512 (8.4M pts) Tf=0.5 bs32 (noflux, box3d kernel)",
      volumetric_box, False),
+    ("AP box 32x512x512 (8.4M pts) Tf=0.5 rkc2 (noflux, box3d RKC kernel)",
+     lambda: dataclasses.replace(volumetric_box(), method="rkc2"), False),
 ]
 
 
