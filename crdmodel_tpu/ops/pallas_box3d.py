@@ -75,13 +75,16 @@ def _ring_planes(ns: int) -> int:
     return (ns + 3) + sum(ns - j + 1 for j in range(ns - 1))
 
 
-def _box_strip_target(nx: int, nvars: int, n_stages: int) -> int:
+def _box_strip_target(nx: int, nvars: int, n_stages: int,
+                      has_tissue: bool = False) -> int:
     """Strip row cap keeping the ring buffers + stage temporaries under
     VMEM_BUDGET (the margin of 10 covers the compiler's per-stage
-    argument/roll temporaries)."""
+    argument/roll temporaries). The tissue plane ring (obstacle scars) is
+    nvars-independent: depth n_stages+3 plus ~3 openness temporaries."""
     nxp = lane_pad_width(nx, HALO)
     live = _ring_planes(n_stages) + 10
-    bytes_per_row = 4 * nxp * nvars * live
+    tis = (n_stages + 6) if has_tissue else 0
+    bytes_per_row = 4 * nxp * (nvars * live + tis)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
 
@@ -97,11 +100,25 @@ def _pick_strip(ny: int, target: int) -> int | None:
 def _box_profiles(problem):
     """The six face-coefficient fields as 1-D profiles
     (aE(x), aW(x), aN(y), aS(y), aU(z), aD(z)) in f64, or None when the
-    operator is not profile-expressible (obstacle masks / 3-D diffusion
-    fields make the faces full (nz, ny, nx) arrays)."""
+    operator is not profile-expressible (3-D diffusion fields make the
+    faces full (nz, ny, nx) arrays).
+
+    With an obstacle mask the full coefficients factor EXACTLY as
+    profile x tissue-openness (constant D: aE_full = aE_profile(x) *
+    (T & roll_x(T)), grid.py::face_openness3), so the profiles here are
+    built from the WALL-ONLY face mask and the kernels recover the
+    obstacle factors in-kernel from the tissue plane ring — 0/1 masks
+    multiply f32 coefficients exactly, keeping bitwise agreement with
+    the XLA path's masked-f64-then-cast coefficients."""
     g = problem.geometry.grid
+    face_mask = problem.face_mask
+    if getattr(problem, "obstacle_mask", None) is not None:
+        from crdmodel_tpu.core.grid import face_openness3
+        face_mask = face_openness3(g.nz, g.ny, g.nx,
+                                   boundary=problem.cfg.boundary,
+                                   tissue=None)
     faces = problem.geometry.divergence_coeffs64(
-        problem.diffusion_field, face_mask=problem.face_mask)
+        problem.diffusion_field, face_mask=face_mask)
     aE, aW, aN, aS, aU, aD = [np.asarray(a, np.float64) for a in faces]
     if aE.ndim > 1 or aW.ndim > 1:
         return None
@@ -137,8 +154,6 @@ def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
         return False
     if tableau.stages > HALO or tableau.stages < 2:
         return False
-    if getattr(problem, "obstacle_mask", None) is not None:
-        return False
     profs = _box_profiles(problem)
     if profs is None:
         return False
@@ -146,9 +161,11 @@ def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
     # the z-clamp is exact only with closed z walls (module docstring)
     if aU[-1] != 0.0 or aD[0] != 0.0:
         return False
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(cfg.ny, _box_strip_target(cfg.nx,
                                               problem.model.nvars,
-                                              tableau.stages))
+                                              tableau.stages,
+                                              has_tissue))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -170,7 +187,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     ns = tableau.stages
     P = HALO
     assert ns <= P
-    S = _pick_strip(ny, _box_strip_target(nx, nvars, ns))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(ny, _box_strip_target(nx, nvars, ns, has_tissue))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -178,6 +196,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     nxp = lane_pad_width(nx, P)
     DY = ns + 3                               # y0 ring depth (+ prefetch)
     DK = [ns - j + 1 for j in range(ns - 1)]  # k_j ring depths
+    DT = DY                                   # tissue ring (same schedule)
 
     def pad_cols(arr):
         out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
@@ -213,12 +232,23 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
     ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
 
+    if has_tissue:
+        # full-volume tissue mask, lane-padded like the state: the six
+        # obstacle openness factors are recovered in-kernel from this one
+        # field (module helper _box_profiles docstring)
+        tis_np = np.broadcast_to(
+            np.asarray(problem.obstacle_mask, bool),
+            (nz, ny, nx)).astype(np.float32)
+        tis_hbm = pad_cols(jnp.asarray(tis_np, dtype))
+    else:
+        tis_hbm = jnp.zeros((1, 1, 1), dtype)   # unused placeholder
+
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
     def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
-               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm,
-               ynew_ref, ss_ref, y0v, sems, *kv):
+               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, t_hbm,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, *kv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -228,7 +258,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         def plane_dmas(mm, slot):
             tops = pl.multiple_of((i * S - P) % ny, 8)
             bots = pl.multiple_of((i * S + S) % ny, 8)
-            return (
+            dmas = (
                 pltpu.make_async_copy(
                     y_hbm.at[:, mm, pl.ds(tops, P), :],
                     y0v.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
@@ -239,6 +269,19 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                     y_hbm.at[:, mm, pl.ds(bots, P), :],
                     y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
             )
+            if has_tissue:
+                dmas += (
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(tops, P), :],
+                        tv.at[slot, pl.ds(0, P), :], tsems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(row0, S), :],
+                        tv.at[slot, pl.ds(P, S), :], tsems.at[slot, 1]),
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(bots, P), :],
+                        tv.at[slot, pl.ds(P + S, P), :], tsems.at[slot, 2]),
+                )
+            return dmas
 
         dy = jnp.asarray(DY, m.dtype)
 
@@ -291,22 +334,42 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                     v = v + (h * float(a[s, j])) * k_at(j, p)
             return v
 
+        def tis_at(p):
+            return tv[lax.rem(clampz(p), dy)]
+
         def rhs_at(s, p):
             """k_s at plane p: the 7-point divergence stencil + kinetics
-            on the stage argument (z legs from the p+-1 argument planes)."""
+            on the stage argument (z legs from the p+-1 argument planes).
+            With obstacle scars the six openness factors are recovered
+            from the tissue plane ring — 0/1 multiplies are exact, so the
+            effective coefficients match the XLA path's pre-masked f64
+            coefficients bitwise; kinetics on dead cells are zeroed like
+            problem.py::mask_tissue."""
             yc = yi_at(s, p)
             yu = yi_at(s, p + 1)
             yd = yi_at(s, p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            if has_tissue:
+                tc = tis_at(p)
+                aeL = ae * (tc * jnp.roll(tc, -1, -1))
+                awL = aw * (tc * jnp.roll(tc, 1, -1))
+                anL = an * (tc * jnp.roll(tc, -1, -2))
+                asL = as_ * (tc * jnp.roll(tc, 1, -2))
+                # z walls are closed (gate), so the clamped ring read at
+                # the seam multiplies a zero profile — exact
+                auL = au * (tc * tis_at(p + 1))
+                adL = ad * (tc * tis_at(p - 1))
+            else:
+                aeL, awL, anL, asL, auL, adL = ae, aw, an, as_, au, ad
             laps = {}
             for idx, v in enumerate(dvars):
                 u = yc[v]
-                lap = (ae * (jnp.roll(u, -1, -1) - u)
-                       + aw * (jnp.roll(u, 1, -1) - u)
-                       + an * (jnp.roll(u, -1, -2) - u)
-                       + as_ * (jnp.roll(u, 1, -2) - u)
-                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = (aeL * (jnp.roll(u, -1, -1) - u)
+                       + awL * (jnp.roll(u, 1, -1) - u)
+                       + anL * (jnp.roll(u, -1, -2) - u)
+                       + asL * (jnp.roll(u, 1, -2) - u)
+                       + auL * (yu[v] - u) + adL * (yd[v] - u))
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -319,6 +382,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                                   else react[v] for v in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
+            if has_tissue:
+                ydot = ydot * tis_at(p)
             return ydot
 
         # --- pipeline stages: k_s computed at plane m - s - 1 ---
@@ -383,6 +448,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             vmem_const(kc.m_pad.shape),              # interior mask
             vmem_const((1, nxp)),                    # error column mask
             pl.BlockSpec(memory_space=pltpu.HBM),    # y stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tissue mask (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -393,6 +459,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         scratch_shapes=[
             pltpu.VMEM((DY, nvars, R, nxp), dtype),
             pltpu.SemaphoreType.DMA((DY, 3)),
+            pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
+            pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
         ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
     )
 
@@ -421,7 +489,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             if "dscale" in params:
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, ae_row, aw_row, an_col, as_col,
-                        au_z, ad_z, b_in, kc.m_pad, kc.col_mask, yp)
+                        au_z, ad_z, b_in, kc.m_pad, kc.col_mask, yp,
+                        tis_hbm)
         return ynew, jnp.sum(ss)
 
     return FusedStep(step_err=step_err, pad=pad_cols, unpad=unpad_cols,

@@ -73,9 +73,12 @@ def _rkc_ring_planes() -> int:
     return (C_RKC + 3) + (C_RKC + 2) + DJ * C_RKC + 8
 
 
-def _rkc_strip_target(nx: int, nvars: int) -> int:
+def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False) -> int:
     nxp = lane_pad_width(nx, HALO)
-    bytes_per_row = 4 * nxp * nvars * _rkc_ring_planes()
+    # tissue plane ring (obstacle scars) is nvars-independent: depth C+4
+    # plus ~3 openness temporaries
+    tis = (C_RKC + 7) if has_tissue else 0
+    bytes_per_row = 4 * nxp * (nvars * _rkc_ring_planes() + tis)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
 
@@ -86,8 +89,6 @@ def is_box3d_rkc_supported(problem, dtype) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if getattr(problem, "obstacle_mask", None) is not None:
-        return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
     profs = _box_profiles(problem)
@@ -96,7 +97,9 @@ def is_box3d_rkc_supported(problem, dtype) -> bool:
     aU, aD = profs[4], profs[5]
     if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
         return False
-    S = _pick_strip(cfg.ny, _rkc_strip_target(cfg.nx, problem.model.nvars))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(cfg.ny, _rkc_strip_target(cfg.nx, problem.model.nvars,
+                                              has_tissue))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -120,7 +123,8 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
 
     C = C_RKC
     P = HALO
-    S = _pick_strip(ny, _rkc_strip_target(nx, nvars))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(ny, _rkc_strip_target(nx, nvars, has_tissue))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -128,6 +132,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     nxp = lane_pad_width(nx, P)
     DY = C + 3                 # y0 ring (+ prefetch slot)
     DF = C + 2                 # F0 ring
+    DT = C + 4                 # tissue ring (f1 reads plane p+1 at m=p+C+2)
 
     def pad_cols(arr):
         out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
@@ -161,22 +166,30 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
     ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
 
+    if has_tissue:
+        tis_np = np.broadcast_to(
+            np.asarray(problem.obstacle_mask, bool),
+            (nz, ny, nx)).astype(np.float32)
+        tis_hbm = pad_cols(jnp.asarray(tis_np, dtype))
+    else:
+        tis_hbm = jnp.zeros((1, 1, 1), dtype)   # unused placeholder
+
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
-               b_ref, m_ref, cm_ref, y_hbm,
-               ynew_ref, ss_ref, y0v, sems, f0v, *yv):
+               b_ref, m_ref, cm_ref, y_hbm, t_hbm,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, f0v, *yv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
 
         # --- y0 plane DMAs (identical to ops/pallas_box3d.py) ---
-        def plane_dmas(mm, slot):
+        def plane_dmas(mm, slot, tslot):
             tops = pl.multiple_of((i * S - P) % ny, 8)
             bots = pl.multiple_of((i * S + S) % ny, 8)
-            return (
+            dmas = (
                 pltpu.make_async_copy(
                     y_hbm.at[:, mm, pl.ds(tops, P), :],
                     y0v.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]),
@@ -187,22 +200,38 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                     y_hbm.at[:, mm, pl.ds(bots, P), :],
                     y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]),
             )
+            if has_tissue:
+                dmas += (
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(tops, P), :],
+                        tv.at[tslot, pl.ds(0, P), :], tsems.at[tslot, 0]),
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(row0, S), :],
+                        tv.at[tslot, pl.ds(P, S), :], tsems.at[tslot, 1]),
+                    pltpu.make_async_copy(
+                        t_hbm.at[mm, pl.ds(bots, P), :],
+                        tv.at[tslot, pl.ds(P + S, P), :],
+                        tsems.at[tslot, 2]),
+                )
+            return dmas
 
         dy = jnp.asarray(DY, m.dtype)
+        dt = jnp.asarray(DT, m.dtype)
 
         @pl.when(m == 0)
         def _():
-            for dma in plane_dmas(jnp.asarray(0, m.dtype), 0):
+            for dma in plane_dmas(jnp.asarray(0, m.dtype), 0, 0):
                 dma.start()
 
         @pl.when(m + 1 < nz)
         def _():
-            for dma in plane_dmas(m + 1, lax.rem(m + 1, dy)):
+            for dma in plane_dmas(m + 1, lax.rem(m + 1, dy),
+                                  lax.rem(m + 1, dt)):
                 dma.start()
 
         @pl.when(m < nz)
         def _():
-            for dma in plane_dmas(m, lax.rem(m, dy)):
+            for dma in plane_dmas(m, lax.rem(m, dy), lax.rem(m, dt)):
                 dma.wait()
 
         h = h_ref[0, 0]
@@ -238,23 +267,37 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 return y0_at(p)
             return yv[j - 1][lax.rem(clampz(p), jnp.asarray(DJ, m.dtype))]
 
+        def tis_at(p):
+            return tv[lax.rem(clampz(p), dt)]
+
         def rhs_plane(get, p):
             """f(Y) at plane p: 7-point divergence stencil + kinetics on
             the plane triple get(p-1), get(p), get(p+1) — the
-            ops/pallas_box3d.py stencil body."""
+            ops/pallas_box3d.py stencil body (incl. its obstacle-openness
+            recovery from the tissue plane ring)."""
             yc = get(p)
             yu = get(p + 1)
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            if has_tissue:
+                tc = tis_at(p)
+                aeL = ae * (tc * jnp.roll(tc, -1, -1))
+                awL = aw * (tc * jnp.roll(tc, 1, -1))
+                anL = an * (tc * jnp.roll(tc, -1, -2))
+                asL = as_ * (tc * jnp.roll(tc, 1, -2))
+                auL = au * (tc * tis_at(p + 1))
+                adL = ad * (tc * tis_at(p - 1))
+            else:
+                aeL, awL, anL, asL, auL, adL = ae, aw, an, as_, au, ad
             laps = {}
             for idx, v in enumerate(dvars):
                 u = yc[v]
-                lap = (ae * (jnp.roll(u, -1, -1) - u)
-                       + aw * (jnp.roll(u, 1, -1) - u)
-                       + an * (jnp.roll(u, -1, -2) - u)
-                       + as_ * (jnp.roll(u, 1, -2) - u)
-                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = (aeL * (jnp.roll(u, -1, -1) - u)
+                       + awL * (jnp.roll(u, 1, -1) - u)
+                       + anL * (jnp.roll(u, -1, -2) - u)
+                       + asL * (jnp.roll(u, 1, -2) - u)
+                       + auL * (yu[v] - u) + adL * (yd[v] - u))
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -267,6 +310,8 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                                   else react[v] for v in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
+            if has_tissue:
+                ydot = ydot * tis_at(p)
             return ydot
 
         # --- stage 1: F0 and Y_1 at plane m - 1 ---
@@ -350,6 +395,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             vmem_const(kc.m_pad.shape),                  # interior mask
             vmem_const((1, nxp)),                        # error column mask
             pl.BlockSpec(memory_space=pltpu.HBM),        # y stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),        # tissue (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -360,6 +406,8 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         scratch_shapes=[
             pltpu.VMEM((DY, nvars, R, nxp), dtype),
             pltpu.SemaphoreType.DMA((DY, 3)),
+            pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
+            pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
     )
@@ -399,7 +447,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
                         ae_row, aw_row, an_col, as_col, au_z, ad_z,
-                        b_in, kc.m_pad, kc.col_mask, yp)
+                        b_in, kc.m_pad, kc.col_mask, yp, tis_hbm)
         return ynew, jnp.sum(ss), ()
 
     def h_limit(t, yp, params):

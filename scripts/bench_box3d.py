@@ -44,6 +44,14 @@ def flat_cfg(ny, nx, method, use_pallas=False):
                      use_pallas=use_pallas)
 
 
+def _scar_case(method, use_pallas):
+    cfg = box_cfg(32, 512, method, "noflux", use_pallas)
+    yy, xx = np.meshgrid(np.arange(512), np.arange(512), indexing="ij")
+    scar = (yy - 256) ** 2 + (xx - 256) ** 2 < 48 ** 2
+    mask = np.broadcast_to(~scar, (32, 512, 512))
+    return cfg, dict(obstacle_mask=mask)
+
+
 CASES = {
     "box1M": lambda: (box_cfg(16, 256, "bs32"), {}),
     "box8M": lambda: (box_cfg(32, 512, "bs32"), {}),
@@ -64,6 +72,12 @@ CASES = {
     "box33M_nf_xla": lambda: (dataclasses.replace(
         box_cfg(64, 512, "bs32", "noflux", False), y_mesh=1024,
         surface_length=64.0), {}),
+    # 3-D obstacle scar (session 16): a cylindrical scar column through
+    # the slab — fused via the tissue plane ring vs XLA masked divergence
+    "box8M_scar_fused": lambda: _scar_case("bs32", True),
+    "box8M_scar_xla": lambda: _scar_case("bs32", False),
+    "box8M_scar_rkc2_fused": lambda: _scar_case("rkc2", True),
+    "box8M_scar_rkc2_xla": lambda: _scar_case("rkc2", False),
     "box1M_rkc2": lambda: (box_cfg(16, 256, "rkc2"), {}),
     "box8M_rkc2": lambda: (box_cfg(32, 512, "rkc2"), {}),
     # fused z-streaming RKC (ops/pallas_box3d_rkc.py) vs XLA rkc2 on the

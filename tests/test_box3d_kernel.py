@@ -75,17 +75,51 @@ def test_gate_requires_closed_z_walls():
     assert not pallas_box3d.is_box3d_supported(p, tab, f32)
 
 
-def test_gate_declines_obstacles_and_fields():
+def test_gate_accepts_obstacles_declines_fields():
     tab = TABLEAUS["bs32"]
     cfg = box_cfg()
+    # obstacle scars run fused: the six openness factors come from the
+    # tissue plane ring (session 16) — constant-D coefficients factor as
+    # profile x openness exactly
     mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
     mask[2:4, 8:14, 6:12] = False
     p = build_problem(cfg, obstacle_mask=mask)
-    assert not pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
+    assert pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
+    # full 3-D diffusion fields are not profile-expressible: XLA path
     rng = np.random.default_rng(0)
     dfield = 0.08 + 0.02 * rng.random((cfg.nz, cfg.ny, cfg.nx))
     p = build_problem(cfg, diffusion_field=dfield)
     assert not pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
+
+
+def scar_mask(cfg):
+    mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
+    mask[2:4, 8:14, 6:12] = False
+    return mask
+
+
+def test_obstacle_scar_matches_xla_and_holds_ic():
+    cfg = box_cfg()
+    mask = scar_mask(cfg)
+    bundle, p = run_pair(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])
+
+
+def test_obstacle_scar_conserves_mass():
+    # zero-flux scar walls: total mass over LIVE cells is conserved by
+    # the masked conservative operator through the adaptive driver
+    cfg = box_cfg(just_diffusion=1, t_final=1.0)
+    mask = scar_mask(cfg)
+    bundle, p = run_pair(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle)
+    tk = bundle[0]
+    m0 = np.asarray(p.y0)[0][mask].astype(np.float64).sum()
+    m1 = tk[-1][0][mask].astype(np.float64).sum()
+    np.testing.assert_allclose(m1, m0, rtol=1e-5)
 
 
 # ----------------------------------------------------------------------

@@ -69,16 +69,28 @@ def test_gate_requires_closed_z_walls():
         assert not pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
 
 
-def test_gate_declines_obstacles_and_fields():
+def test_gate_accepts_obstacles_declines_fields():
     cfg = box_cfg()
     mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
     mask[2:4, 8:14, 6:12] = False
     p = build_problem(cfg, obstacle_mask=mask)
-    assert not pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
+    assert pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
     rng = np.random.default_rng(0)
     dfield = 0.08 + 0.02 * rng.random((cfg.nz, cfg.ny, cfg.nx))
     p = build_problem(cfg, diffusion_field=dfield)
     assert not pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
+
+
+def test_obstacle_scar_matches_xla_and_holds_ic():
+    cfg = box_cfg()
+    mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
+    mask[2:4, 8:14, 6:12] = False
+    bundle, p = run_pair(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])
 
 
 def test_gate_f32_only():
