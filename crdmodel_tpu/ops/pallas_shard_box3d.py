@@ -1,0 +1,432 @@
+"""Fused 3-D box step for one shard of a 2-D device mesh.
+
+The pod-scale volumetric hot path: the z-streaming embedded-ERK kernel
+(ops/pallas_box3d.py) run per shard of a (py, px) mesh, with ONE deep
+halo exchange per step instead of the XLA path's width-1 exchange before
+every stage. z stays mesh-local (the sharded box layout,
+parallel/sharded.py); y/x halos use the v3 splice transport of
+ops/pallas_shard_step.py extended by the z axis:
+
+  1. XLA ppermutes two thin COLUMN strips (nvars, nz, nyl, P) and
+     splices them into the state's halo lanes (dynamic_update_slice —
+     two lane-tiles per row, not a full pass), then
+  2. ppermutes two thin ROW strips (nvars, nz, P, nxp) of the
+     column-spliced state (two-phase: corners carry true diagonals).
+
+The kernel streams planes exactly like the single-chip box kernel —
+per-stage plane ring buffers, stage s at plane p consuming stage s-1 at
+p-1/p/p+1 — but its row windows [iS-P, iS+S+P) are CONTIGUOUS in the
+local block (no wrap): the first/last P halo rows at the block edges are
+DMA'd per plane from the thin row-strip inputs (kept in HBM — at pod-
+scale nz they are too large for resident VMEM). Stale lane halos written
+by the kernel are refreshed by the next step's splice; fill lanes evolve
+as bounded dynamics and are masked from the error norm (the
+ops/pallas_shard_step.py argument).
+
+v1 scope mirrors the single-chip kernel's profile gate: constant-D
+coefficients with optional no-flux walls (closed z walls required — the
+z clamp), no obstacle masks, no 3-D diffusion fields, even grids only
+(pad_spec declines). Coefficients/beta/freeze ride as RUNTIME params
+prepared once per dispatch inside shard_map (prepare_params), because
+each shard needs its own slices.
+
+Reference context: the reference's only scaling axis is the 2-D MPI
+decomposition (src/FHNmodel_torus.cpp:708-772); volumetric domains and
+fused multi-stage shard stepping are beyond-reference capabilities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate.erk import Tableau
+from crdmodel_tpu.ops.kernel_common import freeze_scalar, lane_pad_width
+from crdmodel_tpu.ops.pallas_box3d import (_box_profiles, _box_strip_target,
+                                           _pick_strip, _ring_planes)
+from crdmodel_tpu.ops.pallas_step import HALO
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+def is_shard_box3d_supported(problem, tableau: Tableau, dtype,
+                             nyl: int, nxl: int) -> bool:
+    cfg = problem.cfg
+    if problem.geometry.kind != "box":
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if tableau.stages > HALO or tableau.stages < 2:
+        return False
+    if getattr(problem, "obstacle_mask", None) is not None:
+        return False   # v1: the tissue plane ring is single-chip only
+    if nyl < HALO or nxl < HALO:
+        return False   # halo deeper than a neighbour's block
+    profs = _box_profiles(problem)
+    if profs is None:
+        return False
+    aU, aD = profs[4], profs[5]
+    if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
+        return False
+    S = _pick_strip(nyl, _box_strip_target(nxl, problem.model.nvars,
+                                           tableau.stages))
+    if S is None or S < HALO:
+        return False   # strip windows must not cross both block edges
+    return True
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedShardBoxStep:
+    step_err: Callable        # (t, yp, h, params) -> (ynew_p, err_ss)
+    pad: Callable             # (nvars, nz, nyl, nxl) -> (..., nxp)
+    unpad: Callable
+    prepare_params: Callable  # params -> params + per-shard runtime inputs
+    nxp: int
+
+
+def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
+                            dtype=jnp.float32, interpret: bool = False,
+                            axis_y: str = AXIS_Y,
+                            axis_x: str = AXIS_X) -> FusedShardBoxStep:
+    """Build the fused 3-D step for (nz, nyl, nxl) local blocks; step_err
+    and prepare_params must run INSIDE shard_map over (axis_y, axis_x)."""
+    cfg = problem.cfg
+    model = problem.model
+    nvars = model.nvars
+    nz = cfg.nz
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+
+    a = tableau.a
+    bw = tableau.b
+    d = tableau.b - tableau.bhat
+    ns = tableau.stages
+    P = HALO
+    assert ns <= P
+    S = _pick_strip(nyl, _box_strip_target(nxl, nvars, ns))
+    if S is None:
+        raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
+    assert S >= P
+    n_strips = nyl // S
+    R = S + 2 * P
+    nxp = lane_pad_width(nxl, P)
+    fill = nxp - (nxl + 2 * P)
+    DY = ns + 3
+    DK = [ns - j + 1 for j in range(ns - 1)]
+
+    b_is_field = cfg.vary_beta == 1
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    def pad(y_local):
+        return jnp.pad(y_local, ((0, 0), (0, 0), (0, 0),
+                                 (P, nxp - nxl - P)))
+
+    def unpad(yp):
+        return yp[..., P:P + nxl]
+
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nxl] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
+               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
+               ynew_ref, ss_ref, y0v, sems, *kv):
+        i = pl.program_id(0)
+        m = pl.program_id(1)
+        row0 = pl.multiple_of(i * S, 8)
+
+        # --- per-plane strip DMAs: rows [iS-P, iS+S+P) of the LOCAL
+        # block are contiguous (no wrap); the first/last P rows at the
+        # block edges come from the thin ppermuted row strips instead
+        # (the kernel_common.load_edge_strips schedule, per plane) ---
+        def start_plane(mm, slot):
+            top0 = pl.multiple_of(jnp.maximum(row0 - P, 0), 8)
+            bot0 = pl.multiple_of(jnp.minimum(row0 + S, max(nyl - P, 0)), 8)
+
+            @pl.when(i == 0)
+            def _():
+                pltpu.make_async_copy(
+                    lo_hbm.at[:, mm, :, :],
+                    y0v.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            @pl.when(i > 0)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, mm, pl.ds(top0, P), :],
+                    y0v.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            pltpu.make_async_copy(
+                y_hbm.at[:, mm, pl.ds(row0, S), :],
+                y0v.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hi_hbm.at[:, mm, :, :],
+                    y0v.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+            @pl.when(i < n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, mm, pl.ds(bot0, P), :],
+                    y0v.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+        def wait_plane(slot):
+            # semaphore waits only need matching byte counts, not the
+            # original source refs (the kernel_common.load_edge_strips
+            # pattern): wait on dummy copies of identical shapes
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, P), :],
+                y0v.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, S), :],
+                y0v.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, P), :],
+                y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).wait()
+
+        dy = jnp.asarray(DY, m.dtype)
+
+        @pl.when(m == 0)
+        def _():
+            start_plane(jnp.asarray(0, m.dtype), 0)
+
+        @pl.when(m + 1 < nz)
+        def _():
+            start_plane(m + 1, lax.rem(m + 1, dy))
+
+        @pl.when(m < nz)
+        def _():
+            wait_plane(lax.rem(m, dy))
+
+        h = h_ref[0, 0]
+        ds = ds_ref[0, 0]
+        ae = ae_ref[:, :]
+        aw = aw_ref[:, :]
+        an = an_ref[pl.ds(row0, R), :]
+        as_ = as_ref[pl.ds(row0, R), :]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        def clampz(p):
+            return jnp.clip(p, 0, nz - 1)
+
+        def y0_at(p):
+            return y0v[lax.rem(clampz(p), dy)]
+
+        def k_at(j, p):
+            return kv[j][lax.rem(clampz(p), jnp.asarray(DK[j], m.dtype))]
+
+        def yi_at(s, p):
+            v = y0_at(p)
+            for j in range(s):
+                if a[s, j] != 0.0:
+                    v = v + (h * float(a[s, j])) * k_at(j, p)
+            return v
+
+        def rhs_at(s, p):
+            yc = yi_at(s, p)
+            yu = yi_at(s, p + 1)
+            yd = yi_at(s, p - 1)
+            au = au_ref[clampz(p), 0]
+            ad = ad_ref[clampz(p), 0]
+            laps = {}
+            for idx, v in enumerate(dvars):
+                u = yc[v]
+                lap = (ae * (jnp.roll(u, -1, -1) - u)
+                       + aw * (jnp.roll(u, 1, -1) - u)
+                       + an * (jnp.roll(u, -1, -2) - u)
+                       + as_ * (jnp.roll(u, 1, -2) - u)
+                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = ds * lap
+                laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
+            if just_diffusion:
+                ydot = jnp.stack([laps[v] if v in laps
+                                  else jnp.zeros_like(yc[0])
+                                  for v in range(nvars)])
+            else:
+                react = model.kinetics(yc, b_rows)
+                ydot = jnp.stack([react[v] + laps[v] if v in laps
+                                  else react[v] for v in range(nvars)])
+            if live_rows is not None:
+                ydot = ydot * live_rows
+            return ydot
+
+        for s in range(ns - 1):
+            @pl.when((m >= s + 1) & (m <= nz + s))
+            def _(s=s):
+                p = m - (s + 1)
+                kv[s][lax.rem(p, jnp.asarray(DK[s], m.dtype))] = rhs_at(s, p)
+
+        @pl.when(m >= ns)
+        def _():
+            q = m - ns
+            k_last = rhs_at(ns - 1, q)
+
+            def k_q(s):
+                return k_last if s == ns - 1 else k_at(s, q)
+
+            y0q = y0_at(q)
+            ynew = y0q
+            err = jnp.zeros_like(y0q)
+            for s in range(ns):
+                if bw[s] != 0.0:
+                    ynew = ynew + (h * float(bw[s])) * k_q(s)
+                if d[s] != 0.0:
+                    err = err + (h * float(d[s])) * k_q(s)
+
+            # centre rows only; stale lane halos are refreshed by the next
+            # step's splice (no wrap roll — lanes belong to neighbours)
+            ynew_ref[:, 0, :, :] = ynew[:, P:P + S, :]
+
+            yc = y0q[:, P:P + S, :]
+            w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+            scaled = err[:, P:P + S, :] * w
+            val = jnp.sum(scaled * scaled)
+            ss_ref[i, 0] = jnp.where(m == ns, val, ss_ref[i, 0] + val)
+
+    smem_scalar = pl.BlockSpec((1, 1), lambda i, m: (0, 0),
+                               memory_space=pltpu.SMEM)
+    vmem_const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, m: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    b_shape = (nyl + 2 * P, 1) if b_is_field else (1, 1)
+    m_shape = (nyl + 2 * P, 1) if has_freeze else (1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips, nz + ns),
+        in_specs=[
+            smem_scalar, smem_scalar, smem_scalar,   # h, fz, ds
+            vmem_const((1, nxp)),                    # ae
+            vmem_const((1, nxp)),                    # aw
+            vmem_const((nyl + 2 * P, 1)),            # an
+            vmem_const((nyl + 2 * P, 1)),            # as
+            pl.BlockSpec((nz, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # au
+            pl.BlockSpec((nz, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # ad
+            vmem_const(b_shape),                     # beta
+            vmem_const(m_shape),                     # interior mask
+            vmem_const((1, nxp)),                    # error column mask
+            pl.BlockSpec(memory_space=pltpu.HBM),    # state
+            pl.BlockSpec(memory_space=pltpu.HBM),    # lo row strips
+            pl.BlockSpec(memory_space=pltpu.HBM),    # hi row strips
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, 1, S, nxp),
+                         lambda i, m: (0, jnp.maximum(m - ns, 0), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # (n_strips, 1)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DY, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((DY, 3)),
+        ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
+    )
+
+    vma = frozenset({axis_y, axis_x})
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, nz, nyl, nxp), dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype, vma=vma),
+        ],
+        interpret=interpret,
+    )
+
+    from crdmodel_tpu.parallel.halo import (_shift_from_next,
+                                            _shift_from_prev,
+                                            halo_pad_cols, halo_pad_rows)
+
+    def splice(yp):
+        """Column splice + two-phase row strips (v3 transport, 3-D)."""
+        w_cols = _shift_from_prev(
+            lax.slice_in_dim(yp, nxl, P + nxl, axis=3), axis_x)
+        e_cols = _shift_from_next(
+            lax.slice_in_dim(yp, P, 2 * P, axis=3), axis_x)
+        yp = lax.dynamic_update_slice(yp, w_cols, (0, 0, 0, 0))
+        yp = lax.dynamic_update_slice(yp, e_cols, (0, 0, 0, P + nxl))
+        lo_rows = _shift_from_prev(yp[:, :, nyl - P:, :], axis_y)
+        hi_rows = _shift_from_next(yp[:, :, :P, :], axis_y)
+        return yp, lo_rows, hi_rows
+
+    def prepare_params(params):
+        """Per-shard runtime inputs, once per dispatch inside shard_map:
+        the six local face-coefficient profiles (halo-padded where the
+        kernel reads halo rows), beta and the freeze mask."""
+        out = dict(params)
+        aE, aW, aN, aS, aU, aD = params["coeffs"]
+
+        def lane_prof(c):
+            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
+                                    (nxl,)).reshape(1, nxl)
+            prof = halo_pad_cols(prof, axis_x, P)
+            if fill:
+                prof = jnp.pad(prof, ((0, 0), (0, fill)))
+            return prof
+
+        def row_prof(c):
+            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                    (nyl, 1))
+            return halo_pad_rows(prof, axis_y, P)
+
+        def z_prof(c):
+            return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                    (nz, 1))
+
+        out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
+                                 row_prof(aN), row_prof(aS),
+                                 z_prof(aU), z_prof(aD))
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    ones = jnp.ones((1, 1), dtype)
+
+    def step_err(t, yp, h, params):
+        del t  # stage times only matter through the per-segment freeze flag
+        fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        yp, lo_rows, hi_rows = splice(yp)
+        ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
+        b = params["_fused_b"]
+        mlive = params.get("_fused_live", ones)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        ds_s = ones
+        if isinstance(params, dict) and "dscale" in params:
+            ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        ynew, ss = call(h_s, fz_s, ds_s, ae, aw, an, as_, au, ad,
+                        b, mlive, col_mask, yp, lo_rows, hi_rows)
+        return ynew, ss
+
+    return FusedShardBoxStep(step_err=step_err, pad=pad, unpad=unpad,
+                             prepare_params=prepare_params, nxp=nxp)

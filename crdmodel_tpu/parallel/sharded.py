@@ -340,6 +340,50 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
         problem, tableau, nyl, nxl, dtype, interpret=interpret)
 
 
+def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
+                            interpret: bool = False, pad_spec=None):
+    """The fused z-streaming 3-D box shard kernel
+    (ops/pallas_shard_box3d.py) when supported, else None (XLA 7-point
+    path). Same FusedShardStep protocol as the 2-D shard kernels."""
+    from crdmodel_tpu.integrate.erk import TABLEAUS
+    cfg = problem.cfg
+    if problem.geometry.kind != "box":
+        return None
+    if problem.forcing is not None:
+        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    if pad_spec is not None and pad_spec.active:
+        return None   # see maybe_fused_shard_step
+    if cfg.method not in TABLEAUS:
+        return None
+    # selection policy: like _shard_kernel_eligible but sized on the
+    # per-shard VOLUME against the measured 3-D crossover
+    if interpret:
+        if cfg.use_pallas is not True:
+            return None
+    elif cfg.use_pallas is False:
+        return None
+    else:
+        nyl, nxl = _local_block_shape(cfg, mesh)
+        if cfg.use_pallas is None:
+            from crdmodel_tpu.config import PALLAS_BOX3D_AUTO_POINTS
+            if cfg.nz * nyl * nxl < PALLAS_BOX3D_AUTO_POINTS:
+                return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except Exception:
+            return None
+    from crdmodel_tpu.ops import pallas_shard_box3d
+    tableau = TABLEAUS[cfg.method]
+    nyl, nxl = _local_block_shape(cfg, mesh)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_box3d.is_shard_box3d_supported(problem, tableau,
+                                                       dtype, nyl, nxl):
+        return None
+    return pallas_shard_box3d.build_fused_shard_box3d(
+        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+
+
 def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
                               interpret: bool = False, pad_spec=None):
     """The fused divergence-form shard kernel (ops/pallas_shard_divform.py)
@@ -548,7 +592,10 @@ def build_local_run(problem: Problem, mesh,
                                     pad_spec=pad_spec)
              or maybe_fused_shard_divform(problem, mesh,
                                           interpret=interpret_pallas,
-                                          pad_spec=pad_spec))
+                                          pad_spec=pad_spec)
+             or maybe_fused_shard_box3d(problem, mesh,
+                                        interpret=interpret_pallas,
+                                        pad_spec=pad_spec))
     fimex = maybe_fused_shard_imex(problem, mesh,
                                    interpret=interpret_pallas,
                                    pad_spec=pad_spec)
@@ -711,7 +758,10 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                                     pad_spec=pad_spec)
              or maybe_fused_shard_divform(problem, mesh,
                                           interpret=interpret_pallas,
-                                          pad_spec=pad_spec))
+                                          pad_spec=pad_spec)
+             or maybe_fused_shard_box3d(problem, mesh,
+                                        interpret=interpret_pallas,
+                                        pad_spec=pad_spec))
     frkc = maybe_fused_shard_rkc(problem, mesh, rho_fn,
                                  interpret=interpret_pallas,
                                  pad_spec=pad_spec)
