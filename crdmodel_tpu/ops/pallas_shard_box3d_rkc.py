@@ -1,0 +1,449 @@
+"""Fused 3-D box RKC step for one shard of a 2-D device mesh.
+
+Completes the volumetric kernel matrix: the z-streaming Chebyshev
+pipeline (ops/pallas_box3d_rkc.py — the whole RKC2 stage recurrence in
+one pass over the local volume, s <= 7 per pass with the h-cap contract)
+run per shard with the v3 splice transport of ops/pallas_shard_box3d.py
+(ONE deep halo exchange per step: column strips spliced into the state's
+halo lanes in XLA, two-phase row strips, per-plane contiguous row windows
+with block edges DMA'd from the thin row strips).
+
+The spectral-radius bound is pmax'd across the mesh (make_rho_bound's
+max_reduce), so every shard computes the same stage count and coefficient
+table; all accept/reject decisions derive from psum'd scalars as in
+parallel/sharded.py. The driver caps h at the kernel's stage budget
+(h_limit, psum-consistent). v1 scope mirrors the sharded ERK box kernel:
+profile coefficients, closed z walls, no obstacles, even grids.
+
+Like the 2-D sharded fused RKC it is NOT ensemble-lockstep-safe in
+composed member meshes (the stage count rides data); parallel/sharded.py
+keeps rkc2 on the XLA path under member_sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crdmodel_tpu.integrate import rkc
+from crdmodel_tpu.ops.kernel_common import freeze_scalar, lane_pad_width
+from crdmodel_tpu.ops.pallas_box3d import _box_profiles, _pick_strip
+from crdmodel_tpu.ops.pallas_box3d_rkc import C_RKC, DJ, _rkc_strip_target
+from crdmodel_tpu.ops.pallas_rkc import S_MAX_KERNEL, static_stage_tables
+from crdmodel_tpu.ops.pallas_step import HALO
+from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+def is_shard_box3d_rkc_supported(problem, dtype, nyl: int,
+                                 nxl: int) -> bool:
+    cfg = problem.cfg
+    if problem.geometry.kind != "box":
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    if getattr(problem, "obstacle_mask", None) is not None:
+        return False   # v1: tissue plane ring is single-chip only
+    if problem.model.jac_bound is None and not cfg.just_diffusion:
+        return False
+    if nyl < HALO or nxl < HALO:
+        return False
+    profs = _box_profiles(problem)
+    if profs is None:
+        return False
+    aU, aD = profs[4], profs[5]
+    if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
+        return False
+    S = _pick_strip(nyl, _rkc_strip_target(nxl, problem.model.nvars))
+    if S is None or S < HALO:
+        return False
+    return True
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedShardBoxRKC:
+    step_err: Callable
+    h_limit: Callable
+    pad: Callable
+    unpad: Callable
+    prepare_params: Callable
+    nxp: int
+
+
+def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
+                                dtype=jnp.float32, rho_fn=None,
+                                interpret: bool = False,
+                                axis_y: str = AXIS_Y,
+                                axis_x: str = AXIS_X) -> FusedShardBoxRKC:
+    """step_err/prepare_params/h_limit must run INSIDE shard_map over
+    (axis_y, axis_x); rho_fn must pmax across the mesh."""
+    cfg = problem.cfg
+    model = problem.model
+    nvars = model.nvars
+    nz = cfg.nz
+    rtol, atol = float(cfg.rtol), float(cfg.atol)
+    just_diffusion = bool(cfg.just_diffusion)
+    t_boundary = float(cfg.t_boundary)
+
+    if rho_fn is None:
+        raise ValueError("sharded fused RKC needs a pmax'd rho_fn")
+
+    C = C_RKC
+    P = HALO
+    S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars))
+    if S is None:
+        raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
+    assert S >= P
+    n_strips = nyl // S
+    R = S + 2 * P
+    nxp = lane_pad_width(nxl, P)
+    fill = nxp - (nxl + 2 * P)
+    DY = C + 3
+    DF = C + 2
+
+    b_is_field = cfg.vary_beta == 1
+    has_freeze = (t_boundary > 0.0) and not just_diffusion
+
+    def pad(y_local):
+        return jnp.pad(y_local, ((0, 0), (0, 0), (0, 0),
+                                 (P, nxp - nxl - P)))
+
+    def unpad(yp):
+        return yp[..., P:P + nxl]
+
+    dvars = tuple(model.diffusive_vars)
+    ratios = tuple(model.diffusion_ratios)
+
+    col_mask_np = np.zeros((1, nxp), dtype=np.float32)
+    col_mask_np[0, P:P + nxl] = 1.0
+    col_mask = jnp.asarray(col_mask_np, dtype)
+
+    def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
+               ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
+               b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
+               ynew_ref, ss_ref, y0v, sems, f0v, *yv):
+        i = pl.program_id(0)
+        m = pl.program_id(1)
+        row0 = pl.multiple_of(i * S, 8)
+
+        # --- per-plane strip DMAs (the ops/pallas_shard_box3d.py
+        # schedule: contiguous local rows, edge rows from lo/hi) ---
+        def start_plane(mm, slot):
+            top0 = pl.multiple_of(jnp.maximum(row0 - P, 0), 8)
+            bot0 = pl.multiple_of(jnp.minimum(row0 + S, max(nyl - P, 0)), 8)
+
+            @pl.when(i == 0)
+            def _():
+                pltpu.make_async_copy(
+                    lo_hbm.at[:, mm, :, :],
+                    y0v.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            @pl.when(i > 0)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, mm, pl.ds(top0, P), :],
+                    y0v.at[slot, :, pl.ds(0, P), :],
+                    sems.at[slot, 0]).start()
+
+            pltpu.make_async_copy(
+                y_hbm.at[:, mm, pl.ds(row0, S), :],
+                y0v.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).start()
+
+            @pl.when(i == n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hi_hbm.at[:, mm, :, :],
+                    y0v.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+            @pl.when(i < n_strips - 1)
+            def _():
+                pltpu.make_async_copy(
+                    y_hbm.at[:, mm, pl.ds(bot0, P), :],
+                    y0v.at[slot, :, pl.ds(P + S, P), :],
+                    sems.at[slot, 2]).start()
+
+        def wait_plane(slot):
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, P), :],
+                y0v.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, S), :],
+                y0v.at[slot, :, pl.ds(P, S), :], sems.at[slot, 1]).wait()
+            pltpu.make_async_copy(
+                y_hbm.at[:, 0, pl.ds(0, P), :],
+                y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).wait()
+
+        dy = jnp.asarray(DY, m.dtype)
+
+        @pl.when(m == 0)
+        def _():
+            start_plane(jnp.asarray(0, m.dtype), 0)
+
+        @pl.when(m + 1 < nz)
+        def _():
+            start_plane(m + 1, lax.rem(m + 1, dy))
+
+        @pl.when(m < nz)
+        def _():
+            wait_plane(lax.rem(m, dy))
+
+        h = h_ref[0, 0]
+        ds = ds_ref[0, 0]
+        s = s_ref[0, 0]
+        mu1 = mu1_ref[0, 0]
+        ae = ae_ref[:, :]
+        aw = aw_ref[:, :]
+        an = an_ref[pl.ds(row0, R), :]
+        as_ = as_ref[pl.ds(row0, R), :]
+        if b_is_field:
+            b_rows = b_ref[pl.ds(row0, R), :]
+        else:
+            b_rows = b_ref[0, 0]
+        if has_freeze:
+            fz = fz_ref[0, 0]
+            live_rows = 1.0 - fz * (1.0 - m_ref[pl.ds(row0, R), :])
+        else:
+            live_rows = None
+
+        def clampz(p):
+            return jnp.clip(p, 0, nz - 1)
+
+        def y0_at(p):
+            return y0v[lax.rem(clampz(p), dy)]
+
+        def f0_at(p):
+            return f0v[lax.rem(clampz(p), jnp.asarray(DF, m.dtype))]
+
+        def yj_at(j, p):
+            if j == 0:
+                return y0_at(p)
+            return yv[j - 1][lax.rem(clampz(p), jnp.asarray(DJ, m.dtype))]
+
+        def rhs_plane(get, p):
+            yc = get(p)
+            yu = get(p + 1)
+            yd = get(p - 1)
+            au = au_ref[clampz(p), 0]
+            ad = ad_ref[clampz(p), 0]
+            laps = {}
+            for idx, v in enumerate(dvars):
+                u = yc[v]
+                lap = (ae * (jnp.roll(u, -1, -1) - u)
+                       + aw * (jnp.roll(u, 1, -1) - u)
+                       + an * (jnp.roll(u, -1, -2) - u)
+                       + as_ * (jnp.roll(u, 1, -2) - u)
+                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = ds * lap
+                laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
+            if just_diffusion:
+                ydot = jnp.stack([laps[v] if v in laps
+                                  else jnp.zeros_like(yc[0])
+                                  for v in range(nvars)])
+            else:
+                react = model.kinetics(yc, b_rows)
+                ydot = jnp.stack([react[v] + laps[v] if v in laps
+                                  else react[v] for v in range(nvars)])
+            if live_rows is not None:
+                ydot = ydot * live_rows
+            return ydot
+
+        # --- stage 1: F0 and Y_1 at plane m - 1 ---
+        @pl.when((m >= 1) & (m <= nz))
+        def _():
+            p = m - 1
+            f0 = rhs_plane(y0_at, p)
+            f0v[lax.rem(p, jnp.asarray(DF, m.dtype))] = f0
+            yv[0][lax.rem(p, jnp.asarray(DJ, m.dtype))] = (
+                y0_at(p) + (h * mu1) * f0)
+
+        # --- stages j = 2..C at plane m - j (passthrough when j > s) ---
+        for j in range(2, C + 1):
+            @pl.when((m >= j) & (m <= nz - 1 + j))
+            def _(j=j):
+                p = m - j
+                slot = lax.rem(p, jnp.asarray(DJ, m.dtype))
+
+                @pl.when(j <= s)
+                def _():
+                    mu = ctab_ref[j, 0]
+                    nu = ctab_ref[j, 1]
+                    mut = ctab_ref[j, 2]
+                    gt = ctab_ref[j, 3]
+                    fy = rhs_plane(lambda q: yj_at(j - 1, q), p)
+                    yv[j - 1][slot] = (
+                        (1.0 - mu - nu) * y0_at(p)
+                        + mu * yj_at(j - 1, p) + nu * yj_at(j - 2, p)
+                        + (h * mut) * fy + (h * gt) * f0_at(p))
+
+                @pl.when(j > s)
+                def _():
+                    yv[j - 1][slot] = yj_at(j - 1, p)
+
+        # --- drain: f1, error estimate, output at plane q = m - C - 1 ---
+        @pl.when(m >= C + 1)
+        def _():
+            q = m - (C + 1)
+            f1 = rhs_plane(lambda p: yj_at(C, p), q)
+            y0q = y0_at(q)
+            ynew = yj_at(C, q)
+            est = 0.8 * (y0q - ynew) + (0.4 * h) * (f0_at(q) + f1)
+
+            # centre rows only; stale lane halos are refreshed by the
+            # next step's splice
+            ynew_ref[:, 0, :, :] = ynew[:, P:P + S, :]
+
+            yc = y0q[:, P:P + S, :]
+            w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
+            scaled = est[:, P:P + S, :] * w
+            val = jnp.sum(scaled * scaled)
+            ss_ref[i, 0] = jnp.where(m == C + 1, val, ss_ref[i, 0] + val)
+
+    smem_scalar = pl.BlockSpec((1, 1), lambda i, m: (0, 0),
+                               memory_space=pltpu.SMEM)
+    vmem_const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, m: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    b_shape = (nyl + 2 * P, 1) if b_is_field else (1, 1)
+    m_shape = (nyl + 2 * P, 1) if has_freeze else (1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_strips, nz + C + 1),
+        in_specs=[
+            smem_scalar, smem_scalar, smem_scalar,       # h, fz, ds
+            pl.BlockSpec((1, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # s (int32)
+            smem_scalar,                                 # mu1
+            pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # ctab rows
+            vmem_const((1, nxp)),                        # ae
+            vmem_const((1, nxp)),                        # aw
+            vmem_const((nyl + 2 * P, 1)),                # an
+            vmem_const((nyl + 2 * P, 1)),                # as
+            pl.BlockSpec((nz, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # au
+            pl.BlockSpec((nz, 1), lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # ad
+            vmem_const(b_shape),                         # beta
+            vmem_const(m_shape),                         # interior mask
+            vmem_const((1, nxp)),                        # error column mask
+            pl.BlockSpec(memory_space=pltpu.HBM),        # state
+            pl.BlockSpec(memory_space=pltpu.HBM),        # lo row strips
+            pl.BlockSpec(memory_space=pltpu.HBM),        # hi row strips
+        ],
+        out_specs=[
+            pl.BlockSpec((nvars, 1, S, nxp),
+                         lambda i, m: (0, jnp.maximum(m - (C + 1), 0), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # (n_strips, 1)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DY, nvars, R, nxp), dtype),
+            pltpu.SemaphoreType.DMA((DY, 3)),
+            pltpu.VMEM((DF, nvars, R, nxp), dtype),
+        ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
+    )
+
+    vma = frozenset({axis_y, axis_x})
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nvars, nz, nyl, nxp), dtype, vma=vma),
+            jax.ShapeDtypeStruct((n_strips, 1), dtype, vma=vma),
+        ],
+        interpret=interpret,
+    )
+
+    from crdmodel_tpu.parallel.halo import (_shift_from_next,
+                                            _shift_from_prev,
+                                            halo_pad_cols, halo_pad_rows)
+
+    def splice(yp):
+        w_cols = _shift_from_prev(
+            lax.slice_in_dim(yp, nxl, P + nxl, axis=3), axis_x)
+        e_cols = _shift_from_next(
+            lax.slice_in_dim(yp, P, 2 * P, axis=3), axis_x)
+        yp = lax.dynamic_update_slice(yp, w_cols, (0, 0, 0, 0))
+        yp = lax.dynamic_update_slice(yp, e_cols, (0, 0, 0, P + nxl))
+        lo_rows = _shift_from_prev(yp[:, :, nyl - P:, :], axis_y)
+        hi_rows = _shift_from_next(yp[:, :, :P, :], axis_y)
+        return yp, lo_rows, hi_rows
+
+    def prepare_params(params):
+        out = dict(params)
+        aE, aW, aN, aS, aU, aD = params["coeffs"]
+
+        def lane_prof(c):
+            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
+                                    (nxl,)).reshape(1, nxl)
+            prof = halo_pad_cols(prof, axis_x, P)
+            if fill:
+                prof = jnp.pad(prof, ((0, 0), (0, fill)))
+            return prof
+
+        def row_prof(c):
+            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                    (nyl, 1))
+            return halo_pad_rows(prof, axis_y, P)
+
+        def z_prof(c):
+            return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                    (nz, 1))
+
+        out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
+                                 row_prof(aN), row_prof(aS),
+                                 z_prof(aU), z_prof(aD))
+        b = params["b"]
+        if b_is_field:
+            out["_fused_b"] = halo_pad_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+        else:
+            out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
+        if has_freeze:
+            out["_fused_live"] = halo_pad_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+        return out
+
+    ones = jnp.ones((1, 1), dtype)
+    s_cap = C
+    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
+
+    def step_err(t, yp, h, params, carry=()):
+        rho = rho_fn(t, unpad(yp), params).astype(dtype)   # pmax'd
+        s = jnp.minimum(rkc.choose_stages(h, rho),
+                        jnp.asarray(s_cap, jnp.int32))
+        mu1 = mu1_tab[s]
+        ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
+        fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        yp, lo_rows, hi_rows = splice(yp)
+        ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
+        b = params["_fused_b"]
+        mlive = params.get("_fused_live", ones)
+        h_s = jnp.reshape(h.astype(dtype), (1, 1))
+        fz_s = jnp.reshape(fz, (1, 1))
+        s_s = jnp.reshape(s, (1, 1))
+        mu1_s = jnp.reshape(mu1, (1, 1))
+        ds_s = ones
+        if isinstance(params, dict) and "dscale" in params:
+            ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
+                        ae, aw, an, as_, au, ad,
+                        b, mlive, col_mask, yp, lo_rows, hi_rows)
+        return ynew, ss, ()
+
+    def h_limit(t, yp, params):
+        rho = rho_fn(t, unpad(yp), params).astype(dtype)
+        return (rkc.STAB_FACTOR * (s_cap - 1) ** 2
+                / jnp.maximum(rho, 1e-30)).astype(dtype)
+
+    return FusedShardBoxRKC(step_err=step_err, h_limit=h_limit, pad=pad,
+                            unpad=unpad, prepare_params=prepare_params,
+                            nxp=nxp)

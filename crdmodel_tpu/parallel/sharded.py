@@ -419,8 +419,41 @@ def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
 def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
                           interpret: bool = False, pad_spec=None):
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
-    production configuration for diffusion-limited large grids on a mesh."""
+    production configuration for diffusion-limited large grids on a mesh.
+    3-D boxes route to the z-streaming variant
+    (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
+    if problem.geometry.kind == "box":
+        if problem.forcing is not None:
+            return None
+        if pad_spec is not None and pad_spec.active:
+            return None
+        if cfg.method != "rkc2":
+            return None
+        if interpret:
+            if cfg.use_pallas is not True:
+                return None
+        elif cfg.use_pallas is False:
+            return None
+        else:
+            nyl, nxl = _local_block_shape(cfg, mesh)
+            if cfg.use_pallas is None:
+                from crdmodel_tpu.config import PALLAS_BOX3D_AUTO_POINTS
+                if cfg.nz * nyl * nxl < PALLAS_BOX3D_AUTO_POINTS:
+                    return None
+            try:
+                if jax.default_backend() != "tpu":
+                    return None
+            except Exception:
+                return None
+        from crdmodel_tpu.ops import pallas_shard_box3d_rkc
+        nyl, nxl = _local_block_shape(cfg, mesh)
+        dtype = jnp.dtype(cfg.dtype)
+        if not pallas_shard_box3d_rkc.is_shard_box3d_rkc_supported(
+                problem, dtype, nyl, nxl):
+            return None
+        return pallas_shard_box3d_rkc.build_fused_shard_box3d_rkc(
+            problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret)
     if problem.diffusion_field is not None and (
             problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):

@@ -140,3 +140,48 @@ def test_just_diffusion_conserves_mass():
     m0 = np.asarray(p.y0)[0].astype(np.float64).sum()
     m1 = tf[-1][0].astype(np.float64).sum()
     np.testing.assert_allclose(m1, m0, rtol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Sharded fused 3-D RKC (ops/pallas_shard_box3d_rkc.py)
+
+
+def run_pair_rkc(cfg, mesh_shape=(2, 2), **build_kw):
+    mesh = make_mesh(shape=mesh_shape)
+    p_k = build_problem(cfg, **build_kw)
+    params, _ = sharded_params(p_k)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(p_k.y0, params)
+    p_x = build_problem(dataclasses.replace(cfg, use_pallas=False),
+                        **build_kw)
+    run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+    tx, sx = run_x(p_x.y0, params)
+    return (np.asarray(tf), sf, np.asarray(tx), sx), p_k
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4)])
+def test_rkc_matches_sharded_xla(mesh_shape):
+    # stage counts stay within the s <= 7 budget at this size, so the
+    # step sequences are pinned to the sharded XLA rkc2 path
+    bundle, _ = run_pair_rkc(box_cfg(method="rkc2"),
+                             mesh_shape=mesh_shape)
+    assert_equivalent(bundle, atol=1e-5)
+
+
+def test_rkc_matches_unsharded_fused():
+    import jax
+    from crdmodel_tpu.sim import make_run_fn
+    cfg = box_cfg(method="rkc2")
+    bundle, p_k = run_pair_rkc(cfg, mesh_shape=(2, 2))
+    p1 = build_problem(cfg)
+    run1 = jax.jit(make_run_fn(p1, interpret=True)[0])
+    t1, s1 = run1(p1.y0, p1.params)
+    assert np.array_equal(np.asarray(bundle[1].steps), np.asarray(s1.steps))
+    np.testing.assert_allclose(bundle[0], np.asarray(t1), rtol=0, atol=1e-5)
+
+
+def test_rkc_freeze_and_beta_ramp():
+    cfg = box_cfg(model="fhn", method="rkc2", beta=1.25, t_final=1.0,
+                  t_boundary=0.4, vary_beta=1, beta_min=0.9, beta_max=1.5)
+    bundle, _ = run_pair_rkc(cfg)
+    assert_equivalent(bundle, atol=1e-5)

@@ -15,6 +15,29 @@ from crdmodel_tpu.parallel.sharded import (make_sharded_simulation_fn,
 from crdmodel_tpu.sim import simulate
 
 
+def test_shard_box3d_rkc_compiles_and_matches_on_chip():
+    cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
+                    y_mesh=128, z_mesh=16, surface_width=8.0,
+                    surface_length=8.0, surface_depth=1.0, diffusion=1.0,
+                    beta=0.10, wave_length=0.25, wave_width=0.5,
+                    t_final=0.5, output_timestep=1, dtype="float32",
+                    rtol=1e-4, atol=1e-7, boundary="noflux",
+                    method="rkc2", use_pallas=True)
+    mesh = make_mesh(shape=(1, 1))
+    p_s = build_problem(cfg)
+    params, _ = sharded_params(p_s)
+    run_s, _ = make_sharded_simulation_fn(p_s, mesh)
+    ts, ss = run_s(p_s.y0, params)
+    assert int(np.max(np.asarray(ss.status))) == 0
+    p_1 = build_problem(cfg)
+    r_1 = simulate(cfg, problem=p_1)
+    assert r_1.ok
+    assert np.array_equal(np.asarray(ss.steps), np.asarray(r_1.stats.steps))
+    np.testing.assert_allclose(np.asarray(ts)[-1],
+                               np.asarray(r_1.trajectory[-1]),
+                               rtol=0, atol=5e-5)
+
+
 def test_shard_box3d_compiles_and_matches_on_chip():
     cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
                     y_mesh=128, z_mesh=16, surface_width=8.0,
