@@ -23,12 +23,25 @@ by the kernel are refreshed by the next step's splice; fill lanes evolve
 as bounded dynamics and are masked from the error norm (the
 ops/pallas_shard_step.py argument).
 
-v1 scope mirrors the single-chip kernel's profile gate: constant-D
+Scope mirrors the single-chip kernel's profile gate: constant-D
 coefficients with optional no-flux walls (closed z walls required — the
-z clamp), no obstacle masks, no 3-D diffusion fields, even grids only
-(pad_spec declines). Coefficients/beta/freeze ride as RUNTIME params
-prepared once per dispatch inside shard_map (prepare_params), because
-each shard needs its own slices.
+z clamp) and optional 3-D obstacle scars, no 3-D diffusion fields, even
+grids only (pad_spec declines). Coefficients/beta/freeze ride as RUNTIME
+params prepared once per dispatch inside shard_map (prepare_params),
+because each shard needs its own slices.
+
+Obstacle scars (the ops/pallas_box3d.py factorisation): constant-D
+masked coefficients factor exactly as wall-profile x tissue-openness, so
+the kernel streams ONE extra tissue plane ring and recovers all six face
+factors in-kernel (0/1 multiplies — bitwise-equal coefficients). The
+tissue mask is STATIC: prepare_params halo-pads the local block once per
+dispatch (true neighbour values via the ppermute ring, so the deep-halo
+stage ladder sees the same openness the neighbour shard computes), and
+the per-plane window [row0, row0+R) is then CONTIGUOUS in the padded
+array — one DMA per plane, unlike the state's three. Wall-only
+coefficient profiles are global statics sliced per shard by axis_index
+(params["coeffs"] holds the fully-masked 3-D arrays in this case, which
+only the XLA path consumes).
 
 Reference context: the reference's only scaling axis is the 2-D MPI
 decomposition (src/FHNmodel_torus.cpp:708-772); volumetric domains and
@@ -64,8 +77,6 @@ def is_shard_box3d_supported(problem, tableau: Tableau, dtype,
         return False
     if tableau.stages > HALO or tableau.stages < 2:
         return False
-    if getattr(problem, "obstacle_mask", None) is not None:
-        return False   # v1: the tissue plane ring is single-chip only
     if nyl < HALO or nxl < HALO:
         return False   # halo deeper than a neighbour's block
     profs = _box_profiles(problem)
@@ -74,8 +85,9 @@ def is_shard_box3d_supported(problem, tableau: Tableau, dtype,
     aU, aD = profs[4], profs[5]
     if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
         return False
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(nyl, _box_strip_target(nxl, problem.model.nvars,
-                                           tableau.stages))
+                                           tableau.stages, has_tissue))
     if S is None or S < HALO:
         return False   # strip windows must not cross both block edges
     return True
@@ -110,7 +122,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     ns = tableau.stages
     P = HALO
     assert ns <= P
-    S = _pick_strip(nyl, _box_strip_target(nxl, nvars, ns))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(nyl, _box_strip_target(nxl, nvars, ns, has_tissue))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
     assert S >= P
@@ -119,7 +132,18 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     nxp = lane_pad_width(nxl, P)
     fill = nxp - (nxl + 2 * P)
     DY = ns + 3
+    DT = DY                                   # tissue ring (same schedule)
     DK = [ns - j + 1 for j in range(ns - 1)]
+
+    if has_tissue:
+        # wall-only global coefficient profiles (the _box_profiles
+        # factorisation) — params["coeffs"] carries the fully-masked 3-D
+        # arrays, which the fused kernel cannot consume; sliced per shard
+        # by axis_index in prepare_params
+        profs64 = _box_profiles(problem)
+        assert profs64 is not None
+        _g_profs = tuple(jnp.asarray(np.asarray(c, np.float64))
+                         for c in profs64)
 
     b_is_field = cfg.vary_beta == 1
     has_freeze = (t_boundary > 0.0) and not just_diffusion
@@ -140,7 +164,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
 
     def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
                au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
-               ynew_ref, ss_ref, y0v, sems, *kv):
+               t_hbm, ynew_ref, ss_ref, y0v, sems, tv, tsems, *kv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -185,6 +209,14 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                     y0v.at[slot, :, pl.ds(P + S, P), :],
                     sems.at[slot, 2]).start()
 
+            if has_tissue:
+                # the padded tissue array's window [row0, row0+R) is
+                # contiguous (prepare_params halo-pads it once per
+                # dispatch): ONE copy, no edge strips
+                pltpu.make_async_copy(
+                    t_hbm.at[mm, pl.ds(row0, R), :],
+                    tv.at[slot], tsems.at[slot, 0]).start()
+
         def wait_plane(slot):
             # semaphore waits only need matching byte counts, not the
             # original source refs (the kernel_common.load_edge_strips
@@ -198,6 +230,10 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             pltpu.make_async_copy(
                 y_hbm.at[:, 0, pl.ds(0, P), :],
                 y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).wait()
+            if has_tissue:
+                pltpu.make_async_copy(
+                    t_hbm.at[0, pl.ds(0, R), :],
+                    tv.at[slot], tsems.at[slot, 0]).wait()
 
         dy = jnp.asarray(DY, m.dtype)
 
@@ -245,20 +281,39 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                     v = v + (h * float(a[s, j])) * k_at(j, p)
             return v
 
+        def tis_at(p):
+            return tv[lax.rem(clampz(p), jnp.asarray(DT, m.dtype))]
+
         def rhs_at(s, p):
+            """With obstacle scars the six openness factors are recovered
+            from the tissue plane ring (0/1 multiplies are exact — the
+            ops/pallas_box3d.py factorisation); kinetics on dead cells
+            are zeroed like problem.py::mask_tissue."""
             yc = yi_at(s, p)
             yu = yi_at(s, p + 1)
             yd = yi_at(s, p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            if has_tissue:
+                tc = tis_at(p)
+                aeL = ae * (tc * jnp.roll(tc, -1, -1))
+                awL = aw * (tc * jnp.roll(tc, 1, -1))
+                anL = an * (tc * jnp.roll(tc, -1, -2))
+                asL = as_ * (tc * jnp.roll(tc, 1, -2))
+                # z walls are closed (gate), so the clamped ring read at
+                # the seam multiplies a zero profile — exact
+                auL = au * (tc * tis_at(p + 1))
+                adL = ad * (tc * tis_at(p - 1))
+            else:
+                aeL, awL, anL, asL, auL, adL = ae, aw, an, as_, au, ad
             laps = {}
             for idx, v in enumerate(dvars):
                 u = yc[v]
-                lap = (ae * (jnp.roll(u, -1, -1) - u)
-                       + aw * (jnp.roll(u, 1, -1) - u)
-                       + an * (jnp.roll(u, -1, -2) - u)
-                       + as_ * (jnp.roll(u, 1, -2) - u)
-                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = (aeL * (jnp.roll(u, -1, -1) - u)
+                       + awL * (jnp.roll(u, 1, -1) - u)
+                       + anL * (jnp.roll(u, -1, -2) - u)
+                       + asL * (jnp.roll(u, 1, -2) - u)
+                       + auL * (yu[v] - u) + adL * (yd[v] - u))
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -271,6 +326,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                                   else react[v] for v in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
+            if has_tissue:
+                ydot = ydot * tis_at(p)
             return ydot
 
         for s in range(ns - 1):
@@ -332,6 +389,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec(memory_space=pltpu.HBM),    # state
             pl.BlockSpec(memory_space=pltpu.HBM),    # lo row strips
             pl.BlockSpec(memory_space=pltpu.HBM),    # hi row strips
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tissue mask (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -342,6 +400,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         scratch_shapes=[
             pltpu.VMEM((DY, nvars, R, nxp), dtype),
             pltpu.SemaphoreType.DMA((DY, 3)),
+            pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
+            pltpu.SemaphoreType.DMA((DT, 1) if has_tissue else (1, 1)),
         ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
     )
 
@@ -375,9 +435,26 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     def prepare_params(params):
         """Per-shard runtime inputs, once per dispatch inside shard_map:
         the six local face-coefficient profiles (halo-padded where the
-        kernel reads halo rows), beta and the freeze mask."""
+        kernel reads halo rows), beta, the freeze mask, and with obstacle
+        scars the halo-padded tissue mask (static per dispatch — the
+        ppermute ring supplies TRUE neighbour openness for the deep-halo
+        stage ladder)."""
         out = dict(params)
-        aE, aW, aN, aS, aU, aD = params["coeffs"]
+        if has_tissue:
+            iy = lax.axis_index(axis_y)
+            ix = lax.axis_index(axis_x)
+            aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
+            aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
+            aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
+            aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
+            aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
+            t = params["tissue"].astype(dtype)
+            t = halo_pad_cols(t, axis_x, P)
+            if fill:
+                t = jnp.pad(t, ((0, 0), (0, 0), (0, fill)))
+            out["_fused_tissue"] = halo_pad_rows(t, axis_y, P)
+        else:
+            aE, aW, aN, aS, aU, aD = params["coeffs"]
 
         def lane_prof(c):
             prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
@@ -411,6 +488,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         return out
 
     ones = jnp.ones((1, 1), dtype)
+    tis_stub = jnp.zeros((1, 1, 1), dtype)
 
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
@@ -419,13 +497,14 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
         b = params["_fused_b"]
         mlive = params.get("_fused_live", ones)
+        t_in = params.get("_fused_tissue", tis_stub)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         ds_s = ones
         if isinstance(params, dict) and "dscale" in params:
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, ae, aw, an, as_, au, ad,
-                        b, mlive, col_mask, yp, lo_rows, hi_rows)
+                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in)
         return ynew, ss
 
     return FusedShardBoxStep(step_err=step_err, pad=pad, unpad=unpad,

@@ -12,8 +12,11 @@ The spectral-radius bound is pmax'd across the mesh (make_rho_bound's
 max_reduce), so every shard computes the same stage count and coefficient
 table; all accept/reject decisions derive from psum'd scalars as in
 parallel/sharded.py. The driver caps h at the kernel's stage budget
-(h_limit, psum-consistent). v1 scope mirrors the sharded ERK box kernel:
-profile coefficients, closed z walls, no obstacles, even grids.
+(h_limit, psum-consistent). Scope mirrors the sharded ERK box kernel:
+profile coefficients, closed z walls, optional 3-D obstacle scars (the
+once-per-dispatch halo-padded tissue plane ring of
+ops/pallas_shard_box3d.py — one contiguous DMA per plane, wall-only
+profiles sliced per shard by axis_index), even grids.
 
 Like the 2-D sharded fused RKC it is NOT ensemble-lockstep-safe in
 composed member meshes (the stage count rides data); parallel/sharded.py
@@ -48,8 +51,6 @@ def is_shard_box3d_rkc_supported(problem, dtype, nyl: int,
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if getattr(problem, "obstacle_mask", None) is not None:
-        return False   # v1: tissue plane ring is single-chip only
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
     if nyl < HALO or nxl < HALO:
@@ -60,7 +61,9 @@ def is_shard_box3d_rkc_supported(problem, dtype, nyl: int,
     aU, aD = profs[4], profs[5]
     if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
         return False
-    S = _pick_strip(nyl, _rkc_strip_target(nxl, problem.model.nvars))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(nyl, _rkc_strip_target(nxl, problem.model.nvars,
+                                           has_tissue))
     if S is None or S < HALO:
         return False
     return True
@@ -96,7 +99,8 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
 
     C = C_RKC
     P = HALO
-    S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars))
+    has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars, has_tissue))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
     assert S >= P
@@ -106,6 +110,15 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     fill = nxp - (nxl + 2 * P)
     DY = C + 3
     DF = C + 2
+    DT = C + 4                 # tissue ring (f1 reads plane p+1 at m=p+C+2)
+
+    if has_tissue:
+        # wall-only global coefficient profiles, sliced per shard by
+        # axis_index in prepare_params (ops/pallas_shard_box3d.py note)
+        profs64 = _box_profiles(problem)
+        assert profs64 is not None
+        _g_profs = tuple(jnp.asarray(np.asarray(c, np.float64))
+                         for c in profs64)
 
     b_is_field = cfg.vary_beta == 1
     has_freeze = (t_boundary > 0.0) and not just_diffusion
@@ -126,15 +139,16 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
-               b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
-               ynew_ref, ss_ref, y0v, sems, f0v, *yv):
+               b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm, t_hbm,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, f0v, *yv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
+        dt = jnp.asarray(DT, m.dtype)
 
         # --- per-plane strip DMAs (the ops/pallas_shard_box3d.py
         # schedule: contiguous local rows, edge rows from lo/hi) ---
-        def start_plane(mm, slot):
+        def start_plane(mm, slot, tslot):
             top0 = pl.multiple_of(jnp.maximum(row0 - P, 0), 8)
             bot0 = pl.multiple_of(jnp.minimum(row0 + S, max(nyl - P, 0)), 8)
 
@@ -170,7 +184,14 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                     y0v.at[slot, :, pl.ds(P + S, P), :],
                     sems.at[slot, 2]).start()
 
-        def wait_plane(slot):
+            if has_tissue:
+                # padded tissue window [row0, row0+R) is contiguous
+                # (prepare_params): ONE copy, no edge strips
+                pltpu.make_async_copy(
+                    t_hbm.at[mm, pl.ds(row0, R), :],
+                    tv.at[tslot], tsems.at[tslot, 0]).start()
+
+        def wait_plane(slot, tslot):
             pltpu.make_async_copy(
                 y_hbm.at[:, 0, pl.ds(0, P), :],
                 y0v.at[slot, :, pl.ds(0, P), :], sems.at[slot, 0]).wait()
@@ -180,20 +201,24 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             pltpu.make_async_copy(
                 y_hbm.at[:, 0, pl.ds(0, P), :],
                 y0v.at[slot, :, pl.ds(P + S, P), :], sems.at[slot, 2]).wait()
+            if has_tissue:
+                pltpu.make_async_copy(
+                    t_hbm.at[0, pl.ds(0, R), :],
+                    tv.at[tslot], tsems.at[tslot, 0]).wait()
 
         dy = jnp.asarray(DY, m.dtype)
 
         @pl.when(m == 0)
         def _():
-            start_plane(jnp.asarray(0, m.dtype), 0)
+            start_plane(jnp.asarray(0, m.dtype), 0, 0)
 
         @pl.when(m + 1 < nz)
         def _():
-            start_plane(m + 1, lax.rem(m + 1, dy))
+            start_plane(m + 1, lax.rem(m + 1, dy), lax.rem(m + 1, dt))
 
         @pl.when(m < nz)
         def _():
-            wait_plane(lax.rem(m, dy))
+            wait_plane(lax.rem(m, dy), lax.rem(m, dt))
 
         h = h_ref[0, 0]
         ds = ds_ref[0, 0]
@@ -227,20 +252,37 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                 return y0_at(p)
             return yv[j - 1][lax.rem(clampz(p), jnp.asarray(DJ, m.dtype))]
 
+        def tis_at(p):
+            return tv[lax.rem(clampz(p), dt)]
+
         def rhs_plane(get, p):
+            """f(Y) at plane p — the ops/pallas_box3d.py stencil body
+            incl. its obstacle-openness recovery from the tissue ring."""
             yc = get(p)
             yu = get(p + 1)
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            if has_tissue:
+                tc = tis_at(p)
+                aeL = ae * (tc * jnp.roll(tc, -1, -1))
+                awL = aw * (tc * jnp.roll(tc, 1, -1))
+                anL = an * (tc * jnp.roll(tc, -1, -2))
+                asL = as_ * (tc * jnp.roll(tc, 1, -2))
+                # z walls are closed (gate): the clamped seam read
+                # multiplies a zero profile — exact
+                auL = au * (tc * tis_at(p + 1))
+                adL = ad * (tc * tis_at(p - 1))
+            else:
+                aeL, awL, anL, asL, auL, adL = ae, aw, an, as_, au, ad
             laps = {}
             for idx, v in enumerate(dvars):
                 u = yc[v]
-                lap = (ae * (jnp.roll(u, -1, -1) - u)
-                       + aw * (jnp.roll(u, 1, -1) - u)
-                       + an * (jnp.roll(u, -1, -2) - u)
-                       + as_ * (jnp.roll(u, 1, -2) - u)
-                       + au * (yu[v] - u) + ad * (yd[v] - u))
+                lap = (aeL * (jnp.roll(u, -1, -1) - u)
+                       + awL * (jnp.roll(u, 1, -1) - u)
+                       + anL * (jnp.roll(u, -1, -2) - u)
+                       + asL * (jnp.roll(u, 1, -2) - u)
+                       + auL * (yu[v] - u) + adL * (yd[v] - u))
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -253,6 +295,8 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                                   else react[v] for v in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
+            if has_tissue:
+                ydot = ydot * tis_at(p)
             return ydot
 
         # --- stage 1: F0 and Y_1 at plane m - 1 ---
@@ -337,6 +381,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             pl.BlockSpec(memory_space=pltpu.HBM),        # state
             pl.BlockSpec(memory_space=pltpu.HBM),        # lo row strips
             pl.BlockSpec(memory_space=pltpu.HBM),        # hi row strips
+            pl.BlockSpec(memory_space=pltpu.HBM),        # tissue (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -347,6 +392,8 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         scratch_shapes=[
             pltpu.VMEM((DY, nvars, R, nxp), dtype),
             pltpu.SemaphoreType.DMA((DY, 3)),
+            pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
+            pltpu.SemaphoreType.DMA((DT, 1) if has_tissue else (1, 1)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
     )
@@ -379,7 +426,21 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
 
     def prepare_params(params):
         out = dict(params)
-        aE, aW, aN, aS, aU, aD = params["coeffs"]
+        if has_tissue:
+            iy = lax.axis_index(axis_y)
+            ix = lax.axis_index(axis_x)
+            aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
+            aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
+            aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
+            aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
+            aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
+            t = params["tissue"].astype(dtype)
+            t = halo_pad_cols(t, axis_x, P)
+            if fill:
+                t = jnp.pad(t, ((0, 0), (0, 0), (0, fill)))
+            out["_fused_tissue"] = halo_pad_rows(t, axis_y, P)
+        else:
+            aE, aW, aN, aS, aU, aD = params["coeffs"]
 
         def lane_prof(c):
             prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
@@ -413,6 +474,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         return out
 
     ones = jnp.ones((1, 1), dtype)
+    tis_stub = jnp.zeros((1, 1, 1), dtype)
     s_cap = C
     mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
 
@@ -427,6 +489,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
         b = params["_fused_b"]
         mlive = params.get("_fused_live", ones)
+        t_in = params.get("_fused_tissue", tis_stub)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         s_s = jnp.reshape(s, (1, 1))
@@ -436,7 +499,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
                         ae, aw, an, as_, au, ad,
-                        b, mlive, col_mask, yp, lo_rows, hi_rows)
+                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in)
         return ynew, ss, ()
 
     def h_limit(t, yp, params):

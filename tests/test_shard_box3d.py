@@ -68,11 +68,16 @@ def test_gate_routing():
     assert maybe_fused_shard_box3d(p, mesh, interpret=True) is not None
     p = build_problem(box_cfg(boundary="periodic"))
     assert maybe_fused_shard_box3d(p, mesh, interpret=True) is None
-    # obstacles: v1 shard kernel declines (XLA path)
+    # obstacle scars run fused (tissue plane ring)
     cfg = box_cfg()
     mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
     mask[2:4, 20:30, 10:20] = False
     p = build_problem(cfg, obstacle_mask=mask)
+    assert maybe_fused_shard_box3d(p, mesh, interpret=True) is not None
+    # ... but full 3-D diffusion fields stay XLA (not profile-expressible)
+    dfield = np.full((cfg.nz, cfg.ny, cfg.nx), cfg.diffusion)
+    dfield[:, :, : cfg.nx // 2] *= 0.5
+    p = build_problem(cfg, diffusion_field=dfield)
     assert maybe_fused_shard_box3d(p, mesh, interpret=True) is None
     # rkc2 is not an ERK tableau
     p = build_problem(box_cfg(method="rkc2"))
@@ -132,6 +137,37 @@ def test_normal_step_mode():
     assert_equivalent(bundle)
 
 
+def scar_mask(cfg):
+    # the scar column straddles BOTH shard seams of a 2x2 mesh (y=32,
+    # x=16) so the halo-padded tissue ring actually carries neighbour
+    # openness across devices
+    mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
+    mask[2:4, 28:38, 12:20] = False
+    return mask
+
+
+def test_obstacle_scar_matches_xla_and_holds_ic():
+    cfg = box_cfg()
+    mask = scar_mask(cfg)
+    bundle, p = run_pair(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])
+
+
+def test_obstacle_scar_conserves_mass():
+    cfg = box_cfg(just_diffusion=1, t_final=1.0)
+    mask = scar_mask(cfg)
+    bundle, p = run_pair(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle)
+    tk = bundle[0]
+    m0 = np.asarray(p.y0)[0][mask].astype(np.float64).sum()
+    m1 = tk[-1][0][mask].astype(np.float64).sum()
+    np.testing.assert_allclose(m1, m0, rtol=1e-5)
+
+
 def test_just_diffusion_conserves_mass():
     cfg = box_cfg(just_diffusion=1, t_final=1.0)
     bundle, p = run_pair(cfg)
@@ -185,3 +221,14 @@ def test_rkc_freeze_and_beta_ramp():
                   t_boundary=0.4, vary_beta=1, beta_min=0.9, beta_max=1.5)
     bundle, _ = run_pair_rkc(cfg)
     assert_equivalent(bundle, atol=1e-5)
+
+
+def test_rkc_obstacle_scar():
+    cfg = box_cfg(method="rkc2")
+    mask = scar_mask(cfg)
+    bundle, p = run_pair_rkc(cfg, obstacle_mask=mask)
+    assert_equivalent(bundle, atol=1e-5)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])

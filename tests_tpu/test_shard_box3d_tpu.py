@@ -38,6 +38,39 @@ def test_shard_box3d_rkc_compiles_and_matches_on_chip():
                                rtol=0, atol=5e-5)
 
 
+def test_shard_box3d_scar_compiles_and_matches_on_chip():
+    # obstacle tissue ring through the SHARD kernel's Mosaic lowering
+    # (one contiguous tissue DMA per plane); oracle = the single-device
+    # fused scar kernel
+    cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
+                    y_mesh=128, z_mesh=16, surface_width=8.0,
+                    surface_length=8.0, surface_depth=1.0, diffusion=1.0,
+                    beta=0.10, wave_length=0.25, wave_width=0.5,
+                    t_final=0.5, output_timestep=1, dtype="float32",
+                    rtol=1e-4, atol=1e-7, boundary="noflux",
+                    use_pallas=True)
+    mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
+    mask[:, 48:80, 48:80] = False
+    mesh = make_mesh(shape=(1, 1))
+    p_s = build_problem(cfg, obstacle_mask=mask)
+    assert maybe_fused_shard_box3d(p_s, mesh) is not None
+    params, _ = sharded_params(p_s)
+    run_s, _ = make_sharded_simulation_fn(p_s, mesh)
+    ts, ss = run_s(p_s.y0, params)
+    assert int(np.max(np.asarray(ss.status))) == 0
+    p_1 = build_problem(cfg, obstacle_mask=mask)
+    r_1 = simulate(cfg, problem=p_1)
+    assert r_1.ok
+    assert np.array_equal(np.asarray(ss.steps), np.asarray(r_1.stats.steps))
+    np.testing.assert_allclose(np.asarray(ts)[-1],
+                               np.asarray(r_1.trajectory[-1]),
+                               rtol=0, atol=5e-5)
+    # scar cells hold IC bitwise through the sharded kernel
+    scar = ~mask
+    ic = np.asarray(p_s.y0)
+    assert np.array_equal(np.asarray(ts)[-1][:, scar], ic[:, scar])
+
+
 def test_shard_box3d_compiles_and_matches_on_chip():
     cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
                     y_mesh=128, z_mesh=16, surface_width=8.0,
