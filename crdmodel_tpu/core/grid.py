@@ -598,6 +598,62 @@ class BoxGeometry:
         faces = (aE, roll_x(aE), aN, roll_y(aN), aU, roll_z(aU))
         return _apply_face_mask(faces, face_mask)
 
+    def tensor_coeffs64(self, dxx, dyy, dzz, dxy, dxz, dyz):
+        """Coefficients of the 3-D anisotropic conservative operator
+        div(D grad u), D = [[Dxx,Dxy,Dxz],[Dxy,Dyy,Dyz],[Dxz,Dyz,Dzz]] an
+        SPD tensor field — volumetric fiber anisotropy (e.g. cardiac
+        tissue, where conduction along the myofiber axis exceeds
+        cross-fiber conduction severalfold and the fiber direction
+        rotates transmurally; the reference is 2-D isotropic-only).
+
+        The 3-D extension of FlatGeometry.tensor_coeffs64, same
+        discretisation per term (second-order, periodic):
+          diagonal terms  face-averaged flux form (the 7-point
+                          divergence_coeffs64 structure)
+          mixed terms     Aa(Dab * Ab u) + Ab(Dab * Aa u) per axis pair
+                          (xy, xz, yz) with Aa the centred first
+                          differences — exactly symmetric (Aa^T = -Aa)
+                          and conservative (1^T Aa = 0) for any Dab field
+
+        SPD is validated pointwise by Sylvester's criterion; the centred
+        mixed terms keep the 2-D monotonicity caveat.
+
+        Returns (face_coeffs6, (Dxy, Dxz, Dyz) full (nz, ny, nx) arrays,
+        (inv4_xy, inv4_xz, inv4_yz)) with inv4_ab = 1/(4 da db) — the
+        mixed-term weights (ops/stencil.py::anisotropic_laplacian3)."""
+        g = self.grid
+        shape = (g.nz, g.ny, g.nx)
+        Dxx = np.broadcast_to(np.asarray(dxx, np.float64), shape)
+        Dyy = np.broadcast_to(np.asarray(dyy, np.float64), shape)
+        Dzz = np.broadcast_to(np.asarray(dzz, np.float64), shape)
+        Dxy = np.broadcast_to(np.asarray(dxy, np.float64), shape)
+        Dxz = np.broadcast_to(np.asarray(dxz, np.float64), shape)
+        Dyz = np.broadcast_to(np.asarray(dyz, np.float64), shape)
+        m2 = Dxx * Dyy - Dxy * Dxy
+        det = (Dxx * (Dyy * Dzz - Dyz * Dyz)
+               - Dxy * (Dxy * Dzz - Dyz * Dxz)
+               + Dxz * (Dxy * Dyz - Dyy * Dxz))
+        scale = Dxx * Dyy * Dzz
+        if not (np.all(Dxx > 0.0) and np.all(Dyy > 0.0)
+                and np.all(Dzz > 0.0)
+                and np.all(m2 >= -1e-14 * Dxx * Dyy)
+                and np.all(det >= -1e-14 * scale)):
+            raise ValueError("diffusion_tensor must be SPD pointwise "
+                             "(Sylvester: Dxx>0, Dyy>0, Dzz>0, "
+                             "Dxx*Dyy>=Dxy^2, det(D)>=0)")
+        De = 0.5 * (Dxx + np.roll(Dxx, -1, axis=-1))
+        Dn = 0.5 * (Dyy + np.roll(Dyy, -1, axis=-2))
+        Du = 0.5 * (Dzz + np.roll(Dzz, -1, axis=-3))
+        aE = De / np.float64(g.dx) ** 2
+        aN = Dn / np.float64(g.dy) ** 2
+        aU = Du / np.float64(g.dz) ** 2
+        faces = (aE, np.roll(aE, 1, axis=-1), aN, np.roll(aN, 1, axis=-2),
+                 aU, np.roll(aU, 1, axis=-3))
+        dx, dy, dz = (np.float64(g.dx), np.float64(g.dy), np.float64(g.dz))
+        invs = (1.0 / (4.0 * dx * dy), 1.0 / (4.0 * dx * dz),
+                1.0 / (4.0 * dy * dz))
+        return faces, (Dxy, Dxz, Dyz), invs
+
 
 def face_openness3(nz: int, ny: int, nx: int, boundary: str = "periodic",
                    tissue=None):

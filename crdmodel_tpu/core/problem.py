@@ -31,6 +31,7 @@ from crdmodel_tpu.config import SimConfig
 from crdmodel_tpu.core.grid import Grid, Geometry, make_geometry
 from crdmodel_tpu.models.base import ReactionModel, get_model
 from crdmodel_tpu.ops.stencil import (anisotropic_laplacian,
+                                      anisotropic_laplacian3,
                                       divergence_laplacian,
                                       divergence_laplacian3, flat_laplacian,
                                       torus_laplacian)
@@ -370,13 +371,21 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
                          "diffusion_field (build_problem defaults it to "
                          "the constant cfg.diffusion)")
     if diffusion_tensor is not None:
-        face_t, dxy_np, inv4 = geometry.tensor_coeffs64(*diffusion_tensor)
+        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(*diffusion_tensor)
         face_t = tuple(jnp.asarray(a, dtype) for a in face_t)
-        dxy_c = jnp.asarray(dxy_np, dtype)
-        inv4_c = jnp.asarray(inv4, dtype)
+        if len(face_t) == 6:
+            # 3-D box: full 3x3 tensor, 19-point operator
+            mixed_c = tuple(jnp.asarray(a, dtype) for a in mixed_np)
+            invs_c = tuple(jnp.asarray(a, dtype) for a in inv_w)
 
-        def lap(u, _):
-            return anisotropic_laplacian(u, face_t, dxy_c, inv4_c)
+            def lap(u, _):
+                return anisotropic_laplacian3(u, face_t, mixed_c, invs_c)
+        else:
+            dxy_c = jnp.asarray(mixed_np, dtype)
+            inv4_c = jnp.asarray(inv_w, dtype)
+
+            def lap(u, _):
+                return anisotropic_laplacian(u, face_t, dxy_c, inv4_c)
 
         coeffs = None
     elif diffusion_field is not None:
@@ -530,14 +539,21 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     (under shard_map: lambda x: lax.pmax(x, axes) so every device agrees on
     the stage count)."""
     if diffusion_tensor is not None:
-        # anisotropic: axis part as the divergence bound below; the mixed
-        # terms have zero diagonal and 8 off-diagonal entries of magnitude
-        # <= max|Dxy|/(4 dx dy) per row, adding 2 * max|Dxy|/(dx dy) to
-        # the Gershgorin radius (safe over-bound)
-        (aE, aW, aN, aS), dxy_np, inv4 = \
-            geometry.tensor_coeffs64(*diffusion_tensor)
-        rho_diff = float(2.0 * np.max(aE + aW + aN + aS)
-                         + 8.0 * inv4 * np.max(np.abs(dxy_np)))
+        # anisotropic: axis part as the divergence bound below; each mixed
+        # pair has zero diagonal and 8 off-diagonal entries of magnitude
+        # <= max|Dab|/(4 da db) per row, adding 2 * max|Dab|/(da db) to
+        # the Gershgorin radius (safe over-bound). 2-D: one pair (xy);
+        # 3-D box: three pairs (xy, xz, yz)
+        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(*diffusion_tensor)
+        row_sum = 0.0
+        for a in face_t:
+            row_sum = row_sum + a
+        rho_diff = float(2.0 * np.max(row_sum))
+        if len(face_t) == 6:
+            for dab, inv in zip(mixed_np, inv_w):
+                rho_diff += float(8.0 * inv * np.max(np.abs(dab)))
+        else:
+            rho_diff += float(8.0 * inv_w * np.max(np.abs(mixed_np)))
     elif diffusion_field is not None:
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
@@ -606,10 +622,14 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
     cfg.diffusion); ERK methods run them through the fused divergence
     kernel (ops/pallas_divform.py), rkc2/ark324 take the XLA path.
 
-    diffusion_tensor: optional (Dxx, Dyy, Dxy) — anisotropic SPD tensor
-    field (each entry scalar or broadcastable to (ny, nx)), flat surface
-    only; mutually exclusive with diffusion_field/coupling. cfg.diffusion
-    is ignored (the tensor carries the absolute diffusivities).
+    diffusion_tensor: anisotropic SPD tensor field, mutually exclusive
+    with diffusion_field/coupling; cfg.diffusion is ignored (the tensor
+    carries the absolute diffusivities). Flat surface: (Dxx, Dyy, Dxy),
+    entries scalar or broadcastable to (ny, nx) — the 9-point operator.
+    3-D box: the full 3x3 tensor (Dxx, Dyy, Dzz, Dxy, Dxz, Dyz), entries
+    broadcastable to (nz, ny, nx) — the 19-point operator
+    (ops/stencil.py::anisotropic_laplacian3; volumetric fiber fields,
+    e.g. transmural fiber rotation). Periodic boundaries only.
 
     forcing: optional forcing(t, state, params) -> dstate (see Problem).
     NOTE: API-injected fields/tensors/forcing are not part of the
@@ -633,21 +653,32 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
         if diffusion_field is not None or cfg.coupling != "none":
             raise ValueError("diffusion_tensor is mutually exclusive with "
                              "diffusion_field / coupling")
-        if geometry.kind != "flat":
-            raise ValueError("diffusion_tensor needs surface='flat' (the "
-                             "torus metric couples to the tensor; "
-                             "unsupported)")
-        if len(diffusion_tensor) != 3:
-            raise ValueError("diffusion_tensor must be (Dxx, Dyy, Dxy)")
+        if geometry.kind == "flat":
+            if len(diffusion_tensor) != 3:
+                raise ValueError("diffusion_tensor must be (Dxx, Dyy, Dxy) "
+                                 "on the flat surface")
+        elif geometry.kind == "box":
+            if len(diffusion_tensor) != 6:
+                raise ValueError("diffusion_tensor must be "
+                                 "(Dxx, Dyy, Dzz, Dxy, Dxz, Dyz) on the "
+                                 "3-D box")
+        else:
+            raise ValueError("diffusion_tensor needs surface='flat' or "
+                             "'box' (the curved metrics couple to the "
+                             "tensor; unsupported)")
         diffusion_tensor = tuple(
             np.asarray(c, dtype=np.float64) for c in diffusion_tensor)
         # SPD validation happens in tensor_coeffs64; build them once here
         # so bad tensors fail at build time, not first step
         geometry.tensor_coeffs64(*diffusion_tensor)
     if diffusion_field is None:
-        diffusion_field = diffusion_field_from_cfg(cfg, geometry)
-        if diffusion_field is None and geometry.kind in ("revolution",
-                                                         "box"):
+        if diffusion_tensor is not None:
+            diffusion_field = None   # the tensor IS the operator; no
+                                     # box/revolution constant-D default
+        else:
+            diffusion_field = diffusion_field_from_cfg(cfg, geometry)
+        if diffusion_field is None and diffusion_tensor is None \
+                and geometry.kind in ("revolution", "box"):
             # revolution surfaces and the 3-D box have no hand-expanded
             # stencil form: they always take the conservative divergence
             # operator, with the constant cfg.diffusion as the field

@@ -180,6 +180,75 @@ def anisotropic_from_padded(up, face_coeffs, dxy_p, inv4):
     return axis + inv4 * (t1 + t2)
 
 
+def _mixed_pair(u, dab, axis_a, axis_b):
+    """The symmetric mixed-derivative pair Aa(Dab * Ab u) + Ab(Dab * Aa u)
+    with Aa/Ab the periodic centred first differences along axis_a/axis_b
+    (unweighted: the caller multiplies by 1/(4 da db)). Same grouping as
+    the 2-D mixed terms in anisotropic_laplacian."""
+    da = jnp.roll(u, -1, axis_b) - jnp.roll(u, 1, axis_b)
+    fa = dab * da
+    t1 = jnp.roll(fa, -1, axis_a) - jnp.roll(fa, 1, axis_a)
+    db = jnp.roll(u, -1, axis_a) - jnp.roll(u, 1, axis_a)
+    fb = dab * db
+    t2 = jnp.roll(fb, -1, axis_b) - jnp.roll(fb, 1, axis_b)
+    return t1 + t2
+
+
+def anisotropic_laplacian3(u, face_coeffs, mixed, invs):
+    """Conservative 3-D anisotropic diffusion div(D grad u) on the
+    periodic box, D a full SPD 3x3 tensor field (grid.py::
+    BoxGeometry.tensor_coeffs64 — diagonal terms in 7-point face-flux
+    form, three symmetric centred mixed pairs; 19-point stencil).
+
+    mixed = (Dxy, Dxz, Dyz) full (nz, ny, nx) arrays; invs the matching
+    1/(4 da db) weights. Beyond-reference capability: volumetric fiber
+    anisotropy (transmurally rotating cardiac fiber fields)."""
+    dxy, dxz, dyz = mixed
+    ixy, ixz, iyz = invs
+    return (divergence_laplacian3(u, face_coeffs)
+            + ixy * _mixed_pair(u, dxy, -1, -2)
+            + ixz * _mixed_pair(u, dxz, -1, -3)
+            + iyz * _mixed_pair(u, dyz, -2, -3))
+
+
+def anisotropic3_from_padded(up, face_coeffs, mixed_p, invs):
+    """anisotropic_laplacian3 over a block haloed in the TRAILING (y, x)
+    axes only: (..., nz, nyl+2, nxl+2) — the 3-D sharded-box layout (z is
+    mesh-local, handled by local rolls like divergence3_from_padded).
+
+    The xy mixed pair reads CORNER halo cells (filled by the two-phase
+    ppermute exchange, parallel/halo.py); the xz/yz pairs need only the
+    x/y face halos plus local z rolls. mixed_p = (Dxy_p, Dxz_p, Dyz_p),
+    each carried with the SAME (y, x) 1-ring halo as the state (fluxes
+    Dab*(du) are formed at neighbour points)."""
+    axis = divergence3_from_padded(up, face_coeffs)
+    dxy_p, dxz_p, dyz_p = mixed_p
+    ixy, ixz, iyz = invs
+    # xy pair — the 2-D anisotropic_from_padded slicing (t1 + t2 in the
+    # exact _mixed_pair association, so sharded == unsharded bitwise)
+    dys = up[..., 2:, :] - up[..., 0:-2, :]
+    fx = dxy_p[..., 1:-1, :] * dys
+    t1 = fx[..., :, 2:] - fx[..., :, 0:-2]
+    dxs = up[..., :, 2:] - up[..., :, 0:-2]
+    fy = dxy_p[..., :, 1:-1] * dxs
+    t2 = fy[..., 2:, :] - fy[..., 0:-2, :]
+    t_xy = t1 + t2
+    # xz pair — z legs via local roll (axis -3), x legs via halo slices
+    dzs = jnp.roll(up, -1, -3) - jnp.roll(up, 1, -3)
+    fx = dxz_p[..., 1:-1, :] * dzs[..., 1:-1, :]
+    t1 = fx[..., :, 2:] - fx[..., :, 0:-2]
+    fz = dxz_p[..., 1:-1, 1:-1] * dxs[..., 1:-1, :]
+    t2 = jnp.roll(fz, -1, -3) - jnp.roll(fz, 1, -3)
+    t_xz = t1 + t2
+    # yz pair — z legs via local roll, y legs via halo slices
+    fy = dyz_p[..., :, 1:-1] * dzs[..., :, 1:-1]
+    t1 = fy[..., 2:, :] - fy[..., 0:-2, :]
+    fz = dyz_p[..., 1:-1, 1:-1] * dys[..., :, 1:-1]
+    t2 = jnp.roll(fz, -1, -3) - jnp.roll(fz, 1, -3)
+    t_yz = t1 + t2
+    return axis + ixy * t_xy + ixz * t_xz + iyz * t_yz
+
+
 def laplacian_from_padded(up, coeffs, kind):
     """Stencil over an explicitly haloed block up of shape (..., nyl+2, nxl+2).
 

@@ -85,10 +85,19 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                 r = ratios[dvars.index(v)]
                 up = halo_pad(state[v], seam_y=seam_y, seam_x=seam_x)
                 if tensor_inv4 is not None:
-                    from crdmodel_tpu.ops.stencil import \
-                        anisotropic_from_padded
-                    term = anisotropic_from_padded(
-                        up, coeffs, params["_dxy_pad"], tensor_inv4)
+                    from crdmodel_tpu.ops.stencil import (
+                        anisotropic3_from_padded, anisotropic_from_padded)
+                    if len(coeffs) == 6:
+                        # 3-D box tensor: params["_dxy_pad"] is the
+                        # stacked (3, nz, nyl+2, nxl+2) haloed
+                        # (Dxy, Dxz, Dyz); tensor_inv4 the 3 weights
+                        dp = params["_dxy_pad"]
+                        term = anisotropic3_from_padded(
+                            up, coeffs, (dp[0], dp[1], dp[2]),
+                            tensor_inv4)
+                    else:
+                        term = anisotropic_from_padded(
+                            up, coeffs, params["_dxy_pad"], tensor_inv4)
                 elif divergence:
                     # 3-D box: six faces, z mesh-local (ops/stencil.py::
                     # divergence3_from_padded — z neighbours via local roll)
@@ -198,10 +207,15 @@ def sharded_params(problem: Problem, pad_spec=None):
                 "grid on this mesh: the 9-point mixed terms read corner "
                 "halo cells, which the pad-and-mask seam repair does not "
                 "fix (parallel/halo.py::_seam_fix)")
-        face_t, dxy_np, _ = problem.geometry.tensor_coeffs64(
+        face_t, mixed_np, _ = problem.geometry.tensor_coeffs64(
             *problem.diffusion_tensor)
         coeffs = tuple(jnp.asarray(a, dtype) for a in face_t)
-        dxy = jnp.asarray(dxy_np, dtype)
+        if len(face_t) == 6:
+            # 3-D box tensor: stack (Dxy, Dxz, Dyz) so ONE halo exchange
+            # per dispatch covers all three mixed fields
+            dxy = jnp.stack([jnp.asarray(a, dtype) for a in mixed_np])
+        else:
+            dxy = jnp.asarray(mixed_np, dtype)
     elif problem.diffusion_field is not None:
         # conservative variable-coefficient operator: coeffs are the four
         # face arrays, (nx,) for x-only D fields or (ny, nx) for full
@@ -252,7 +266,8 @@ def sharded_params(problem: Problem, pad_spec=None):
     specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
     if dxy is not None:
         params["dxy"] = dxy
-        specs["dxy"] = P(AXIS_Y, AXIS_X)
+        specs["dxy"] = (P(None, None, AXIS_Y, AXIS_X) if dxy.ndim == 4
+                        else P(AXIS_Y, AXIS_X))
     obstacle = getattr(problem, "obstacle_mask", None)
     if obstacle is not None:
         tis = np.broadcast_to(np.asarray(obstacle, dtype=bool),
@@ -349,6 +364,8 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if problem.geometry.kind != "box":
         return None
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        return None   # 19-point anisotropic operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if pad_spec is not None and pad_spec.active:
@@ -424,6 +441,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
     if problem.geometry.kind == "box":
+        if getattr(problem, "diffusion_tensor", None) is not None:
+            return None   # 19-point anisotropic operator: XLA path only
         if problem.forcing is not None:
             return None
         if pad_spec is not None and pad_spec.active:
