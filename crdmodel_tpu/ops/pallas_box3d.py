@@ -36,13 +36,19 @@ is_box3d_supported therefore requires the z walls closed (cfg.boundary
 seam); fully periodic-z boxes keep the XLA path. This matches the flagship
 volumetric use case — bounded tissue slabs (examples/scroll_wave.py).
 
-Coefficients: v1 supports the profile-expressible operator — constant D
-with optional no-flux walls on any axis pair, i.e. aE/aW x-profiles
-((1, nxp) lane rows), aN/aS y-profiles ((ny+2P, 1) wrapped columns, strip-
-sliced like the beta ramp), aU/aD z-profiles ((nz, 1) SMEM scalars read at
-each stage's plane index). Obstacle scars and full 3-D diffusion fields
-need per-plane coefficient windows (another ~20 resident planes) and stay
-on the XLA path for now.
+Coefficients, three modes:
+  profile  constant D with optional no-flux walls on any axis pair —
+           aE/aW x-profiles ((1, nxp) lane rows), aN/aS y-profiles
+           ((ny+2P, 1) wrapped columns, strip-sliced like the beta ramp),
+           aU/aD z-profiles ((nz, 1) SMEM scalars read at each stage's
+           plane index)
+  tissue   profile x obstacle-openness, recovered in-kernel from a
+           streamed tissue plane ring (0/1 multiplies, bitwise-exact)
+  field    full 3-D diffusion fields — a coefficient plane ring streams
+           the three face fields (aE, aN, aU) per plane (one contiguous
+           DMA: rows are wrap-padded at build); aW/aS recovered by
+           in-window rolls and aD from the ring's p-1 slot, all exact
+           (_box_field_faces contract)
 
 Numerics follow ops/stencil.py::divergence_laplacian3 exactly in real
 arithmetic (same difference grouping); f32 results agree to rounding with
@@ -76,15 +82,19 @@ def _ring_planes(ns: int) -> int:
 
 
 def _box_strip_target(nx: int, nvars: int, n_stages: int,
-                      has_tissue: bool = False) -> int:
+                      has_tissue: bool = False,
+                      has_field: bool = False) -> int:
     """Strip row cap keeping the ring buffers + stage temporaries under
     VMEM_BUDGET (the margin of 10 covers the compiler's per-stage
     argument/roll temporaries). The tissue plane ring (obstacle scars) is
-    nvars-independent: depth n_stages+3 plus ~3 openness temporaries."""
+    nvars-independent: depth n_stages+3 plus ~3 openness temporaries; the
+    coefficient plane ring (full 3-D diffusion fields) carries 3 face
+    fields per slot plus ~3 recovery-roll temporaries."""
     nxp = lane_pad_width(nx, HALO)
     live = _ring_planes(n_stages) + 10
     tis = (n_stages + 6) if has_tissue else 0
-    bytes_per_row = 4 * nxp * (nvars * live + tis)
+    fld = (3 * (n_stages + 3) + 3) if has_field else 0
+    bytes_per_row = 4 * nxp * (nvars * live + tis + fld)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
 
@@ -146,6 +156,53 @@ def _box_profiles(problem):
             np.broadcast_to(aD, (g.nz,)))
 
 
+def _box_field_faces(problem):
+    """Full-field face coefficients (aE, aN, aU) as f64 (nz, ny, nx)
+    arrays when the operator is NOT profile-expressible (3-D diffusion
+    fields — per-cell face means, optionally mask-closed), or None.
+
+    Only three of the six faces are streamed: aW = roll_x(aE),
+    aS = roll_y(aN), aD = roll_z(aU) hold EXACTLY by the face-mean
+    construction (grid.py::BoxGeometry.divergence_coeffs64 builds the
+    W/S/D faces as those very rolls), and the openness masks commute with
+    the rolls (oW = roll_x(oE) etc., face_openness3) — asserted here at
+    build time. The kernel recovers the missing faces in-window: lane/row
+    rolls (valid at every consumed cell — the outermost ring is never
+    consumed, the HALO >= stages argument) and the ring's p-1 slot for aD
+    (zeroed at p=0, exact because closed z walls are gated)."""
+    if problem.geometry.kind != "box":
+        return None
+    if problem.diffusion_field is None or \
+            np.ndim(problem.diffusion_field) <= 1:
+        return None
+    faces = problem.geometry.divergence_coeffs64(
+        problem.diffusion_field, face_mask=problem.face_mask)
+    aE, aW, aN, aS, aU, aD = [np.asarray(a, np.float64) for a in faces]
+    if aE.ndim != 3:
+        return None
+    assert np.array_equal(aW, np.roll(aE, 1, axis=-1))
+    assert np.array_equal(aS, np.roll(aN, 1, axis=-2))
+    assert np.array_equal(aD, np.roll(aU, 1, axis=-3))
+    return aE, aN, aU
+
+
+def _box_mode(problem):
+    """("profile", profs) | ("field", (aE, aN, aU)) | (None, None),
+    enforcing the closed-z-walls gate (the z clamp) in both modes."""
+    profs = _box_profiles(problem)
+    if profs is not None:
+        if profs[4][-1] != 0.0 or profs[5][0] != 0.0:
+            return None, None
+        return "profile", profs
+    fields = _box_field_faces(problem)
+    if fields is None:
+        return None, None
+    aU = fields[2]
+    if np.any(aU[-1] != 0.0):
+        return None, None   # aD[0] = roll_z(aU)[0] = aU[-1]: one check
+    return "field", fields
+
+
 def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
     cfg = problem.cfg
     if problem.geometry.kind != "box":
@@ -154,18 +211,15 @@ def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
         return False
     if tableau.stages > HALO or tableau.stages < 2:
         return False
-    profs = _box_profiles(problem)
-    if profs is None:
-        return False
-    aU, aD = profs[4], profs[5]
-    # the z-clamp is exact only with closed z walls (module docstring)
-    if aU[-1] != 0.0 or aD[0] != 0.0:
+    mode, _ = _box_mode(problem)
+    if mode is None:
         return False
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(cfg.ny, _box_strip_target(cfg.nx,
                                               problem.model.nvars,
                                               tableau.stages,
-                                              has_tissue))
+                                              has_tissue,
+                                              mode == "field"))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -188,7 +242,14 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     P = HALO
     assert ns <= P
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
-    S = _pick_strip(ny, _box_strip_target(nx, nvars, ns, has_tissue))
+    mode, mode_data = _box_mode(problem)
+    if mode is None:
+        raise ValueError("operator is neither profile-expressible nor a "
+                         "closed-z 3-D field (is_box3d_supported should "
+                         "have declined)")
+    has_field = mode == "field"
+    S = _pick_strip(ny, _box_strip_target(nx, nvars, ns, has_tissue,
+                                          has_field))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -197,6 +258,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     DY = ns + 3                               # y0 ring depth (+ prefetch)
     DK = [ns - j + 1 for j in range(ns - 1)]  # k_j ring depths
     DT = DY                                   # tissue ring (same schedule)
+    DC = DY                                   # coefficient ring (fields)
 
     def pad_cols(arr):
         out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
@@ -214,23 +276,32 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
-    profs = _box_profiles(problem)
-    if profs is None:
-        raise ValueError("operator is not profile-expressible "
-                         "(is_box3d_supported should have declined)")
-    aE64, aW64, aN64, aS64, aU64, aD64 = profs
-    ae_row = pad_cols(jnp.asarray(aE64, dtype).reshape(1, nx))
-    aw_row = pad_cols(jnp.asarray(aW64, dtype).reshape(1, nx))
+    if has_field:
+        # full-field faces: wrap-pad rows at build (static), stack the
+        # three streamed faces; the kernel recovers aW/aS in-window and
+        # aD from the ring's p-1 slot (_box_field_faces contract)
+        aE64f, aN64f, aU64f = mode_data
+        c64 = np.stack([np.concatenate([a[:, -P:], a, a[:, :P]], axis=1)
+                        for a in (aE64f, aN64f, aU64f)])
+        c_hbm = pad_cols(jnp.asarray(c64, dtype))   # (3, nz, ny+2P, nxp)
+        ae_row = aw_row = jnp.zeros((1, nxp), dtype)
+        an_col = as_col = jnp.zeros((ny + 2 * P, 1), dtype)
+        au_z = ad_z = jnp.zeros((nz, 1), dtype)
+    else:
+        aE64, aW64, aN64, aS64, aU64, aD64 = mode_data
+        ae_row = pad_cols(jnp.asarray(aE64, dtype).reshape(1, nx))
+        aw_row = pad_cols(jnp.asarray(aW64, dtype).reshape(1, nx))
 
-    def pad_rows(col64):
-        c = np.asarray(col64, np.float64).reshape(ny, 1)
-        return jnp.asarray(np.concatenate([c[-P:], c, c[:P]], axis=0),
-                           dtype)
+        def pad_rows(col64):
+            c = np.asarray(col64, np.float64).reshape(ny, 1)
+            return jnp.asarray(np.concatenate([c[-P:], c, c[:P]], axis=0),
+                               dtype)
 
-    an_col = pad_rows(aN64)
-    as_col = pad_rows(aS64)
-    au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
-    ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
+        an_col = pad_rows(aN64)
+        as_col = pad_rows(aS64)
+        au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
+        ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
+        c_hbm = jnp.zeros((1, 1, 1, 1), dtype)      # unused placeholder
 
     if has_tissue:
         # full-volume tissue mask, lane-padded like the state: the six
@@ -247,8 +318,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     ratios = tuple(model.diffusion_ratios)
 
     def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
-               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, t_hbm,
-               ynew_ref, ss_ref, y0v, sems, tv, tsems, *kv):
+               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, t_hbm, c_hbm,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, cv, csems, *kv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -280,6 +351,14 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                     pltpu.make_async_copy(
                         t_hbm.at[mm, pl.ds(bots, P), :],
                         tv.at[slot, pl.ds(P + S, P), :], tsems.at[slot, 2]),
+                )
+            if has_field:
+                # build-time row padding makes the coefficient window
+                # [row0, row0+R) contiguous: ONE copy per plane
+                dmas += (
+                    pltpu.make_async_copy(
+                        c_hbm.at[:, mm, pl.ds(row0, R), :],
+                        cv.at[slot], csems.at[slot, 0]),
                 )
             return dmas
 
@@ -337,6 +416,9 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         def tis_at(p):
             return tv[lax.rem(clampz(p), dy)]
 
+        def coeff_at(p):
+            return cv[lax.rem(clampz(p), dy)]
+
         def rhs_at(s, p):
             """k_s at plane p: the 7-point divergence stencil + kinetics
             on the stage argument (z legs from the p+-1 argument planes).
@@ -344,13 +426,26 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             from the tissue plane ring — 0/1 multiplies are exact, so the
             effective coefficients match the XLA path's pre-masked f64
             coefficients bitwise; kinetics on dead cells are zeroed like
-            problem.py::mask_tissue."""
+            problem.py::mask_tissue. Full 3-D diffusion fields stream a
+            coefficient plane ring instead: aE/aN/aU per cell, aW/aS by
+            in-window rolls and aD from the ring's p-1 slot
+            (_box_field_faces contract — masks already live in the
+            streamed faces, so no openness recovery)."""
             yc = yi_at(s, p)
             yu = yi_at(s, p + 1)
             yd = yi_at(s, p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
-            if has_tissue:
+            if has_field:
+                cp = coeff_at(p)
+                aeL = cp[0]
+                awL = jnp.roll(cp[0], 1, -1)
+                anL = cp[1]
+                asL = jnp.roll(cp[1], 1, -2)
+                auL = cp[2]
+                # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
+                adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+            elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
                 awL = aw * (tc * jnp.roll(tc, 1, -1))
@@ -449,6 +544,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             vmem_const((1, nxp)),                    # error column mask
             pl.BlockSpec(memory_space=pltpu.HBM),    # y stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),    # tissue mask (or stub)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # coeff fields (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -461,6 +557,9 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
+            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
+                       dtype),
+            pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
         ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
     )
 
@@ -490,7 +589,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, ae_row, aw_row, an_col, as_col,
                         au_z, ad_z, b_in, kc.m_pad, kc.col_mask, yp,
-                        tis_hbm)
+                        tis_hbm, c_hbm)
         return ynew, jnp.sum(ss)
 
     return FusedStep(step_err=step_err, pad=pad_cols, unpad=unpad_cols,

@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.kernel_common import (
     freeze_scalar, lane_pad_width, prepare_constants)
-from crdmodel_tpu.ops.pallas_box3d import _box_profiles, _pick_strip
+from crdmodel_tpu.ops.pallas_box3d import _box_mode, _pick_strip
 from crdmodel_tpu.ops.pallas_rkc import (S_MAX_KERNEL, FusedRKCStep,
                                          static_stage_tables)
 from crdmodel_tpu.ops.pallas_step import HALO, VMEM_BUDGET
@@ -73,12 +73,15 @@ def _rkc_ring_planes() -> int:
     return (C_RKC + 3) + (C_RKC + 2) + DJ * C_RKC + 8
 
 
-def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False) -> int:
+def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False,
+                      has_field: bool = False) -> int:
     nxp = lane_pad_width(nx, HALO)
     # tissue plane ring (obstacle scars) is nvars-independent: depth C+4
-    # plus ~3 openness temporaries
+    # plus ~3 openness temporaries; the coefficient plane ring (full 3-D
+    # fields) carries 3 face fields per slot plus recovery-roll temps
     tis = (C_RKC + 7) if has_tissue else 0
-    bytes_per_row = 4 * nxp * (nvars * _rkc_ring_planes() + tis)
+    fld = (3 * (C_RKC + 4) + 3) if has_field else 0
+    bytes_per_row = 4 * nxp * (nvars * _rkc_ring_planes() + tis + fld)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
 
@@ -91,15 +94,13 @@ def is_box3d_rkc_supported(problem, dtype) -> bool:
         return False
     if problem.model.jac_bound is None and not cfg.just_diffusion:
         return False
-    profs = _box_profiles(problem)
-    if profs is None:
-        return False
-    aU, aD = profs[4], profs[5]
-    if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
+    mode, _ = _box_mode(problem)
+    if mode is None:
         return False
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(cfg.ny, _rkc_strip_target(cfg.nx, problem.model.nvars,
-                                              has_tissue))
+                                              has_tissue,
+                                              mode == "field"))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -124,7 +125,14 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     C = C_RKC
     P = HALO
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
-    S = _pick_strip(ny, _rkc_strip_target(nx, nvars, has_tissue))
+    mode, mode_data = _box_mode(problem)
+    if mode is None:
+        raise ValueError("operator is neither profile-expressible nor a "
+                         "closed-z 3-D field (is_box3d_rkc_supported "
+                         "should have declined)")
+    has_field = mode == "field"
+    S = _pick_strip(ny, _rkc_strip_target(nx, nvars, has_tissue,
+                                          has_field))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -133,6 +141,9 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     DY = C + 3                 # y0 ring (+ prefetch slot)
     DF = C + 2                 # F0 ring
     DT = C + 4                 # tissue ring (f1 reads plane p+1 at m=p+C+2)
+    DC = C + 4                 # coeff ring (drain reads aU at q-1 = m-C-2:
+                               # DC=C+3 would let iteration m's prefetch of
+                               # plane m+1 land on that very slot)
 
     def pad_cols(arr):
         out = jnp.concatenate([arr[..., -P:], arr, arr[..., :P]], axis=-1)
@@ -148,23 +159,32 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
-    profs = _box_profiles(problem)
-    if profs is None:
-        raise ValueError("operator is not profile-expressible "
-                         "(is_box3d_rkc_supported should have declined)")
-    aE64, aW64, aN64, aS64, aU64, aD64 = profs
-    ae_row = pad_cols(jnp.asarray(aE64, dtype).reshape(1, nx))
-    aw_row = pad_cols(jnp.asarray(aW64, dtype).reshape(1, nx))
+    if has_field:
+        # full-field faces: the ops/pallas_box3d.py coefficient plane
+        # ring (aE, aN, aU streamed; aW/aS by in-window rolls, aD from
+        # the ring's p-1 slot)
+        aE64f, aN64f, aU64f = mode_data
+        c64 = np.stack([np.concatenate([a[:, -P:], a, a[:, :P]], axis=1)
+                        for a in (aE64f, aN64f, aU64f)])
+        c_hbm = pad_cols(jnp.asarray(c64, dtype))   # (3, nz, ny+2P, nxp)
+        ae_row = aw_row = jnp.zeros((1, nxp), dtype)
+        an_col = as_col = jnp.zeros((ny + 2 * P, 1), dtype)
+        au_z = ad_z = jnp.zeros((nz, 1), dtype)
+    else:
+        aE64, aW64, aN64, aS64, aU64, aD64 = mode_data
+        ae_row = pad_cols(jnp.asarray(aE64, dtype).reshape(1, nx))
+        aw_row = pad_cols(jnp.asarray(aW64, dtype).reshape(1, nx))
 
-    def pad_rows(col64):
-        c = np.asarray(col64, np.float64).reshape(ny, 1)
-        return jnp.asarray(np.concatenate([c[-P:], c, c[:P]], axis=0),
-                           dtype)
+        def pad_rows(col64):
+            c = np.asarray(col64, np.float64).reshape(ny, 1)
+            return jnp.asarray(np.concatenate([c[-P:], c, c[:P]], axis=0),
+                               dtype)
 
-    an_col = pad_rows(aN64)
-    as_col = pad_rows(aS64)
-    au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
-    ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
+        an_col = pad_rows(aN64)
+        as_col = pad_rows(aS64)
+        au_z = jnp.asarray(aU64, dtype).reshape(nz, 1)
+        ad_z = jnp.asarray(aD64, dtype).reshape(nz, 1)
+        c_hbm = jnp.zeros((1, 1, 1, 1), dtype)      # unused placeholder
 
     if has_tissue:
         tis_np = np.broadcast_to(
@@ -179,8 +199,9 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
-               b_ref, m_ref, cm_ref, y_hbm, t_hbm,
-               ynew_ref, ss_ref, y0v, sems, tv, tsems, f0v, *yv):
+               b_ref, m_ref, cm_ref, y_hbm, t_hbm, c_hbm_ref,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, cv, csems,
+               f0v, *yv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -212,6 +233,15 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                         t_hbm.at[mm, pl.ds(bots, P), :],
                         tv.at[tslot, pl.ds(P + S, P), :],
                         tsems.at[tslot, 2]),
+                )
+            if has_field:
+                # DC == DT, so the tissue slot index doubles as the
+                # coefficient ring slot; rows pre-padded at build — ONE
+                # contiguous copy per plane
+                dmas += (
+                    pltpu.make_async_copy(
+                        c_hbm_ref.at[:, mm, pl.ds(row0, R), :],
+                        cv.at[tslot], csems.at[tslot, 0]),
                 )
             return dmas
 
@@ -270,17 +300,30 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         def tis_at(p):
             return tv[lax.rem(clampz(p), dt)]
 
+        def coeff_at(p):
+            return cv[lax.rem(clampz(p), dt)]   # DC == DT
+
         def rhs_plane(get, p):
             """f(Y) at plane p: 7-point divergence stencil + kinetics on
             the plane triple get(p-1), get(p), get(p+1) — the
             ops/pallas_box3d.py stencil body (incl. its obstacle-openness
-            recovery from the tissue plane ring)."""
+            recovery from the tissue plane ring and the full-field
+            coefficient plane ring)."""
             yc = get(p)
             yu = get(p + 1)
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
-            if has_tissue:
+            if has_field:
+                cp = coeff_at(p)
+                aeL = cp[0]
+                awL = jnp.roll(cp[0], 1, -1)
+                anL = cp[1]
+                asL = jnp.roll(cp[1], 1, -2)
+                auL = cp[2]
+                # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
+                adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+            elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
                 awL = aw * (tc * jnp.roll(tc, 1, -1))
@@ -396,6 +439,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             vmem_const((1, nxp)),                        # error column mask
             pl.BlockSpec(memory_space=pltpu.HBM),        # y stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),        # tissue (or stub)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # coeff (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -408,6 +452,9 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
+            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
+                       dtype),
+            pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
     )
@@ -447,7 +494,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
                         ae_row, aw_row, an_col, as_col, au_z, ad_z,
-                        b_in, kc.m_pad, kc.col_mask, yp, tis_hbm)
+                        b_in, kc.m_pad, kc.col_mask, yp, tis_hbm, c_hbm)
         return ynew, jnp.sum(ss), ()
 
     def h_limit(t, yp, params):

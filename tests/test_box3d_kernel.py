@@ -75,7 +75,7 @@ def test_gate_requires_closed_z_walls():
     assert not pallas_box3d.is_box3d_supported(p, tab, f32)
 
 
-def test_gate_accepts_obstacles_declines_fields():
+def test_gate_accepts_obstacles_and_fields():
     tab = TABLEAUS["bs32"]
     cfg = box_cfg()
     # obstacle scars run fused: the six openness factors come from the
@@ -85,11 +85,50 @@ def test_gate_accepts_obstacles_declines_fields():
     mask[2:4, 8:14, 6:12] = False
     p = build_problem(cfg, obstacle_mask=mask)
     assert pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
-    # full 3-D diffusion fields are not profile-expressible: XLA path
+    # full 3-D diffusion fields stream the coefficient plane ring
+    # (session 19) — closed z walls still gate the z clamp
     rng = np.random.default_rng(0)
     dfield = 0.08 + 0.02 * rng.random((cfg.nz, cfg.ny, cfg.nx))
     p = build_problem(cfg, diffusion_field=dfield)
+    assert pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
+    p = build_problem(box_cfg(boundary="noflux_x"), diffusion_field=dfield)
     assert not pallas_box3d.is_box3d_supported(p, tab, jnp.float32)
+
+
+def field_3d(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return 0.08 + 0.04 * rng.random((cfg.nz, cfg.ny, cfg.nx))
+
+
+def test_field_matches_xla():
+    cfg = box_cfg()
+    bundle, _ = run_pair(cfg, diffusion_field=field_3d(cfg))
+    assert_equivalent(bundle)
+
+
+def test_field_with_scar_matches_xla_and_holds_ic():
+    # field mode + obstacle: masked faces ride the coefficient ring, the
+    # tissue ring only zeroes kinetics on dead cells
+    cfg = box_cfg()
+    mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
+    mask[2:4, 8:14, 6:12] = False
+    bundle, p = run_pair(cfg, diffusion_field=field_3d(cfg, 1),
+                         obstacle_mask=mask)
+    assert_equivalent(bundle)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])
+
+
+def test_field_just_diffusion_conserves_mass():
+    cfg = box_cfg(just_diffusion=1, t_final=1.0)
+    bundle, p = run_pair(cfg, diffusion_field=field_3d(cfg, 2))
+    assert_equivalent(bundle)
+    tk = bundle[0]
+    m0 = np.asarray(p.y0)[0].astype(np.float64).sum()
+    m1 = tk[-1][0].astype(np.float64).sum()
+    np.testing.assert_allclose(m1, m0, rtol=1e-5)
 
 
 def scar_mask(cfg):

@@ -69,7 +69,7 @@ def test_gate_requires_closed_z_walls():
         assert not pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
 
 
-def test_gate_accepts_obstacles_declines_fields():
+def test_gate_accepts_obstacles_and_fields():
     cfg = box_cfg()
     mask = np.ones((cfg.nz, cfg.ny, cfg.nx), bool)
     mask[2:4, 8:14, 6:12] = False
@@ -78,7 +78,19 @@ def test_gate_accepts_obstacles_declines_fields():
     rng = np.random.default_rng(0)
     dfield = 0.08 + 0.02 * rng.random((cfg.nz, cfg.ny, cfg.nx))
     p = build_problem(cfg, diffusion_field=dfield)
+    assert pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
+    # periodic x with a field: z walls still closed -> eligible; but a
+    # fully periodic box declines (z clamp)
+    p = build_problem(box_cfg(boundary="periodic"), diffusion_field=dfield)
     assert not pallas_box3d_rkc.is_box3d_rkc_supported(p, jnp.float32)
+
+
+def test_field_matches_xla():
+    cfg = box_cfg()
+    rng = np.random.default_rng(3)
+    dfield = 0.08 + 0.04 * rng.random((cfg.nz, cfg.ny, cfg.nx))
+    bundle, _ = run_pair(cfg, diffusion_field=dfield)
+    assert_equivalent(bundle)
 
 
 def test_obstacle_scar_matches_xla_and_holds_ic():
