@@ -23,10 +23,13 @@ by the kernel are refreshed by the next step's splice; fill lanes evolve
 as bounded dynamics and are masked from the error norm (the
 ops/pallas_shard_step.py argument).
 
-Scope mirrors the single-chip kernel's profile gate: constant-D
-coefficients with optional no-flux walls (closed z walls required — the
-z clamp) and optional 3-D obstacle scars, no 3-D diffusion fields, even
-grids only (pad_spec declines). Coefficients/beta/freeze ride as RUNTIME
+Scope mirrors the single-chip kernel's gate: constant-D coefficients
+with optional no-flux walls (closed z walls required — the z clamp),
+optional 3-D obstacle scars, and full 3-D diffusion fields (the
+coefficient plane ring of ops/pallas_box3d.py — here the per-shard
+(aE, aN, aU) stack is halo-padded once per dispatch like the tissue
+mask, so each plane needs ONE contiguous coefficient DMA); even grids
+only (pad_spec declines). Coefficients/beta/freeze ride as RUNTIME
 params prepared once per dispatch inside shard_map (prepare_params),
 because each shard needs its own slices.
 
@@ -62,8 +65,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate.erk import Tableau
 from crdmodel_tpu.ops.kernel_common import freeze_scalar, lane_pad_width
-from crdmodel_tpu.ops.pallas_box3d import (_box_profiles, _box_strip_target,
-                                           _pick_strip, _ring_planes)
+from crdmodel_tpu.ops.pallas_box3d import (_box_mode, _box_profiles,
+                                           _box_strip_target, _pick_strip,
+                                           _ring_planes)
 from crdmodel_tpu.ops.pallas_step import HALO
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
@@ -79,15 +83,13 @@ def is_shard_box3d_supported(problem, tableau: Tableau, dtype,
         return False
     if nyl < HALO or nxl < HALO:
         return False   # halo deeper than a neighbour's block
-    profs = _box_profiles(problem)
-    if profs is None:
-        return False
-    aU, aD = profs[4], profs[5]
-    if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
+    mode, _ = _box_mode(problem)
+    if mode is None:
         return False
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(nyl, _box_strip_target(nxl, problem.model.nvars,
-                                           tableau.stages, has_tissue))
+                                           tableau.stages, has_tissue,
+                                           mode == "field"))
     if S is None or S < HALO:
         return False   # strip windows must not cross both block edges
     return True
@@ -123,7 +125,14 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     P = HALO
     assert ns <= P
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
-    S = _pick_strip(nyl, _box_strip_target(nxl, nvars, ns, has_tissue))
+    mode, _mode_data = _box_mode(problem)
+    if mode is None:
+        raise ValueError("operator is neither profile-expressible nor a "
+                         "closed-z 3-D field (is_shard_box3d_supported "
+                         "should have declined)")
+    has_field = mode == "field"
+    S = _pick_strip(nyl, _box_strip_target(nxl, nvars, ns, has_tissue,
+                                           has_field))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
     assert S >= P
@@ -133,13 +142,15 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     fill = nxp - (nxl + 2 * P)
     DY = ns + 3
     DT = DY                                   # tissue ring (same schedule)
+    DC = DY                                   # coeff ring (fields)
     DK = [ns - j + 1 for j in range(ns - 1)]
 
-    if has_tissue:
+    if has_tissue and not has_field:
         # wall-only global coefficient profiles (the _box_profiles
         # factorisation) — params["coeffs"] carries the fully-masked 3-D
         # arrays, which the fused kernel cannot consume; sliced per shard
-        # by axis_index in prepare_params
+        # by axis_index in prepare_params. (Field mode streams the masked
+        # faces themselves; the tissue ring then only zeroes kinetics.)
         profs64 = _box_profiles(problem)
         assert profs64 is not None
         _g_profs = tuple(jnp.asarray(np.asarray(c, np.float64))
@@ -164,7 +175,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
 
     def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
                au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
-               t_hbm, ynew_ref, ss_ref, y0v, sems, tv, tsems, *kv):
+               t_hbm, c_hbm, ynew_ref, ss_ref, y0v, sems, tv, tsems,
+               cv, csems, *kv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -216,6 +228,11 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                 pltpu.make_async_copy(
                     t_hbm.at[mm, pl.ds(row0, R), :],
                     tv.at[slot], tsems.at[slot, 0]).start()
+            if has_field:
+                # coefficient plane ring, same halo-padded-once layout
+                pltpu.make_async_copy(
+                    c_hbm.at[:, mm, pl.ds(row0, R), :],
+                    cv.at[slot], csems.at[slot, 0]).start()
 
         def wait_plane(slot):
             # semaphore waits only need matching byte counts, not the
@@ -234,6 +251,10 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                 pltpu.make_async_copy(
                     t_hbm.at[0, pl.ds(0, R), :],
                     tv.at[slot], tsems.at[slot, 0]).wait()
+            if has_field:
+                pltpu.make_async_copy(
+                    c_hbm.at[:, 0, pl.ds(0, R), :],
+                    cv.at[slot], csems.at[slot, 0]).wait()
 
         dy = jnp.asarray(DY, m.dtype)
 
@@ -284,17 +305,31 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         def tis_at(p):
             return tv[lax.rem(clampz(p), jnp.asarray(DT, m.dtype))]
 
+        def coeff_at(p):
+            return cv[lax.rem(clampz(p), jnp.asarray(DC, m.dtype))]
+
         def rhs_at(s, p):
             """With obstacle scars the six openness factors are recovered
             from the tissue plane ring (0/1 multiplies are exact — the
             ops/pallas_box3d.py factorisation); kinetics on dead cells
-            are zeroed like problem.py::mask_tissue."""
+            are zeroed like problem.py::mask_tissue. Full 3-D diffusion
+            fields stream the coefficient plane ring instead
+            (ops/pallas_box3d.py field mode)."""
             yc = yi_at(s, p)
             yu = yi_at(s, p + 1)
             yd = yi_at(s, p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
-            if has_tissue:
+            if has_field:
+                cp = coeff_at(p)
+                aeL = cp[0]
+                awL = jnp.roll(cp[0], 1, -1)
+                anL = cp[1]
+                asL = jnp.roll(cp[1], 1, -2)
+                auL = cp[2]
+                # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
+                adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+            elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
                 awL = aw * (tc * jnp.roll(tc, 1, -1))
@@ -390,6 +425,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec(memory_space=pltpu.HBM),    # lo row strips
             pl.BlockSpec(memory_space=pltpu.HBM),    # hi row strips
             pl.BlockSpec(memory_space=pltpu.HBM),    # tissue mask (or stub)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # coeff fields (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -402,6 +438,9 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 1) if has_tissue else (1, 1)),
+            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
+                       dtype),
+            pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
         ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
     )
 
@@ -441,41 +480,59 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         stage ladder)."""
         out = dict(params)
         if has_tissue:
-            iy = lax.axis_index(axis_y)
-            ix = lax.axis_index(axis_x)
-            aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
-            aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
-            aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
-            aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
-            aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
             t = params["tissue"].astype(dtype)
             t = halo_pad_cols(t, axis_x, P)
             if fill:
                 t = jnp.pad(t, ((0, 0), (0, 0), (0, fill)))
             out["_fused_tissue"] = halo_pad_rows(t, axis_y, P)
-        else:
-            aE, aW, aN, aS, aU, aD = params["coeffs"]
-
-        def lane_prof(c):
-            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
-                                    (nxl,)).reshape(1, nxl)
-            prof = halo_pad_cols(prof, axis_x, P)
+        if has_field:
+            # stream the masked local faces themselves: halo-pad the
+            # (aE, aN, aU) stack once per dispatch (true neighbour
+            # coefficients via the ppermute ring, exactly like the
+            # tissue mask); the profile inputs become stubs
+            cs = params["coeffs"]
+            c = jnp.stack([cs[0], cs[2], cs[4]]).astype(dtype)
+            c = halo_pad_cols(c, axis_x, P)
             if fill:
-                prof = jnp.pad(prof, ((0, 0), (0, fill)))
-            return prof
+                c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, fill)))
+            out["_fused_cfield"] = halo_pad_rows(c, axis_y, P)
+            out["_fused_coeffs6"] = (
+                jnp.zeros((1, nxp), dtype), jnp.zeros((1, nxp), dtype),
+                jnp.zeros((nyl + 2 * P, 1), dtype),
+                jnp.zeros((nyl + 2 * P, 1), dtype),
+                jnp.zeros((nz, 1), dtype), jnp.zeros((nz, 1), dtype))
+        else:
+            if has_tissue:
+                iy = lax.axis_index(axis_y)
+                ix = lax.axis_index(axis_x)
+                aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
+                aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
+                aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
+                aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
+                aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
+            else:
+                aE, aW, aN, aS, aU, aD = params["coeffs"]
 
-        def row_prof(c):
-            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
-                                    (nyl, 1))
-            return halo_pad_rows(prof, axis_y, P)
+            def lane_prof(c):
+                prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
+                                        (nxl,)).reshape(1, nxl)
+                prof = halo_pad_cols(prof, axis_x, P)
+                if fill:
+                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
+                return prof
 
-        def z_prof(c):
-            return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
-                                    (nz, 1))
+            def row_prof(c):
+                prof = jnp.broadcast_to(
+                    jnp.asarray(c, dtype).reshape(-1, 1), (nyl, 1))
+                return halo_pad_rows(prof, axis_y, P)
 
-        out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
-                                 row_prof(aN), row_prof(aS),
-                                 z_prof(aU), z_prof(aD))
+            def z_prof(c):
+                return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                        (nz, 1))
+
+            out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
+                                     row_prof(aN), row_prof(aS),
+                                     z_prof(aU), z_prof(aD))
         b = params["b"]
         if b_is_field:
             out["_fused_b"] = halo_pad_rows(
@@ -489,6 +546,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
 
     ones = jnp.ones((1, 1), dtype)
     tis_stub = jnp.zeros((1, 1, 1), dtype)
+    cf_stub = jnp.zeros((1, 1, 1, 1), dtype)
 
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
@@ -498,13 +556,15 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         b = params["_fused_b"]
         mlive = params.get("_fused_live", ones)
         t_in = params.get("_fused_tissue", tis_stub)
+        c_in = params.get("_fused_cfield", cf_stub)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         ds_s = ones
         if isinstance(params, dict) and "dscale" in params:
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, ae, aw, an, as_, au, ad,
-                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in)
+                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in,
+                        c_in)
         return ynew, ss
 
     return FusedShardBoxStep(step_err=step_err, pad=pad, unpad=unpad,

@@ -16,7 +16,9 @@ parallel/sharded.py. The driver caps h at the kernel's stage budget
 profile coefficients, closed z walls, optional 3-D obstacle scars (the
 once-per-dispatch halo-padded tissue plane ring of
 ops/pallas_shard_box3d.py — one contiguous DMA per plane, wall-only
-profiles sliced per shard by axis_index), even grids.
+profiles sliced per shard by axis_index), full 3-D diffusion fields
+(the halo-padded coefficient plane ring, DC = C+4 like the tissue
+ring), even grids.
 
 Like the 2-D sharded fused RKC it is NOT ensemble-lockstep-safe in
 composed member meshes (the stage count rides data); parallel/sharded.py
@@ -37,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from crdmodel_tpu.integrate import rkc
 from crdmodel_tpu.ops.kernel_common import freeze_scalar, lane_pad_width
-from crdmodel_tpu.ops.pallas_box3d import _box_profiles, _pick_strip
+from crdmodel_tpu.ops.pallas_box3d import (_box_mode, _box_profiles,
+                                           _pick_strip)
 from crdmodel_tpu.ops.pallas_box3d_rkc import C_RKC, DJ, _rkc_strip_target
 from crdmodel_tpu.ops.pallas_rkc import S_MAX_KERNEL, static_stage_tables
 from crdmodel_tpu.ops.pallas_step import HALO
@@ -55,15 +58,12 @@ def is_shard_box3d_rkc_supported(problem, dtype, nyl: int,
         return False
     if nyl < HALO or nxl < HALO:
         return False
-    profs = _box_profiles(problem)
-    if profs is None:
-        return False
-    aU, aD = profs[4], profs[5]
-    if aU[-1] != 0.0 or aD[0] != 0.0:   # z clamp needs closed z walls
+    mode, _ = _box_mode(problem)
+    if mode is None:
         return False
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(nyl, _rkc_strip_target(nxl, problem.model.nvars,
-                                           has_tissue))
+                                           has_tissue, mode == "field"))
     if S is None or S < HALO:
         return False
     return True
@@ -100,7 +100,14 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     C = C_RKC
     P = HALO
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
-    S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars, has_tissue))
+    mode, _mode_data = _box_mode(problem)
+    if mode is None:
+        raise ValueError("operator is neither profile-expressible nor a "
+                         "closed-z 3-D field (is_shard_box3d_rkc_supported "
+                         "should have declined)")
+    has_field = mode == "field"
+    S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars, has_tissue,
+                                           has_field))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
     assert S >= P
@@ -111,8 +118,9 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     DY = C + 3
     DF = C + 2
     DT = C + 4                 # tissue ring (f1 reads plane p+1 at m=p+C+2)
+    DC = C + 4                 # coeff ring (the single-chip DC argument)
 
-    if has_tissue:
+    if has_tissue and not has_field:
         # wall-only global coefficient profiles, sliced per shard by
         # axis_index in prepare_params (ops/pallas_shard_box3d.py note)
         profs64 = _box_profiles(problem)
@@ -139,8 +147,9 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
-               b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm, t_hbm,
-               ynew_ref, ss_ref, y0v, sems, tv, tsems, f0v, *yv):
+               b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm, t_hbm, c_hbm,
+               ynew_ref, ss_ref, y0v, sems, tv, tsems, cv, csems,
+               f0v, *yv):
         i = pl.program_id(0)
         m = pl.program_id(1)
         row0 = pl.multiple_of(i * S, 8)
@@ -190,6 +199,12 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                 pltpu.make_async_copy(
                     t_hbm.at[mm, pl.ds(row0, R), :],
                     tv.at[tslot], tsems.at[tslot, 0]).start()
+            if has_field:
+                # coefficient plane ring (DC == DT: tslot doubles as the
+                # coeff ring slot), same halo-padded-once layout
+                pltpu.make_async_copy(
+                    c_hbm.at[:, mm, pl.ds(row0, R), :],
+                    cv.at[tslot], csems.at[tslot, 0]).start()
 
         def wait_plane(slot, tslot):
             pltpu.make_async_copy(
@@ -205,6 +220,10 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                 pltpu.make_async_copy(
                     t_hbm.at[0, pl.ds(0, R), :],
                     tv.at[tslot], tsems.at[tslot, 0]).wait()
+            if has_field:
+                pltpu.make_async_copy(
+                    c_hbm.at[:, 0, pl.ds(0, R), :],
+                    cv.at[tslot], csems.at[tslot, 0]).wait()
 
         dy = jnp.asarray(DY, m.dtype)
 
@@ -255,15 +274,28 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         def tis_at(p):
             return tv[lax.rem(clampz(p), dt)]
 
+        def coeff_at(p):
+            return cv[lax.rem(clampz(p), dt)]   # DC == DT
+
         def rhs_plane(get, p):
             """f(Y) at plane p — the ops/pallas_box3d.py stencil body
-            incl. its obstacle-openness recovery from the tissue ring."""
+            incl. its obstacle-openness recovery from the tissue ring
+            and the full-field coefficient plane ring."""
             yc = get(p)
             yu = get(p + 1)
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
-            if has_tissue:
+            if has_field:
+                cp = coeff_at(p)
+                aeL = cp[0]
+                awL = jnp.roll(cp[0], 1, -1)
+                anL = cp[1]
+                asL = jnp.roll(cp[1], 1, -2)
+                auL = cp[2]
+                # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
+                adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+            elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
                 awL = aw * (tc * jnp.roll(tc, 1, -1))
@@ -382,6 +414,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             pl.BlockSpec(memory_space=pltpu.HBM),        # lo row strips
             pl.BlockSpec(memory_space=pltpu.HBM),        # hi row strips
             pl.BlockSpec(memory_space=pltpu.HBM),        # tissue (or stub)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # coeff (or stub)
         ],
         out_specs=[
             pl.BlockSpec((nvars, 1, S, nxp),
@@ -394,6 +427,9 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 1) if has_tissue else (1, 1)),
+            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
+                       dtype),
+            pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
     )
@@ -427,41 +463,56 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     def prepare_params(params):
         out = dict(params)
         if has_tissue:
-            iy = lax.axis_index(axis_y)
-            ix = lax.axis_index(axis_x)
-            aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
-            aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
-            aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
-            aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
-            aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
             t = params["tissue"].astype(dtype)
             t = halo_pad_cols(t, axis_x, P)
             if fill:
                 t = jnp.pad(t, ((0, 0), (0, 0), (0, fill)))
             out["_fused_tissue"] = halo_pad_rows(t, axis_y, P)
-        else:
-            aE, aW, aN, aS, aU, aD = params["coeffs"]
-
-        def lane_prof(c):
-            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
-                                    (nxl,)).reshape(1, nxl)
-            prof = halo_pad_cols(prof, axis_x, P)
+        if has_field:
+            # stream the masked local faces (ops/pallas_shard_box3d.py)
+            cs = params["coeffs"]
+            c = jnp.stack([cs[0], cs[2], cs[4]]).astype(dtype)
+            c = halo_pad_cols(c, axis_x, P)
             if fill:
-                prof = jnp.pad(prof, ((0, 0), (0, fill)))
-            return prof
+                c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, fill)))
+            out["_fused_cfield"] = halo_pad_rows(c, axis_y, P)
+            out["_fused_coeffs6"] = (
+                jnp.zeros((1, nxp), dtype), jnp.zeros((1, nxp), dtype),
+                jnp.zeros((nyl + 2 * P, 1), dtype),
+                jnp.zeros((nyl + 2 * P, 1), dtype),
+                jnp.zeros((nz, 1), dtype), jnp.zeros((nz, 1), dtype))
+        else:
+            if has_tissue:
+                iy = lax.axis_index(axis_y)
+                ix = lax.axis_index(axis_x)
+                aE_g, aW_g, aN_g, aS_g, aU, aD = _g_profs
+                aE = lax.dynamic_slice(aE_g, (ix * nxl,), (nxl,))
+                aW = lax.dynamic_slice(aW_g, (ix * nxl,), (nxl,))
+                aN = lax.dynamic_slice(aN_g, (iy * nyl,), (nyl,))
+                aS = lax.dynamic_slice(aS_g, (iy * nyl,), (nyl,))
+            else:
+                aE, aW, aN, aS, aU, aD = params["coeffs"]
 
-        def row_prof(c):
-            prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
-                                    (nyl, 1))
-            return halo_pad_rows(prof, axis_y, P)
+            def lane_prof(c):
+                prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
+                                        (nxl,)).reshape(1, nxl)
+                prof = halo_pad_cols(prof, axis_x, P)
+                if fill:
+                    prof = jnp.pad(prof, ((0, 0), (0, fill)))
+                return prof
 
-        def z_prof(c):
-            return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
-                                    (nz, 1))
+            def row_prof(c):
+                prof = jnp.broadcast_to(
+                    jnp.asarray(c, dtype).reshape(-1, 1), (nyl, 1))
+                return halo_pad_rows(prof, axis_y, P)
 
-        out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
-                                 row_prof(aN), row_prof(aS),
-                                 z_prof(aU), z_prof(aD))
+            def z_prof(c):
+                return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
+                                        (nz, 1))
+
+            out["_fused_coeffs6"] = (lane_prof(aE), lane_prof(aW),
+                                     row_prof(aN), row_prof(aS),
+                                     z_prof(aU), z_prof(aD))
         b = params["b"]
         if b_is_field:
             out["_fused_b"] = halo_pad_rows(
@@ -475,6 +526,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
 
     ones = jnp.ones((1, 1), dtype)
     tis_stub = jnp.zeros((1, 1, 1), dtype)
+    cf_stub = jnp.zeros((1, 1, 1, 1), dtype)
     s_cap = C
     mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
 
@@ -490,6 +542,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         b = params["_fused_b"]
         mlive = params.get("_fused_live", ones)
         t_in = params.get("_fused_tissue", tis_stub)
+        c_in = params.get("_fused_cfield", cf_stub)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         s_s = jnp.reshape(s, (1, 1))
@@ -499,7 +552,8 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
                         ae, aw, an, as_, au, ad,
-                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in)
+                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in,
+                        c_in)
         return ynew, ss, ()
 
     def h_limit(t, yp, params):

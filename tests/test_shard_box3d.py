@@ -74,10 +74,13 @@ def test_gate_routing():
     mask[2:4, 20:30, 10:20] = False
     p = build_problem(cfg, obstacle_mask=mask)
     assert maybe_fused_shard_box3d(p, mesh, interpret=True) is not None
-    # ... but full 3-D diffusion fields stay XLA (not profile-expressible)
+    # full 3-D diffusion fields run fused too (coefficient plane ring);
+    # fully periodic boxes still decline (z clamp)
     dfield = np.full((cfg.nz, cfg.ny, cfg.nx), cfg.diffusion)
     dfield[:, :, : cfg.nx // 2] *= 0.5
     p = build_problem(cfg, diffusion_field=dfield)
+    assert maybe_fused_shard_box3d(p, mesh, interpret=True) is not None
+    p = build_problem(box_cfg(boundary="periodic"), diffusion_field=dfield)
     assert maybe_fused_shard_box3d(p, mesh, interpret=True) is None
     # rkc2 is not an ERK tableau
     p = build_problem(box_cfg(method="rkc2"))
@@ -178,6 +181,32 @@ def test_just_diffusion_conserves_mass():
     np.testing.assert_allclose(m1, m0, rtol=1e-5)
 
 
+def field_3d(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return 0.08 + 0.04 * rng.random((cfg.nz, cfg.ny, cfg.nx))
+
+
+def test_field_matches_sharded_xla():
+    # full 3-D diffusion field through the SHARD kernel's coefficient
+    # plane ring: the halo-padded per-shard face stack must carry true
+    # neighbour coefficients across both mesh seams
+    cfg = box_cfg()
+    bundle, _ = run_pair(cfg, diffusion_field=field_3d(cfg))
+    assert_equivalent(bundle)
+
+
+def test_field_with_scar_matches_sharded_xla():
+    cfg = box_cfg()
+    mask = scar_mask(cfg)
+    bundle, p = run_pair(cfg, diffusion_field=field_3d(cfg, 1),
+                         obstacle_mask=mask)
+    assert_equivalent(bundle)
+    ic = np.asarray(p.y0)
+    scar = ~mask
+    for fr in bundle[0]:
+        assert np.array_equal(fr[:, scar], ic[:, scar])
+
+
 # ----------------------------------------------------------------------
 # Sharded fused 3-D RKC (ops/pallas_shard_box3d_rkc.py)
 
@@ -232,3 +261,9 @@ def test_rkc_obstacle_scar():
     scar = ~mask
     for fr in bundle[0]:
         assert np.array_equal(fr[:, scar], ic[:, scar])
+
+
+def test_rkc_field():
+    cfg = box_cfg(method="rkc2")
+    bundle, _ = run_pair_rkc(cfg, diffusion_field=field_3d(cfg, 2))
+    assert_equivalent(bundle, atol=1e-5)

@@ -71,6 +71,35 @@ def test_shard_box3d_scar_compiles_and_matches_on_chip():
     assert np.array_equal(np.asarray(ts)[-1][:, scar], ic[:, scar])
 
 
+def test_shard_box3d_field_compiles_and_matches_on_chip():
+    # full 3-D diffusion field through the SHARD kernel's coefficient
+    # plane ring on real Mosaic; oracle = the single-device fused field
+    # kernel through the plain driver
+    cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
+                    y_mesh=128, z_mesh=16, surface_width=8.0,
+                    surface_length=8.0, surface_depth=1.0, diffusion=1.0,
+                    beta=0.10, wave_length=0.25, wave_width=0.5,
+                    t_final=0.5, output_timestep=1, dtype="float32",
+                    rtol=1e-4, atol=1e-7, boundary="noflux",
+                    use_pallas=True)
+    rng = np.random.default_rng(0)
+    dfield = 0.8 + 0.4 * rng.random((cfg.nz, cfg.ny, cfg.nx))
+    mesh = make_mesh(shape=(1, 1))
+    p_s = build_problem(cfg, diffusion_field=dfield)
+    assert maybe_fused_shard_box3d(p_s, mesh) is not None
+    params, _ = sharded_params(p_s)
+    run_s, _ = make_sharded_simulation_fn(p_s, mesh)
+    ts, ss = run_s(p_s.y0, params)
+    assert int(np.max(np.asarray(ss.status))) == 0
+    p_1 = build_problem(cfg, diffusion_field=dfield)
+    r_1 = simulate(cfg, problem=p_1)
+    assert r_1.ok
+    assert np.array_equal(np.asarray(ss.steps), np.asarray(r_1.stats.steps))
+    np.testing.assert_allclose(np.asarray(ts)[-1],
+                               np.asarray(r_1.trajectory[-1]),
+                               rtol=0, atol=5e-5)
+
+
 def test_shard_box3d_compiles_and_matches_on_chip():
     cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=128,
                     y_mesh=128, z_mesh=16, surface_width=8.0,
