@@ -98,7 +98,20 @@ CASES = {
         surface_length=64.0), {}),
     "flat8M_rkc2": lambda: (flat_cfg(32 * 512, 512, "rkc2"),
                             dict(diffusion_field=np.float64(1.0))),
+    # full 3-D diffusion field (session 19): the coefficient plane ring
+    # vs the XLA six-face field path, +-20% heterogeneity
+    "box8M_field_fused": lambda: _field_case("bs32", True),
+    "box8M_field_xla": lambda: _field_case("bs32", False),
+    "box8M_field_rkc2_fused": lambda: _field_case("rkc2", True),
+    "box8M_field_rkc2_xla": lambda: _field_case("rkc2", False),
 }
+
+
+def _field_case(method, use_pallas):
+    cfg = box_cfg(32, 512, method, "noflux", use_pallas)
+    rng = np.random.default_rng(0)
+    dfield = 0.8 + 0.4 * rng.random((32, 512, 512))
+    return cfg, dict(diffusion_field=dfield)
 
 
 def main():
