@@ -184,13 +184,14 @@ def _regrid_for_mesh(arr_np, cfg, saved_mesh_shape, mesh):
     (elastic resume): strip the saved mesh's pad cells back to the physical
     grid, then pad for the new mesh (parallel/padding.py). Identity when
     neither mesh needs padding."""
-    from crdmodel_tpu.parallel.padding import compute_pad_spec
-    old = compute_pad_spec(cfg.ny, cfg.nx, *(int(s) for s in
-                                             saved_mesh_shape))
-    if old.active:
-        arr_np = np.asarray(old.unpad_field(arr_np))
-    new = compute_pad_spec(cfg.ny, cfg.nx, *(int(s) for s in
-                                             mesh.devices.shape))
+    from crdmodel_tpu.parallel.padding import pad_spec_for
+    # the saved pad layout is whatever the saving session used (its
+    # y-multiple policy may differ, padding.py::fused_y_multiple) — unpad
+    # needs only the physical extents, so slice by shape rather than
+    # reconstructing the old spec
+    if arr_np.shape[-2:] != (cfg.ny, cfg.nx):
+        arr_np = np.asarray(arr_np[..., :cfg.ny, :cfg.nx])
+    new = pad_spec_for(cfg, *(int(s) for s in mesh.devices.shape))
     if new.active:
         arr_np = np.asarray(new.pad_field(arr_np))
     return arr_np
@@ -372,9 +373,8 @@ def load_orbax_checkpoint(dirpath: str, cfg: SimConfig, mesh=None) -> dict:
     # the saved global shape is the SAVED mesh's padded layout; the new
     # mesh may need a different pad — restore to host in that case
     if mesh is not None:
-        from crdmodel_tpu.parallel.padding import compute_pad_spec
-        new_spec = compute_pad_spec(cfg.ny, cfg.nx,
-                                    *(int(s) for s in mesh.devices.shape))
+        from crdmodel_tpu.parallel.padding import pad_spec_for
+        new_spec = pad_spec_for(cfg, *(int(s) for s in mesh.devices.shape))
         nvars = int(manifest["global_shape"][0])
         need_shape = ((nvars,) + new_spec.padded_shape if new_spec.active
                       else (nvars, cfg.ny, cfg.nx))

@@ -452,18 +452,36 @@ def load_edge_strips(y_hbm, yv, sems, nyl, S, P, n_strips, i,
 
 
 def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
-                            b_is_field, has_freeze, axis_y, axis_x):
+                            b_is_field, has_freeze, axis_y, axis_x,
+                            pad_spec=None):
     """(pad, unpad, splice_inputs, prepare_params) shared by the sharded
     kernels — the v3 splice transport (thin ppermute strips + in-kernel
     column splice; design/traffic rationale in ops/pallas_shard_step.py's
     module docstring). splice_inputs and prepare_params must run INSIDE
-    shard_map over (axis_y, axis_x)."""
+    shard_map over (axis_y, axis_x).
+
+    pad_spec (uneven grid, parallel/padding.py): the kernels run MIRROR-pad
+    semantics — pad cells evolve as live bitwise copies of their wrapped
+    physical sources (the wrap-filled parameter arrays give them identical
+    coefficients/beta/freeze values, so identical arithmetic), making every
+    interior array position consistent with the n-periodic extension of the
+    physical field. Only the two array-edge halo strips per axis need
+    repair (parallel/halo.py::mirror_edges), and the error partial sums
+    are masked to physical cells in-kernel via the runtime inputs
+    `_fused_vrow`/`_fused_cmask` built here. This differs deliberately
+    from the XLA padded path (pads frozen + RHS-masked): physical
+    trajectories and error norms match; only the never-observed pad
+    contents differ (drivers re-derive pads from the physical field when
+    crossing paths — io/checkpoint resume, parallel/sharded.py)."""
     from jax import lax
 
     from crdmodel_tpu.parallel.halo import (_shift_from_next,
                                             _shift_from_prev,
-                                            halo_pad_cols, halo_pad_rows)
+                                            halo_pad_cols, halo_pad_rows,
+                                            mirror_edges)
     fill = nxp - (nxl + 2 * P)
+    pady = pad_spec is not None and pad_spec.y.active
+    padx = pad_spec is not None and pad_spec.x.active
 
     def pad(y_local):
         return jnp.pad(y_local, ((0, 0), (0, 0), (P, nxp - nxl - P)))
@@ -471,16 +489,57 @@ def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
     def unpad(yp):
         return yp[..., P:P + nxl]
 
+    def _row_edges(u):
+        """(lo, hi) width-P row halo strips of u (rows = local block rows),
+        mirror-corrected at the array wrap when y is padded."""
+        ring_lo = _shift_from_prev(u[..., -P:, :], axis_y)
+        ring_hi = _shift_from_next(u[..., :P, :], axis_y)
+        if not pady:
+            return ring_lo, ring_hi
+        return mirror_edges(lambda lo, L: u[..., lo:lo + L, :],
+                            ring_lo, ring_hi, axis_y, P,
+                            pad_spec.y.n, pad_spec.y.blk, axis=-2)
+
+    def _row_pad(u):
+        lo, hi = _row_edges(u)
+        return jnp.concatenate([lo, u, hi], axis=-2)
+
     def splice_inputs(yp):
-        w_cols = _shift_from_prev(
+        ring_w = _shift_from_prev(
             lax.slice_in_dim(yp, nxl, P + nxl, axis=2), axis_x)
-        e_cols = _shift_from_next(
+        ring_e = _shift_from_next(
             lax.slice_in_dim(yp, P, 2 * P, axis=2), axis_x)
-        w_ext = halo_pad_rows(w_cols, axis_y, P)
-        e_ext = halo_pad_rows(e_cols, axis_y, P)
-        lo_rows = _shift_from_prev(yp[:, nyl - P:, :], axis_y)
-        hi_rows = _shift_from_next(yp[:, :P, :], axis_y)
+        if padx:
+            # local col c lives at lane P + c of the lane-padded block
+            w_cols, e_cols = mirror_edges(
+                lambda lo, L: lax.slice_in_dim(yp, P + lo, P + lo + L,
+                                               axis=2),
+                ring_w, ring_e, axis_x, P,
+                pad_spec.x.n, pad_spec.x.blk, axis=-1)
+        else:
+            w_cols, e_cols = ring_w, ring_e
+        w_ext = _row_pad(w_cols)
+        e_ext = _row_pad(e_cols)
+        lo_rows, hi_rows = _row_edges(yp)
         return w_ext, e_ext, lo_rows, hi_rows
+
+    def _halo_rows(arr2d):
+        """(nyl, k) -> (nyl + 2P, k) row halo pad (mirror-aware)."""
+        if not pady:
+            return halo_pad_rows(arr2d, axis_y, P)
+        lo, hi = _row_edges(arr2d)
+        return jnp.concatenate([lo, arr2d, hi], axis=-2)
+
+    def _halo_cols(prof):
+        """(1, nxl) -> (1, nxl + 2P) column halo pad (mirror-aware)."""
+        if not padx:
+            return halo_pad_cols(prof, axis_x, P)
+        ring_lo = _shift_from_prev(prof[..., -P:], axis_x)
+        ring_hi = _shift_from_next(prof[..., :P], axis_x)
+        lo, hi = mirror_edges(lambda lo_i, L: prof[..., lo_i:lo_i + L],
+                              ring_lo, ring_hi, axis_x, P,
+                              pad_spec.x.n, pad_spec.x.blk, axis=-1)
+        return jnp.concatenate([lo, prof, hi], axis=-1)
 
     def prepare_params(params):
         out = dict(params)
@@ -502,7 +561,7 @@ def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
             cs = []
             for c in coeffs:
                 prof = jnp.asarray(c, dtype).reshape(1, nxl)
-                prof = halo_pad_cols(prof, axis_x, P)
+                prof = _halo_cols(prof)
                 if fill:
                     prof = jnp.pad(prof, ((0, 0), (0, fill)))
                 cs.append(prof)
@@ -512,13 +571,22 @@ def make_shard_halo_helpers(kind, nyl, nxl, P, nxp, dtype,
                 jnp.reshape(jnp.asarray(c, dtype), (1, 1)) for c in coeffs)
         b = params["b"]
         if b_is_field:
-            out["_fused_b"] = halo_pad_rows(
-                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_b"] = _halo_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1))
         else:
             out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
         if has_freeze:
-            out["_fused_live"] = halo_pad_rows(
-                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_live"] = _halo_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1))
+        if pad_spec is not None and pad_spec.active:
+            # physical-cell masks for the in-kernel error sums: `valid` is
+            # an outer product of row/col indicators, so two thin masks
+            # reproduce it exactly (pad-only shards zero out via either)
+            valid = params["valid"].astype(dtype)     # (nyl, nxl) local
+            out["_fused_vrow"] = jnp.max(valid, axis=1, keepdims=True)
+            cmask = jnp.zeros((1, nxp), dtype)
+            out["_fused_cmask"] = cmask.at[0, P:P + nxl].set(
+                jnp.max(valid, axis=0))
         return out
 
     return pad, unpad, splice_inputs, prepare_params

@@ -180,15 +180,46 @@ def _box_field_faces(problem):
     aE, aW, aN, aS, aU, aD = [np.asarray(a, np.float64) for a in faces]
     if aE.ndim != 3:
         return None
-    assert np.array_equal(aW, np.roll(aE, 1, axis=-1))
-    assert np.array_equal(aS, np.roll(aN, 1, axis=-2))
-    assert np.array_equal(aD, np.roll(aU, 1, axis=-3))
+    # the roll identities are LOAD-BEARING (the kernel recovers aW/aS/aD
+    # from them): verify explicitly rather than assert — under python -O a
+    # bare assert vanishes and a future divergence_coeffs64/face-mask change
+    # that breaks the identity would silently compute wrong faces. A
+    # mismatch means the operator is not expressible here: decline to the
+    # XLA divergence path (ADVICE r3).
+    if not (np.array_equal(aW, np.roll(aE, 1, axis=-1))
+            and np.array_equal(aS, np.roll(aN, 1, axis=-2))
+            and np.array_equal(aD, np.roll(aU, 1, axis=-3))):
+        return None
     return aE, aN, aU
+
+
+_BOX_MODE_CACHE: dict = {}
 
 
 def _box_mode(problem):
     """("profile", profs) | ("field", (aE, aN, aU)) | (None, None),
-    enforcing the closed-z-walls gate (the z clamp) in both modes."""
+    enforcing the closed-z-walls gate (the z clamp) in both modes.
+
+    Cached per Problem instance: is_*_supported and the builders each need
+    the mode, and the field construction materialises full (nz, ny, nx) f64
+    face arrays — at 8M+ points that is hundreds of MB of transient host
+    arrays per duplicate call (ADVICE r3). The cache is id-keyed with a
+    weakref guard against id reuse."""
+    import weakref
+    key = id(problem)
+    hit = _BOX_MODE_CACHE.get(key)
+    if hit is not None and hit[0]() is problem:
+        return hit[1]
+    result = _box_mode_impl(problem)
+    try:
+        _BOX_MODE_CACHE[key] = (weakref.ref(
+            problem, lambda _, k=key: _BOX_MODE_CACHE.pop(k, None)), result)
+    except TypeError:
+        pass
+    return result
+
+
+def _box_mode_impl(problem):
     profs = _box_profiles(problem)
     if profs is not None:
         if profs[4][-1] != 0.0 or profs[5][0] != 0.0:

@@ -57,7 +57,8 @@ class FusedShardImex:
 def build_fused_shard_imex(problem, nyl: int, nxl: int,
                            dtype=jnp.float32, interpret: bool = False,
                            axis_y: str = AXIS_Y,
-                           axis_x: str = AXIS_X) -> FusedShardImex:
+                           axis_x: str = AXIS_X,
+                           pad_spec=None) -> FusedShardImex:
     """Fused IMEX step for (nyl, nxl) local blocks; step_err and
     prepare_params must run INSIDE shard_map over (axis_y, axis_x)."""
     cfg = problem.cfg
@@ -84,14 +85,14 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
     # v3 splice transport shared by the sharded kernels
     pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
-        axis_y, axis_x)
+        axis_y, axis_x, pad_spec=pad_spec)
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-               y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
+               vr_ref, y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
                yv, sems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
@@ -117,7 +118,8 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
              yv[slot][..., P + nxl + P:]], axis=-1)
 
         y0c = y0[:, P:P + S, :]
-        w = cm_ref[:, :] / (rtol * jnp.abs(y0c) + atol)
+        # vr masks pad rows out of the error sum (mirror-pad grids)
+        w = cm_ref[:, :] / (rtol * jnp.abs(y0c) + atol) * vr_ref[:, :]
         # the exact ARK step body shared with the single-chip kernel
         ynew, _, ss = imex_block_step(y0, h, f_ex, f_im, nvars, dtype,
                                       P, S, w)
@@ -144,6 +146,8 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # valid-row error mask
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,6 +181,7 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
     )
 
     ones = jnp.ones((1, 1), dtype)
+    ones_rows = jnp.ones((nyl, 1), dtype)
 
     def step_err(t, yp, h, params):
         del t
@@ -185,9 +190,11 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]
         m = params.get("_fused_live", ones)
+        cm = params.get("_fused_cmask", col_mask)
+        vr = params.get("_fused_vrow", ones_rows)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, col_mask,
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, cm, vr,
                         yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss
 

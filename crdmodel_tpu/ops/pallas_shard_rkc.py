@@ -82,7 +82,8 @@ class FusedShardRKC:
 def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
                           rho_fn=None, interpret: bool = False,
                           axis_y: str = AXIS_Y,
-                          axis_x: str = AXIS_X) -> FusedShardRKC:
+                          axis_x: str = AXIS_X,
+                          pad_spec=None) -> FusedShardRKC:
     """step_err/prepare_params/h_limit must run INSIDE shard_map over
     (axis_y, axis_x); rho_fn must pmax across the mesh."""
     cfg = problem.cfg
@@ -113,14 +114,14 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     # v3 splice transport shared by the sharded kernels
     pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
-        axis_y, axis_x)
+        axis_y, axis_x, pad_spec=pad_spec)
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
-               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref, vr_ref,
                y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
                yv, sems):
         i = pl.program_id(0)
@@ -172,7 +173,8 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
         yc = y0[:, P:P + S, :]
         w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
-        scaled = est[:, P:P + S, :] * w
+        # vr masks pad rows out of the error sum (mirror-pad grids)
+        scaled = est[:, P:P + S, :] * w * vr_ref[:, :]
         ss_ref[i, 0] = jnp.sum(scaled * scaled)
 
     if kind == "torus":
@@ -197,6 +199,8 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # valid-row error mask
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # west column strips
@@ -230,6 +234,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     )
 
     ones = jnp.ones((1, 1), dtype)
+    ones_rows = jnp.ones((nyl, 1), dtype)
     mu1_tab, ctab_tab = static_stage_tables(S_MAX_KERNEL, dtype)
 
     def _freeze_scalar(params):
@@ -249,8 +254,10 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
+        cm = params.get("_fused_cmask", col_mask)
+        vr = params.get("_fused_vrow", ones_rows)
         ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
-                        c0, c1, c2, b, m, col_mask,
+                        c0, c1, c2, b, m, cm, vr,
                         yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss, ()
 

@@ -102,7 +102,8 @@ class FusedShardStep:
 def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
                            dtype=jnp.float32, interpret: bool = False,
                            axis_y: str = AXIS_Y,
-                           axis_x: str = AXIS_X) -> FusedShardStep:
+                           axis_x: str = AXIS_X,
+                           pad_spec=None) -> FusedShardStep:
     """Build the fused step for (nyl, nxl) local blocks of problem's grid.
 
     Must be called so that step_err runs INSIDE shard_map over
@@ -140,14 +141,14 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     # v3 splice transport shared by the sharded kernels
     pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
-        axis_y, axis_x)
+        axis_y, axis_x, pad_spec=pad_spec)
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
-               y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
+               vr_ref, y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
                yv, sems):
         i = pl.program_id(0)
         # row0 indexes the halo-padded constant arrays (b/freeze rows),
@@ -200,7 +201,9 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
 
         yc = y0[:, P:P + S, :]
         w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
-        scaled = err[:, P:P + S, :] * w
+        # vr masks pad rows out of the error sum (mirror-pad grids; all-ones
+        # on even grids) — pad lanes are already zeroed by cm
+        scaled = err[:, P:P + S, :] * w * vr_ref[:, :]
         ss_ref[i, 0] = jnp.sum(scaled * scaled)
 
     if kind == "torus":
@@ -222,6 +225,8 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # valid-row error mask
             pl.BlockSpec(memory_space=pltpu.HBM),   # state stays in HBM
             pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # west column strips
@@ -257,6 +262,7 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
     )
 
     ones = jnp.ones((1, 1), dtype)
+    ones_rows = jnp.ones((nyl, 1), dtype)
 
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
@@ -265,9 +271,11 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]
         m = params.get("_fused_live", ones)
+        cm = params.get("_fused_cmask", col_mask)
+        vr = params.get("_fused_vrow", ones_rows)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, col_mask,
+        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, cm, vr,
                         yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss
 

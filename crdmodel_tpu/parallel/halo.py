@@ -129,6 +129,89 @@ def halo_pad(u, axis_y: str = AXIS_Y, axis_x: str = AXIS_X, p: int = 1,
     return out
 
 
+def _mirror_runs(t0: int, width: int, n: int, blk: int):
+    """Static transfer plan for assembling the rows
+    [(t0 + i) % n for i in range(width)] of an n-extent physical axis that
+    is stored padded to size*blk: a list of (src_shard, src_lo, length)
+    pieces, each contiguous within one shard. Everything is a Python int —
+    the plan compiles to a fixed set of ppermute legs."""
+    runs = []
+    i = 0
+    while i < width:
+        g = (t0 + i) % n
+        s = g // blk
+        length = min(width - i, n - g, (s + 1) * blk - g)
+        runs.append((s, g - s * blk, length))
+        i += length
+    return runs
+
+
+def _gather_strip(slice_fn, runs, dst: int, axis_name: str, axis: int):
+    """Assemble the planned pieces on device `dst` (other devices receive
+    zeros/garbage — callers mask with where(me == dst)). slice_fn(lo, L)
+    slices L local rows/cols starting at local index lo."""
+    from jax import lax as _lax
+    size = _lax.axis_size(axis_name)
+    pieces = []
+    for (s, lo, length) in runs:
+        sl = slice_fn(lo, length)
+        if size > 1:
+            sl = _lax.ppermute(sl, axis_name, [(s, dst)])
+        pieces.append(sl)
+    if len(pieces) == 1:
+        return pieces[0]
+    return jnp.concatenate(pieces, axis=axis)
+
+
+def mirror_edges(slice_fn, ring_lo, ring_hi, axis_name: str, p: int,
+                 n: int, blk: int, axis: int):
+    """(lo, hi) width-p halo strips of the n-PERIODIC EXTENSION of a field
+    stored padded to size*blk along `axis` (the fused kernels' mirror-pad
+    semantics: pad cells hold live copies of their wrapped physical sources,
+    so every interior array position is already consistent — only the two
+    array-edge halos need repair; parallel/padding.py module docstring and
+    ops/pallas_shard_step.py).
+
+      shard 0's lo halo   = extension rows -p..-1      = physical n-p..n-1
+      last shard's hi halo = extension rows n_pad..+p-1 = physical
+                             (n_pad..n_pad+p-1) mod n
+
+    ring_lo/ring_hi are the plain wrap-around ppermute values (correct on
+    every non-edge shard: array-contiguous mirrors ARE the extension)."""
+    size = lax.axis_size(axis_name)
+    if p > blk:
+        raise ValueError(f"mirror halo width {p} exceeds the block size "
+                         f"{blk}: ring transport is one-hop (the fused "
+                         "kernels' is_*_supported gates require nyl >= P)")
+    n_pad = size * blk
+    lo_fix = _gather_strip(slice_fn, _mirror_runs((n - p) % n, p, n, blk),
+                           0, axis_name, axis)
+    hi_fix = _gather_strip(slice_fn, _mirror_runs(n_pad % n, p, n, blk),
+                           size - 1, axis_name, axis)
+    me = lax.axis_index(axis_name)
+    lo = jnp.where(me == 0, lo_fix, ring_lo)
+    hi = jnp.where(me == size - 1, hi_fix, ring_hi)
+    return lo, hi
+
+
+def mirror_halo_pad_rows(u, axis_y: str, p: int, n: int, blk: int):
+    """halo_pad_rows for the n-periodic mirror extension (padded axis)."""
+    ring_lo = _shift_from_prev(u[..., -p:, :], axis_y)
+    ring_hi = _shift_from_next(u[..., :p, :], axis_y)
+    lo, hi = mirror_edges(lambda lo_i, L: u[..., lo_i:lo_i + L, :],
+                          ring_lo, ring_hi, axis_y, p, n, blk, axis=-2)
+    return jnp.concatenate([lo, u, hi], axis=-2)
+
+
+def mirror_halo_pad_cols(u, axis_x: str, p: int, n: int, blk: int):
+    """halo_pad_cols for the n-periodic mirror extension (padded axis)."""
+    ring_lo = _shift_from_prev(u[..., -p:], axis_x)
+    ring_hi = _shift_from_next(u[..., :p], axis_x)
+    lo, hi = mirror_edges(lambda lo_i, L: u[..., lo_i:lo_i + L],
+                          ring_lo, ring_hi, axis_x, p, n, blk, axis=-1)
+    return jnp.concatenate([lo, u, hi], axis=-1)
+
+
 def halo_pad_rows(u, axis_y: str = AXIS_Y, p: int = 1):
     """Row-only (y) halo pad: (..., nyl, w) -> (..., nyl+2p, w)."""
     south_halo = _shift_from_prev(u[..., -p:, :], axis_y)

@@ -48,11 +48,17 @@ class AxisPad:
         return self.n_pad != self.n
 
 
-def _axis_pad(n: int, size: int) -> AxisPad:
+def _axis_pad(n: int, size: int, multiple: int = 1) -> AxisPad:
     if n < 2 and size > 1:
         raise ValueError(f"cannot shard an axis of extent {n} over {size} "
                          "devices (periodic stencil needs >= 2 points)")
     blk = -(-n // size)          # ceil
+    if multiple > 1:
+        # round the block up so the fused shard kernels' strip machinery
+        # (8-row sublane alignment, ops/pallas_step.py::_pick_strip) accepts
+        # the local block; the extra pad rows evolve as mirrors and are
+        # masked from the error norms like every other pad cell
+        blk = -(-blk // multiple) * multiple
     n_pad = blk * size
     return AxisPad(n=n, n_pad=n_pad, size=size, blk=blk,
                    seam_shard=(n - 1) // blk, seam_local=(n - 1) % blk)
@@ -134,5 +140,37 @@ class PadSpec:
         return m
 
 
-def compute_pad_spec(ny: int, nx: int, py: int, px: int) -> PadSpec:
-    return PadSpec(y=_axis_pad(ny, py), x=_axis_pad(nx, px))
+def compute_pad_spec(ny: int, nx: int, py: int, px: int,
+                     y_multiple: int = 1) -> PadSpec:
+    return PadSpec(y=_axis_pad(ny, py, y_multiple), x=_axis_pad(nx, px))
+
+
+def fused_y_multiple(cfg) -> int:
+    """8 when the fused shard kernels could engage on this run (their strip
+    machinery needs an 8-row-aligned local block, ops/pallas_step.py::
+    _pick_strip), else 1. Deciding here — before kernel selection — keeps
+    every pad-spec consumer (drivers, checkpoints, sweeps) on one layout;
+    when a fused kernel later declines for another reason, the XLA padded
+    path just carries a few extra masked rows."""
+    import jax
+    import jax.numpy as jnp
+    if jnp.dtype(cfg.dtype) != jnp.float32:
+        return 1
+    if cfg.use_pallas is False:
+        return 1
+    if getattr(cfg, "pole_coarsen", 0):
+        return 1           # reduced-grid operator is XLA-only
+    if cfg.use_pallas is True:
+        return 8
+    try:
+        return 8 if jax.default_backend() == "tpu" else 1
+    except Exception:
+        return 1
+
+
+def pad_spec_for(cfg, py: int, px: int) -> PadSpec:
+    """The ONE pad layout for cfg's grid on a (py, px) mesh — all consumers
+    (parallel/sharded.py::mesh_pad_spec, io/checkpoint.py elastic resume)
+    must derive the layout through here so shapes agree."""
+    return compute_pad_spec(cfg.ny, cfg.nx, py, px,
+                            y_multiple=fused_y_multiple(cfg))

@@ -175,10 +175,12 @@ def _axis_shape(mesh) -> dict:
 def mesh_pad_spec(cfg, mesh):
     """PadSpec for running cfg's grid on this mesh (parallel/padding.py);
     None when the grid divides the mesh evenly (no padding machinery).
-    mesh: a Mesh or an {axis: size} dict (see _axis_shape)."""
-    from crdmodel_tpu.parallel.padding import compute_pad_spec
+    mesh: a Mesh or an {axis: size} dict (see _axis_shape). Configs on the
+    fused-kernel path get 8-row-aligned blocks (padding.py::pad_spec_for)
+    so the mirror-pad fused kernels can engage."""
+    from crdmodel_tpu.parallel.padding import pad_spec_for
     shape = _axis_shape(mesh)
-    spec = compute_pad_spec(cfg.ny, cfg.nx, shape[AXIS_Y], shape[AXIS_X])
+    spec = pad_spec_for(cfg, shape[AXIS_Y], shape[AXIS_X])
     return spec if spec.active else None
 
 
@@ -259,9 +261,15 @@ def sharded_params(problem: Problem, pad_spec=None):
     if padded and getattr(b, "ndim", 0) == 2:
         b = pad_spec.pad_rows(b)
     b_spec = P(AXIS_Y, None) if getattr(b, "ndim", 0) == 2 else P()
-    interior = np.ones((ny_arr, 1), dtype=bool)
+    interior = np.ones((cfg.ny, 1), dtype=bool)
     interior[0, 0] = False
-    interior[cfg.ny - 1, 0] = False   # last PHYSICAL row, not last array row
+    interior[-1, 0] = False
+    if padded:
+        # wrap-fill like every other row parameter: pad rows carry their
+        # mirror source's value, so the fused kernels' mirror-pad cells
+        # freeze exactly when their physical sources do (the XLA path
+        # masks pad RHS entirely, so the fill is inert there)
+        interior = np.asarray(pad_spec.pad_rows(interior))
     params = {"coeffs": coeffs, "b": b, "interior": jnp.asarray(interior)}
     specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
     if dxy is not None:
@@ -320,8 +328,9 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
                            interpret: bool = False, pad_spec=None):
     """The fused multi-stage shard kernel (ops/pallas_shard_step.py) when the
     configuration supports it, else None (XLA per-stage path). Padded
-    (uneven) grids always take the XLA path: the fused kernels' deep-halo
-    splice transport assumes the array wrap IS the physical wrap."""
+    (uneven) grids run the kernel in MIRROR-pad mode (pad cells evolve as
+    live copies of their wrapped sources; ops/kernel_common.py::
+    make_shard_halo_helpers)."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
     if problem.diffusion_field is not None and (
@@ -338,21 +347,20 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA single-device only
-    if pad_spec is not None and pad_spec.active:
-        return None
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_step
     tableau = TABLEAUS[cfg.method]
-    nyl, nxl = _local_block_shape(cfg, mesh)
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
     dtype = jnp.dtype(cfg.dtype)
     if not pallas_shard_step.is_shard_supported(problem, tableau, dtype,
                                                 nyl, nxl):
         return None
     return pallas_shard_step.build_fused_shard_step(
-        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+        problem, tableau, nyl, nxl, dtype, interpret=interpret,
+        pad_spec=pad_spec)
 
 
 def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
@@ -487,19 +495,18 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA single-device only
-    if pad_spec is not None and pad_spec.active:
-        return None   # see maybe_fused_shard_step
     if cfg.method != "rkc2":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_rkc
-    nyl, nxl = _local_block_shape(cfg, mesh)
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
     dtype = jnp.dtype(cfg.dtype)
     if not pallas_shard_rkc.is_shard_rkc_supported(problem, dtype, nyl, nxl):
         return None
     return pallas_shard_rkc.build_fused_shard_rkc(
-        problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret)
+        problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret,
+        pad_spec=pad_spec)
 
 
 def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
@@ -521,20 +528,19 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA single-device only
-    if pad_spec is not None and pad_spec.active:
-        return None   # see maybe_fused_shard_step
     if cfg.method != "ark324":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_imex
-    nyl, nxl = _local_block_shape(cfg, mesh)
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
     dtype = jnp.dtype(cfg.dtype)
     if not pallas_shard_imex.is_shard_imex_supported(problem, dtype,
                                                      nyl, nxl):
         return None
     return pallas_shard_imex.build_fused_shard_imex(
-        problem, nyl, nxl, dtype, interpret=interpret)
+        problem, nyl, nxl, dtype, interpret=interpret,
+        pad_spec=pad_spec)
 
 
 def _make_reduce(params):
@@ -546,7 +552,11 @@ def _make_reduce(params):
     valid = params.get("valid") if params is not None else None
 
     def reduce_fn(x):
-        if valid is not None and getattr(x, "ndim", 0) >= 2:
+        if valid is not None and getattr(x, "ndim", 0) >= 2 \
+                and x.shape[-2:] == valid.shape[-2:]:
+            # cell-shaped full-field norms (initial step-size heuristic);
+            # the fused kernels' (n_strips, 1) partial sums are already
+            # masked in-kernel and pass through
             x = jnp.where(valid, x, 0.0)
         return lax.psum(jnp.sum(x), (AXIS_Y, AXIS_X))
 
@@ -1029,6 +1039,13 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
         br_t = jnp.asarray(ck.get("br_t", ck["t"]), dtype)
         br_y = (jnp.asarray(ck["br_y"], dtype) if ck.get("br_y") is not None
                 else y)
+        if pad_spec is not None:
+            # re-derive pad cells from the physical field: the XLA padded
+            # path carries frozen pads, the fused mirror-pad kernels carry
+            # live wrapped copies — a checkpoint may hold either, and the
+            # wrap-fill is the one layout both paths accept as-is
+            y = pad_spec.pad_field(pad_spec.unpad_field(y))
+            br_y = pad_spec.pad_field(pad_spec.unpad_field(br_y))
         acc = {k: np.array(ck["stats"][k], dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = []

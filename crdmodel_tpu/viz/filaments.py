@@ -114,7 +114,26 @@ class Filament:
 
     @property
     def centroid(self):
+        """Plain arithmetic mean — seam-naive: for a cluster straddling
+        a periodic wrap it lands mid-domain. Frame-to-frame linking uses
+        periodic_centroid instead (ADVICE r3)."""
         return self.points.mean(axis=0)
+
+    def periodic_centroid(self, shape, periodic=(True, True, True)):
+        """Seam-robust centroid: on wrap axes, the circular mean (angle
+        of the mean phasor), which stays on the filament when the cluster
+        straddles the periodic seam."""
+        c = np.empty(3)
+        for ax in range(3):
+            x = self.points[:, ax]
+            n = float(shape[ax])
+            if periodic[ax] and len(x):
+                ang = x * (2.0 * np.pi / n)
+                m = np.arctan2(np.mean(np.sin(ang)), np.mean(np.cos(ang)))
+                c[ax] = (m * n / (2.0 * np.pi)) % n
+            else:
+                c[ax] = x.mean()
+        return c
 
 
 def _mst_length(points, shape, periodic):
@@ -220,7 +239,8 @@ def track_filaments(framesets, shape, periodic=(True, True, True),
     tracks = []
     open_tracks = []
     for k, fils in enumerate(framesets):
-        cents = (np.asarray([f.centroid for f in fils])
+        cents = (np.asarray([f.periodic_centroid(shape, periodic)
+                             for f in fils])
                  if fils else np.zeros((0, 3)))
         used = np.zeros(len(fils), dtype=bool)
         still_open = []

@@ -164,3 +164,163 @@ def test_uneven_sweep_on_mesh():
         np.testing.assert_allclose(np.asarray(swept.trajectories[i]),
                                    np.asarray(r1.trajectory),
                                    rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Mirror-pad fused shard kernels (VERDICT r3 #1): on padded grids the fused
+# kernels run pad cells as LIVE bitwise copies of their wrapped physical
+# sources (the n-periodic extension), so the deep-halo splice transport only
+# needs two repaired strips per axis (parallel/halo.py::mirror_edges) and the
+# error sums are masked to physical cells in-kernel. These pin the fused
+# padded path against the XLA padded path on the same mesh (f32, Pallas
+# interpreter) and the mirror invariant itself.
+# ---------------------------------------------------------------------------
+
+def _ext(u, n_pad, axis):
+    n = u.shape[axis]
+    reps = -(-n_pad // n)
+    t = np.concatenate([u] * reps, axis=axis)
+    sl = [slice(None)] * u.ndim
+    sl[axis] = slice(0, n_pad)
+    return t[tuple(sl)]
+
+
+@pytest.mark.parametrize("n,size,blk,p", [
+    (39, 4, 16, 8), (13, 2, 8, 8), (5, 8, 8, 8), (39, 1, 40, 8),
+    (9, 4, 8, 8),
+])
+def test_mirror_halo_rows_matches_periodic_extension(n, size, blk, p):
+    """mirror_halo_pad_rows must reproduce the n-periodic extension's halos
+    for every shard — including pure-pad shards and w >= n."""
+    from crdmodel_tpu.parallel.halo import mirror_halo_pad_rows
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal((2, n, 7))
+    up = _ext(u, size * blk, 1)
+    mesh = make_mesh(shape=(size, 1))
+    out = np.asarray(jax.jit(jax.shard_map(
+        lambda x: mirror_halo_pad_rows(x, AXIS_Y, p, n, blk)[None],
+        mesh=mesh, in_specs=P(None, AXIS_Y, None),
+        out_specs=P(None, None, AXIS_Y, None)))(jnp.asarray(up)))[0]
+    for s in range(size):
+        blkv = out[:, s * (blk + 2 * p):(s + 1) * (blk + 2 * p), :]
+        g0 = s * blk - p
+        want = np.stack([u[:, (g0 + i) % n, :] for i in range(blk + 2 * p)],
+                        axis=1)
+        np.testing.assert_array_equal(blkv, want, err_msg=f"shard {s}")
+
+
+def test_mirror_halo_cols_matches_periodic_extension():
+    from crdmodel_tpu.parallel.halo import mirror_halo_pad_cols
+    n, size, blk, p = 13, 2, 8, 8
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal((2, 5, n))
+    up = _ext(u, size * blk, 2)
+    mesh = make_mesh(shape=(1, size))
+    out = np.asarray(jax.jit(jax.shard_map(
+        lambda x: mirror_halo_pad_cols(x, AXIS_X, p, n, blk)[None],
+        mesh=mesh, in_specs=P(None, None, AXIS_X),
+        out_specs=P(None, None, None, AXIS_X)))(jnp.asarray(up)))[0]
+    for s in range(size):
+        blkv = out[:, :, s * (blk + 2 * p):(s + 1) * (blk + 2 * p)]
+        g0 = s * blk - p
+        want = np.stack([u[:, :, (g0 + i) % n] for i in range(blk + 2 * p)],
+                        axis=2)
+        np.testing.assert_array_equal(blkv, want, err_msg=f"shard {s}")
+
+
+# 51x17 torus on a 2x2 mesh: fused pads y 51->64 (blk 32), x 17->18 (blk 9)
+FUSED_UNEVEN = dict(model="fhn", surface="torus", x_mesh=17, surface_width=20,
+                    surface_length=60, beta=1.25, t_final=1.0,
+                    output_timestep=2, dtype="float32", rtol=1e-4, atol=1e-6,
+                    use_pallas=True)
+
+
+def _run_fused_padded(cfg, mesh_shape):
+    """(physical trajectory, padded trajectory, stats, pad_spec); asserts
+    the fused kernel was actually selected."""
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_step,
+        maybe_fused_shard_imex, mesh_pad_spec)
+    from crdmodel_tpu.core.problem import build_problem
+    mesh = make_mesh(shape=mesh_shape)
+    problem = build_problem(cfg)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    assert pad_spec is not None and pad_spec.active
+    if cfg.method == "ark324":
+        sel = maybe_fused_shard_imex(problem, mesh, interpret=True,
+                                     pad_spec=pad_spec)
+    elif cfg.method != "rkc2":
+        sel = maybe_fused_shard_step(problem, mesh, interpret=True,
+                                     pad_spec=pad_spec)
+    else:
+        sel = object()   # rkc selection needs rho_fn; checked via steps
+    assert sel is not None, "fused kernel not selected on the padded grid"
+    from crdmodel_tpu.parallel.sharded import sharded_params
+    params, _ = sharded_params(problem, pad_spec)
+    run, _ = make_sharded_simulation_fn(problem, mesh, interpret_pallas=True)
+    traj_p, stats = run(pad_spec.pad_field(problem.y0), params)
+    return (np.asarray(pad_spec.unpad_field(traj_p)), np.asarray(traj_p),
+            stats, pad_spec)
+
+
+def _run_xla_padded(cfg, mesh_shape):
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    r = simulate_sharded(cfg_x, mesh=make_mesh(shape=mesh_shape))
+    assert r.ok
+    return np.asarray(r.trajectory)[1:], r.stats   # drop the IC row
+
+
+@pytest.mark.parametrize("name,changes", [
+    ("bs32", {}),
+    ("ramp+freeze", {"vary_beta": 1, "beta_min": 0.7, "beta_max": 1.7,
+                     "t_boundary": 0.4}),
+    ("ark324", {"method": "ark324"}),
+    ("normal-mode", {"step_mode": "normal"}),
+])
+def test_fused_padded_matches_xla_padded(name, changes):
+    cfg = dataclasses.replace(SimConfig(**FUSED_UNEVEN), **changes)
+    tf, tfp, sf, spec = _run_fused_padded(cfg, (2, 2))
+    tx, sx = _run_xla_padded(cfg, (2, 2))
+    assert int(np.max(np.asarray(sf.status))) == 0
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(sx.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+
+def test_fused_padded_rkc2_matches_xla_padded():
+    # rkc2's 24-deep halo needs blocks >= 24: 102x51 on (2, 2)
+    cfg = dataclasses.replace(SimConfig(**FUSED_UNEVEN), method="rkc2",
+                              x_mesh=51, surface_length=40)
+    tf, tfp, sf, spec = _run_fused_padded(cfg, (2, 2))
+    tx, sx = _run_xla_padded(cfg, (2, 2))
+    assert int(np.max(np.asarray(sf.status))) == 0
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(sx.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+
+def test_fused_padded_mirror_invariant():
+    """Pad cells must remain BITWISE copies of their wrapped physical
+    sources at every output time — the property the whole transport design
+    rests on (ops/kernel_common.py::make_shard_halo_helpers docstring)."""
+    cfg = SimConfig(**FUSED_UNEVEN)
+    tf, tfp, sf, spec = _run_fused_padded(cfg, (2, 2))
+    ny, nx = cfg.ny, cfg.nx
+    nyp, nxp = spec.padded_shape
+    want = _ext(_ext(tf, nyp, -2), nxp, -1)
+    np.testing.assert_array_equal(tfp, want)
+
+
+def test_fused_padded_39x13_on_8_devices():
+    """The dryrun's canonical uneven case (39x13) on all 8 devices: an
+    (8, 1) mesh gives 8-row blocks (y 39->64 mirror-padded), x unsharded."""
+    cfg = dataclasses.replace(SimConfig(**FUSED_UNEVEN), x_mesh=13,
+                              surface_length=60, t_final=0.5,
+                              output_timestep=1)
+    assert (cfg.ny, cfg.nx) == (39, 13)
+    tf, tfp, sf, spec = _run_fused_padded(cfg, (8, 1))
+    assert spec.padded_shape == (64, 13)
+    tx, sx = _run_xla_padded(cfg, (8, 1))
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(sx.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
