@@ -233,9 +233,11 @@ class FilamentTrack:
 def track_filaments(framesets, shape, periodic=(True, True, True),
                     max_jump=None):
     """Greedy nearest-centroid frame-to-frame linking (the link_tips
-    pattern); max_jump defaults to 1/4 of the smallest grid extent."""
+    pattern); max_jump defaults to 1/4 of the smallest IN-PLANE extent
+    (ny, nx) — filaments drift in-plane, and keying the default on a thin
+    slab's z extent would break tracks at ordinary drift speeds."""
     if max_jump is None:
-        max_jump = min(shape) / 4.0
+        max_jump = min(shape[-2:]) / 4.0
     tracks = []
     open_tracks = []
     for k, fils in enumerate(framesets):

@@ -39,8 +39,12 @@ def vortex_uv(nz, ny, nx, centers, axis="z"):
 def test_single_straight_filament():
     nz, ny, nx = 8, 32, 32
     u, v = vortex_uv(nz, ny, nx, [(15.2, 16.7, 1)])
+    # the analytic single-vortex phase field has NET winding +1, which is
+    # topologically impossible on a periodic domain — declaring y/x
+    # periodic would (correctly) detect the compensating seam winding as a
+    # second filament. The field is non-periodic; say so.
     fils = fil.find_filaments(u, v, origin=(0.0, 0.0),
-                              periodic=(False, True, True))
+                              periodic=(False, False, False))
     assert len(fils) == 1
     f = fils[0]
     assert len(f) == nz                      # one piercing per z-plane
@@ -89,10 +93,12 @@ def test_tracking_follows_drifting_filament():
     frames = []
     for k in range(5):
         u, v = vortex_uv(nz, ny, nx, [(12.0 + k, 10.0 + 2 * k, 1)])
+        # non-periodic axes: single net winding (see
+        # test_single_straight_filament)
         frames.append(fil.find_filaments(u, v, origin=(0.0, 0.0),
-                                         periodic=(False, True, True)))
+                                         periodic=(False, False, False)))
     tracks = fil.track_filaments(frames, (nz, ny, nx),
-                                 periodic=(False, True, True))
+                                 periodic=(False, False, False))
     assert len(tracks) == 1
     t = tracks[0]
     assert t.lifetime == 5
