@@ -161,7 +161,8 @@ def cmd_run(args):
         source = volume_slice(res) if cfg.surface == "box" else res
         out = plot_movie(source, cfg, args.outdir)
         print(f"   wrote {len(out['frames'])} frames"
-              + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+              + (f" and {out['movie']}" if out["movie"]
+                 else " (no movie encoder)"))
     if args.map_torus and cfg.surface == "box":
         # the 3-D analogue of the step-vtp pipeline: a .vti volume per
         # snapshot + ParaView collection (viz/volume.py)
@@ -224,7 +225,8 @@ def cmd_plot(args):
     cfg = _cfg_from_args(args)
     out = plot_movie(args.dir, cfg, args.dir)
     print(f"wrote {len(out['frames'])} frames"
-          + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+          + (f" and {out['movie']}" if out["movie"]
+             else " (no movie encoder)"))
     return 0
 
 

@@ -103,6 +103,38 @@ def frames_to_mp4(frame_pattern: str, out_path: str, fps: int = 6) -> bool:
     return subprocess.run(cmd, capture_output=True).returncode == 0
 
 
+def frames_to_gif(frame_paths: Sequence[str], out_path: str,
+                  fps: int = 6) -> bool:
+    """PNG sequence -> animated GIF via Pillow — the ffmpeg-free fallback
+    so the reference pipeline's movie leg (plot_FHNmodel_torus.py:134-144)
+    always ends in a playable artifact. Returns False when Pillow is
+    absent or no frames exist."""
+    if not frame_paths:
+        return False
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+              for p in frame_paths]
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=max(1, round(1000 / fps)), loop=0)
+    return True
+
+
+def frames_to_movie(frame_pattern: str, frame_paths: Sequence[str],
+                    out_base: str, fps: int = 6):
+    """Encode the movie leg: MP4 when ffmpeg exists, else animated GIF.
+    Returns the artifact path or None."""
+    mp4 = out_base + ".mp4"
+    if frames_to_mp4(frame_pattern, mp4, fps):
+        return mp4
+    gif = out_base + ".gif"
+    if frames_to_gif(frame_paths, gif, fps):
+        return gif
+    return None
+
+
 def plot_movie(source, cfg, outdir: str = ".", var: int = 0) -> dict:
     """End-to-end P1-P4 equivalent.
 
@@ -120,6 +152,7 @@ def plot_movie(source, cfg, outdir: str = ".", var: int = 0) -> dict:
         field = source.field(var)
     prefix = default_frame_prefix(cfg)
     frames = render_frames(field, cfg, outdir, frame_prefix=prefix)
-    mp4 = os.path.join(outdir, prefix.rstrip(".") + ".mp4")
-    ok = frames_to_mp4(os.path.join(outdir, "png", prefix + "%03d.png"), mp4)
-    return {"frames": frames, "mp4": mp4 if ok else None}
+    movie = frames_to_movie(os.path.join(outdir, "png", prefix + "%03d.png"),
+                            frames, os.path.join(outdir, prefix.rstrip(".")))
+    return {"frames": frames, "movie": movie,
+            "mp4": movie if (movie or "").endswith(".mp4") else None}

@@ -76,7 +76,7 @@ def main(outdir: str = "bounded_out"):
     os.makedirs(outdir, exist_ok=True)
     out = plot_movie(res, cfg, outdir)
     print(f"{len(out['frames'])} frames in {outdir}/png/"
-          + (f", movie {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+          + (f", movie {out['movie']}" if out["movie"] else " (no movie encoder)"))
 
 
 if __name__ == "__main__":

@@ -70,7 +70,7 @@ def main(outdir: str = "scroll_out"):
     print(f"wrote {pvd}")
     out = plot_movie(volume_slice(res), cfg, outdir)
     print(f"wrote {len(out['frames'])} mid-depth frames"
-          + (f" and {out['mp4']}" if out["mp4"] else " (no ffmpeg)"))
+          + (f" and {out['movie']}" if out["movie"] else " (no movie encoder)"))
 
 
 if __name__ == "__main__":

@@ -79,6 +79,28 @@ def test_plot_movie_frames(tmp_path):
     out = plot_movie(res, cfg, str(tmp_path))
     assert len(out["frames"]) == 3  # IC + 2 outputs
     assert all(os.path.exists(f) for f in out["frames"])
+    # the pipeline must end in a playable movie even without ffmpeg
+    # (VERDICT r3 #6): animated GIF via the Pillow fallback in this image
+    assert out["movie"] is not None and os.path.exists(out["movie"])
+    assert os.path.getsize(out["movie"]) > 1000
+    if out["movie"].endswith(".gif"):
+        with open(out["movie"], "rb") as fh:
+            assert fh.read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_frames_to_gif_roundtrip(tmp_path):
+    from crdmodel_tpu.viz.plots import frames_to_gif
+    from PIL import Image
+    paths = []
+    for k in range(4):
+        im = Image.new("RGB", (32, 24), (k * 60, 10, 200 - k * 50))
+        pth = str(tmp_path / f"f{k:03d}.png")
+        im.save(pth)
+        paths.append(pth)
+    gif = str(tmp_path / "out.gif")
+    assert frames_to_gif(paths, gif, fps=5)
+    back = Image.open(gif)
+    assert getattr(back, "n_frames", 1) == 4
 
 
 def test_map_output_to_torus(tmp_path):
