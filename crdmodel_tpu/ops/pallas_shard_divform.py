@@ -42,8 +42,13 @@ closed edge is multiplied by zero — identical to the XLA sharded path
 
 float32 only; the freeze / runtime-beta ("_fused_b") / diffusion-rescale
 ("dscale", an SMEM runtime scalar exactly like the single-chip divform
-kernel) contracts match ops/pallas_divform.py. Padded (uneven) grids take
-the XLA path (parallel/sharded.py::maybe_fused_shard_divform).
+kernel) contracts match ops/pallas_divform.py. Padded (uneven) grids run
+MIRROR-pad semantics exactly like the profile shard kernels
+(ops/kernel_common.py::make_shard_halo_helpers docstring): the
+coefficient stack's halo follows the n-periodic extension
+(parallel/halo.py::mirror_halo_pad), the aS roll-recovery identity is
+preserved by the extension, and the error sums are masked to physical
+cells via the runtime vrow/cmask inputs.
 """
 
 from __future__ import annotations
@@ -61,7 +66,9 @@ from crdmodel_tpu.ops.kernel_common import (
 from crdmodel_tpu.ops.pallas_divform import _face_coeffs64
 from crdmodel_tpu.ops.pallas_shard_step import VMEM_BUDGET, FusedShardStep
 from crdmodel_tpu.ops.pallas_step import HALO, _pick_strip
-from crdmodel_tpu.parallel.halo import halo_pad, halo_pad_rows
+from crdmodel_tpu.parallel.halo import (halo_pad, halo_pad_rows,
+                                        mirror_halo_pad,
+                                        mirror_halo_pad_rows)
 from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 
@@ -108,7 +115,8 @@ def is_shard_divform_supported(problem, tableau: Tableau, dtype,
 def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
                               dtype=jnp.float32, interpret: bool = False,
                               axis_y: str = AXIS_Y,
-                              axis_x: str = AXIS_X) -> FusedShardStep:
+                              axis_x: str = AXIS_X,
+                              pad_spec=None) -> FusedShardStep:
     """Build the fused divergence-form step for (nyl, nxl) local blocks.
 
     step_err and prepare_params must run INSIDE shard_map over
@@ -147,7 +155,15 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     # 3-profile one — superseded by the divform version below)
     pad, unpad, splice_inputs, _ = make_shard_halo_helpers(
         "flat", nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
-        axis_y, axis_x)
+        axis_y, axis_x, pad_spec=pad_spec)
+    padded = pad_spec is not None and pad_spec.active
+    pady = padded and pad_spec.y.active
+
+    def _halo_rows(arr2d):
+        if not pady:
+            return halo_pad_rows(arr2d, axis_y, P)
+        return mirror_halo_pad_rows(arr2d, axis_y, P,
+                                    pad_spec.y.n, pad_spec.y.blk)
 
     def prepare_params(params):
         out = dict(params)
@@ -158,27 +174,37 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         # ONE two-phase deep-halo exchange for the whole coefficient stack
         # (corners carry true diagonal values — interior stage rings read
         # them); lane fill keeps the padded width at nxp with zeros, whose
-        # flux contribution is zero by construction
-        stack = halo_pad(jnp.stack(fields), axis_y, axis_x, p=P)
+        # flux contribution is zero by construction. Padded grids: the
+        # coefficient fields are wrap-filled, so their mirror-extension
+        # halo is exactly mirror_halo_pad.
+        stacked = jnp.stack(fields)
+        stack = (mirror_halo_pad(stacked, axis_y, axis_x, P, pad_spec)
+                 if padded else halo_pad(stacked, axis_y, axis_x, p=P))
         if fill:
             stack = jnp.pad(stack, ((0, 0), (0, 0), (0, fill)))
         out["_divform_coeffs"] = stack
         b = params["b"]
         if b_is_field:
-            out["_fused_b"] = halo_pad_rows(
-                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_b"] = _halo_rows(
+                jnp.asarray(b, dtype).reshape(nyl, 1))
         else:
             out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
         if has_freeze:
-            out["_fused_live"] = halo_pad_rows(
-                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_live"] = _halo_rows(
+                params["interior"].astype(dtype).reshape(nyl, 1))
+        if padded:
+            valid = params["valid"].astype(dtype)
+            out["_fused_vrow"] = jnp.max(valid, axis=1, keepdims=True)
+            cmask = jnp.zeros((1, nxp), dtype)
+            out["_fused_cmask"] = cmask.at[0, P:P + nxl].set(
+                jnp.max(valid, axis=0))
         return out
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
-    def kernel(h_ref, fz_ref, ds_ref, b_ref, m_ref, cm_ref,
+    def kernel(h_ref, fz_ref, ds_ref, b_ref, m_ref, cm_ref, vr_ref,
                y_hbm, c_hbm, w_ref, e_ref, lo_ref, hi_ref,
                ynew_ref, ss_ref, yv, sems, cv, csems):
         i = pl.program_id(0)
@@ -258,7 +284,8 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
 
         yc = y0[:, P:P + S, :]
         w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
-        scaled = err[:, P:P + S, :] * w
+        # vr masks pad rows out of the error sum (mirror-pad grids)
+        scaled = err[:, P:P + S, :] * w * vr_ref[:, :]
         ss_ref[i, 0] = jnp.sum(scaled * scaled)
 
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -275,6 +302,8 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # valid-row error mask
             pl.BlockSpec(memory_space=pltpu.HBM),   # state stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),   # halo-padded coeffs
             pl.BlockSpec((nvars, nyl + 2 * P, P), lambda i: (0, 0, 0),
@@ -311,6 +340,7 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     )
 
     one = jnp.ones((1, 1), dtype)
+    ones_rows = jnp.ones((nyl, 1), dtype)
 
     def step_err(t, yp, h, params):
         del t  # stage times only matter through the per-segment freeze flag
@@ -321,8 +351,10 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         ds_s = one
         if isinstance(params, dict) and "dscale" in params:
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        cm = params.get("_fused_cmask", col_mask)
+        vr = params.get("_fused_vrow", ones_rows)
         ynew, ss = call(h_s, fz_s, ds_s, params["_fused_b"],
-                        params.get("_fused_live", one), col_mask,
+                        params.get("_fused_live", one), cm, vr,
                         yp, params["_divform_coeffs"],
                         w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss

@@ -212,6 +212,22 @@ def mirror_halo_pad_cols(u, axis_x: str, p: int, n: int, blk: int):
     return jnp.concatenate([lo, u, hi], axis=-1)
 
 
+def mirror_halo_pad(u, axis_y: str, axis_x: str, p: int, pad_spec):
+    """Two-phase halo_pad for the mirror extension on a padded grid: rows
+    first (mirror-corrected when y is padded), then columns of the
+    row-padded block (mirror-corrected when x is padded) — the column
+    legs carry the source shards' already-fixed row halos, so corners
+    hold true diagonal extension values like the plain two-phase."""
+    if pad_spec.y.active:
+        up = mirror_halo_pad_rows(u, axis_y, p, pad_spec.y.n, pad_spec.y.blk)
+    else:
+        up = halo_pad_rows(u, axis_y, p)
+    if pad_spec.x.active:
+        return mirror_halo_pad_cols(up, axis_x, p,
+                                    pad_spec.x.n, pad_spec.x.blk)
+    return halo_pad_cols(up, axis_x, p)
+
+
 def halo_pad_rows(u, axis_y: str = AXIS_Y, p: int = 1):
     """Row-only (y) halo pad: (..., nyl, w) -> (..., nyl+2p, w)."""
     south_halo = _shift_from_prev(u[..., -p:, :], axis_y)

@@ -424,21 +424,20 @@ def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
         return None   # the profile/aniso kernels' territory
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
-    if pad_spec is not None and pad_spec.active:
-        return None   # see maybe_fused_shard_step
     if cfg.method not in TABLEAUS:
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
         return None
     from crdmodel_tpu.ops import pallas_shard_divform
     tableau = TABLEAUS[cfg.method]
-    nyl, nxl = _local_block_shape(cfg, mesh)
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
     dtype = jnp.dtype(cfg.dtype)
     if not pallas_shard_divform.is_shard_divform_supported(
             problem, tableau, dtype, nyl, nxl):
         return None
     return pallas_shard_divform.build_fused_shard_divform(
-        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+        problem, tableau, nyl, nxl, dtype, interpret=interpret,
+        pad_spec=pad_spec)
 
 
 def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,

@@ -324,3 +324,51 @@ def test_fused_padded_39x13_on_8_devices():
     assert (int(np.sum(np.asarray(sf.steps)))
             == int(np.sum(np.asarray(sx.steps))))
     np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", ["noflux", "obstacle", "field2d"])
+def test_fused_padded_divform_matches_xla(case):
+    """Mirror-pad + the divergence-form shard kernel: bounded tissue and
+    2-D diffusion fields on uneven grids (the coefficient stack's halo is
+    the mirror extension; closed faces multiply whatever arrives by 0)."""
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_divform,
+        mesh_pad_spec, sharded_params)
+    cfg = dataclasses.replace(SimConfig(**FUSED_UNEVEN), surface="flat",
+                              surface_width=20.0, surface_length=60.0)
+    build_kw = {}
+    if case == "noflux":
+        cfg = dataclasses.replace(cfg, boundary="noflux")
+    elif case == "obstacle":
+        mask = np.ones((cfg.ny, cfg.nx), bool)
+        mask[20:30, 5:12] = False
+        build_kw["obstacle_mask"] = mask
+    else:
+        rng = np.random.default_rng(11)
+        build_kw["diffusion_field"] = 0.1 + 0.05 * rng.random(
+            (cfg.ny, cfg.nx))
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, **build_kw)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    assert pad_spec is not None and pad_spec.active
+    assert maybe_fused_shard_divform(p_k, mesh, interpret=True,
+                                     pad_spec=pad_spec) is not None
+    params, _ = sharded_params(p_k, pad_spec)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(pad_spec.pad_field(p_k.y0), params)
+    tf = np.asarray(pad_spec.unpad_field(tf))
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, **build_kw)
+    r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+    assert r_x.ok
+    tx = np.asarray(r_x.trajectory)[1:]
+    assert np.all(np.asarray(sf.status) == 0)
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(r_x.stats.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+    if case == "obstacle":
+        # scar cells hold their IC bitwise through the mirror-pad kernel
+        ic = np.asarray(p_k.y0)[:, 20:30, 5:12]
+        np.testing.assert_array_equal(tf[-1][:, 20:30, 5:12], ic)
