@@ -107,7 +107,8 @@ class FusedShardBoxStep:
 def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                             dtype=jnp.float32, interpret: bool = False,
                             axis_y: str = AXIS_Y,
-                            axis_x: str = AXIS_X) -> FusedShardBoxStep:
+                            axis_x: str = AXIS_X,
+                            pad_spec=None) -> FusedShardBoxStep:
     """Build the fused 3-D step for (nz, nyl, nxl) local blocks; step_err
     and prepare_params must run INSIDE shard_map over (axis_y, axis_x)."""
     cfg = problem.cfg
@@ -153,6 +154,21 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         # faces themselves; the tissue ring then only zeroes kinetics.)
         profs64 = _box_profiles(problem)
         assert profs64 is not None
+        def _wrapfill(c, n_pad):
+            c = np.asarray(c, np.float64)
+            if len(c) >= n_pad:
+                return c
+            reps = -(-n_pad // len(c))
+            return np.concatenate([c] * reps)[:n_pad]
+        if pad_spec is not None and pad_spec.active:
+            # wrap-fill to the padded extents: the per-shard dynamic_slice
+            # stays in range and pad cells get their mirror sources' values
+            aE64, aW64, aN64, aS64, aU64, aD64 = profs64
+            profs64 = (_wrapfill(aE64, pad_spec.x.n_pad),
+                       _wrapfill(aW64, pad_spec.x.n_pad),
+                       _wrapfill(aN64, pad_spec.y.n_pad),
+                       _wrapfill(aS64, pad_spec.y.n_pad),
+                       aU64, aD64)
         _g_profs = tuple(jnp.asarray(np.asarray(c, np.float64))
                          for c in profs64)
 
@@ -174,7 +190,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
-               au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, lo_hbm, hi_hbm,
+               au_ref, ad_ref, b_ref, m_ref, cm_ref, vr_ref, y_hbm,
+               lo_hbm, hi_hbm,
                t_hbm, c_hbm, ynew_ref, ss_ref, y0v, sems, tv, tsems,
                cv, csems, *kv):
         i = pl.program_id(0)
@@ -394,7 +411,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
 
             yc = y0q[:, P:P + S, :]
             w = cm_ref[:, :] / (rtol * jnp.abs(yc) + atol)
-            scaled = err[:, P:P + S, :] * w
+            # vr masks pad rows out of the error sum (mirror-pad grids)
+            scaled = err[:, P:P + S, :] * w * vr_ref[:, :]
             val = jnp.sum(scaled * scaled)
             ss_ref[i, 0] = jnp.where(m == ns, val, ss_ref[i, 0] + val)
 
@@ -421,6 +439,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             vmem_const(b_shape),                     # beta
             vmem_const(m_shape),                     # interior mask
             vmem_const((1, nxp)),                    # error column mask
+            pl.BlockSpec((S, 1), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),   # valid-row error mask
             pl.BlockSpec(memory_space=pltpu.HBM),    # state
             pl.BlockSpec(memory_space=pltpu.HBM),    # lo row strips
             pl.BlockSpec(memory_space=pltpu.HBM),    # hi row strips
@@ -457,18 +477,53 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
 
     from crdmodel_tpu.parallel.halo import (_shift_from_next,
                                             _shift_from_prev,
-                                            halo_pad_cols, halo_pad_rows)
+                                            halo_pad_cols, halo_pad_rows,
+                                            mirror_edges,
+                                            mirror_halo_pad_cols,
+                                            mirror_halo_pad_rows)
+
+    pady = pad_spec is not None and pad_spec.y.active
+    padx = pad_spec is not None and pad_spec.x.active
+
+    def _hrows(u):
+        if not pady:
+            return halo_pad_rows(u, axis_y, P)
+        return mirror_halo_pad_rows(u, axis_y, P,
+                                    pad_spec.y.n, pad_spec.y.blk)
+
+    def _hcols(u):
+        if not padx:
+            return halo_pad_cols(u, axis_x, P)
+        return mirror_halo_pad_cols(u, axis_x, P,
+                                    pad_spec.x.n, pad_spec.x.blk)
 
     def splice(yp):
-        """Column splice + two-phase row strips (v3 transport, 3-D)."""
-        w_cols = _shift_from_prev(
+        """Column splice + two-phase row strips (v3 transport, 3-D);
+        mirror-corrected at the array wrap on padded axes
+        (parallel/halo.py::mirror_edges)."""
+        ring_w = _shift_from_prev(
             lax.slice_in_dim(yp, nxl, P + nxl, axis=3), axis_x)
-        e_cols = _shift_from_next(
+        ring_e = _shift_from_next(
             lax.slice_in_dim(yp, P, 2 * P, axis=3), axis_x)
+        if padx:
+            w_cols, e_cols = mirror_edges(
+                lambda lo, L: lax.slice_in_dim(yp, P + lo, P + lo + L,
+                                               axis=3),
+                ring_w, ring_e, axis_x, P,
+                pad_spec.x.n, pad_spec.x.blk, axis=-1)
+        else:
+            w_cols, e_cols = ring_w, ring_e
         yp = lax.dynamic_update_slice(yp, w_cols, (0, 0, 0, 0))
         yp = lax.dynamic_update_slice(yp, e_cols, (0, 0, 0, P + nxl))
-        lo_rows = _shift_from_prev(yp[:, :, nyl - P:, :], axis_y)
-        hi_rows = _shift_from_next(yp[:, :, :P, :], axis_y)
+        ring_lo = _shift_from_prev(yp[:, :, nyl - P:, :], axis_y)
+        ring_hi = _shift_from_next(yp[:, :, :P, :], axis_y)
+        if pady:
+            lo_rows, hi_rows = mirror_edges(
+                lambda lo, L: yp[:, :, lo:lo + L, :],
+                ring_lo, ring_hi, axis_y, P,
+                pad_spec.y.n, pad_spec.y.blk, axis=-2)
+        else:
+            lo_rows, hi_rows = ring_lo, ring_hi
         return yp, lo_rows, hi_rows
 
     def prepare_params(params):
@@ -481,10 +536,10 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         out = dict(params)
         if has_tissue:
             t = params["tissue"].astype(dtype)
-            t = halo_pad_cols(t, axis_x, P)
+            t = _hcols(t)
             if fill:
                 t = jnp.pad(t, ((0, 0), (0, 0), (0, fill)))
-            out["_fused_tissue"] = halo_pad_rows(t, axis_y, P)
+            out["_fused_tissue"] = _hrows(t)
         if has_field:
             # stream the masked local faces themselves: halo-pad the
             # (aE, aN, aU) stack once per dispatch (true neighbour
@@ -492,10 +547,10 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             # tissue mask); the profile inputs become stubs
             cs = params["coeffs"]
             c = jnp.stack([cs[0], cs[2], cs[4]]).astype(dtype)
-            c = halo_pad_cols(c, axis_x, P)
+            c = _hcols(c)
             if fill:
                 c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, fill)))
-            out["_fused_cfield"] = halo_pad_rows(c, axis_y, P)
+            out["_fused_cfield"] = _hrows(c)
             out["_fused_coeffs6"] = (
                 jnp.zeros((1, nxp), dtype), jnp.zeros((1, nxp), dtype),
                 jnp.zeros((nyl + 2 * P, 1), dtype),
@@ -516,7 +571,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             def lane_prof(c):
                 prof = jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1),
                                         (nxl,)).reshape(1, nxl)
-                prof = halo_pad_cols(prof, axis_x, P)
+                prof = _hcols(prof)
                 if fill:
                     prof = jnp.pad(prof, ((0, 0), (0, fill)))
                 return prof
@@ -524,7 +579,7 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             def row_prof(c):
                 prof = jnp.broadcast_to(
                     jnp.asarray(c, dtype).reshape(-1, 1), (nyl, 1))
-                return halo_pad_rows(prof, axis_y, P)
+                return _hrows(prof)
 
             def z_prof(c):
                 return jnp.broadcast_to(jnp.asarray(c, dtype).reshape(-1, 1),
@@ -535,16 +590,23 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                                      z_prof(aU), z_prof(aD))
         b = params["b"]
         if b_is_field:
-            out["_fused_b"] = halo_pad_rows(
-                jnp.asarray(b, dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_b"] = _hrows(
+                jnp.asarray(b, dtype).reshape(nyl, 1))
         else:
             out["_fused_b"] = jnp.reshape(jnp.asarray(b, dtype), (1, 1))
         if has_freeze:
-            out["_fused_live"] = halo_pad_rows(
-                params["interior"].astype(dtype).reshape(nyl, 1), axis_y, P)
+            out["_fused_live"] = _hrows(
+                params["interior"].astype(dtype).reshape(nyl, 1))
+        if pad_spec is not None and pad_spec.active:
+            valid = params["valid"].astype(dtype)
+            out["_fused_vrow"] = jnp.max(valid, axis=1, keepdims=True)
+            cmask = jnp.zeros((1, nxp), dtype)
+            out["_fused_cmask"] = cmask.at[0, P:P + nxl].set(
+                jnp.max(valid, axis=0))
         return out
 
     ones = jnp.ones((1, 1), dtype)
+    ones_rows = jnp.ones((nyl, 1), dtype)
     tis_stub = jnp.zeros((1, 1, 1), dtype)
     cf_stub = jnp.zeros((1, 1, 1, 1), dtype)
 
@@ -562,8 +624,10 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         ds_s = ones
         if isinstance(params, dict) and "dscale" in params:
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        cm = params.get("_fused_cmask", col_mask)
+        vr = params.get("_fused_vrow", ones_rows)
         ynew, ss = call(h_s, fz_s, ds_s, ae, aw, an, as_, au, ad,
-                        b, mlive, col_mask, yp, lo_rows, hi_rows, t_in,
+                        b, mlive, cm, vr, yp, lo_rows, hi_rows, t_in,
                         c_in)
         return ynew, ss
 

@@ -290,6 +290,35 @@ def sharded_params(problem: Problem, pad_spec=None):
     if padded:
         params["valid"] = jnp.asarray(pad_spec.valid_mask())
         specs["valid"] = P(AXIS_Y, AXIS_X)
+    frc = getattr(problem, "forcing", None)
+    from crdmodel_tpu.core.forcing import SeparableForcing
+    if isinstance(frc, SeparableForcing):
+        # register the stimulation profiles as sharded params so the
+        # forcing sees LOCAL slices under shard_map (core/forcing.py
+        # docstring); wrap-pad like every other spatial param so the
+        # mirror-pad fused kernels see their sources' values at pad cells
+        for i, st in enumerate(frc.stimuli):
+            if st.spatial is not None:
+                arr = np.broadcast_to(np.asarray(st.spatial, np.float64),
+                                      (cfg.ny, cfg.nx))
+                a = jnp.asarray(arr, dtype)
+                if padded:
+                    a = pad_spec.pad_rows(pad_spec.pad_cols(a))
+                params[f"_stim_{i}"] = a
+                specs[f"_stim_{i}"] = P(AXIS_Y, AXIS_X)
+            else:
+                r_ = (np.ones((cfg.ny, 1)) if st.row is None
+                      else np.asarray(st.row, np.float64).reshape(-1, 1))
+                c_ = (np.ones((1, cfg.nx)) if st.col is None
+                      else np.asarray(st.col, np.float64).reshape(1, -1))
+                rj, cj = jnp.asarray(r_, dtype), jnp.asarray(c_, dtype)
+                if padded:
+                    rj = pad_spec.pad_rows(rj)
+                    cj = pad_spec.pad_cols(cj)
+                params[f"_stim_row_{i}"] = rj
+                specs[f"_stim_row_{i}"] = P(AXIS_Y, None)
+                params[f"_stim_col_{i}"] = cj
+                specs[f"_stim_col_{i}"] = P(None, AXIS_X)
     return params, specs
 
 
@@ -343,8 +372,9 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
                       # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
-    if problem.forcing is not None:
-        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None   # only structured separable forcing runs in-kernel
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA single-device only
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
@@ -376,8 +406,6 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
         return None   # 19-point anisotropic operator: XLA path only
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
-    if pad_spec is not None and pad_spec.active:
-        return None   # see maybe_fused_shard_step
     if cfg.method not in TABLEAUS:
         return None
     # selection policy: like _shard_kernel_eligible but sized on the
@@ -400,13 +428,14 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
             return None
     from crdmodel_tpu.ops import pallas_shard_box3d
     tableau = TABLEAUS[cfg.method]
-    nyl, nxl = _local_block_shape(cfg, mesh)
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
     dtype = jnp.dtype(cfg.dtype)
     if not pallas_shard_box3d.is_shard_box3d_supported(problem, tableau,
                                                        dtype, nyl, nxl):
         return None
     return pallas_shard_box3d.build_fused_shard_box3d(
-        problem, tableau, nyl, nxl, dtype, interpret=interpret)
+        problem, tableau, nyl, nxl, dtype, interpret=interpret,
+        pad_spec=pad_spec)
 
 
 def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
@@ -452,8 +481,6 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
             return None   # 19-point anisotropic operator: XLA path only
         if problem.forcing is not None:
             return None
-        if pad_spec is not None and pad_spec.active:
-            return None
         if cfg.method != "rkc2":
             return None
         if interpret:
@@ -473,13 +500,14 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
             except Exception:
                 return None
         from crdmodel_tpu.ops import pallas_shard_box3d_rkc
-        nyl, nxl = _local_block_shape(cfg, mesh)
+        nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
         dtype = jnp.dtype(cfg.dtype)
         if not pallas_shard_box3d_rkc.is_shard_box3d_rkc_supported(
                 problem, dtype, nyl, nxl):
             return None
         return pallas_shard_box3d_rkc.build_fused_shard_box3d_rkc(
-            problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret)
+            problem, nyl, nxl, dtype, rho_fn=rho_fn, interpret=interpret,
+            pad_spec=pad_spec)
     if problem.diffusion_field is not None and (
             problem.geometry.kind not in ("torus", "revolution")
             or np.ndim(problem.diffusion_field) > 1):

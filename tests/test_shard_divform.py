@@ -171,13 +171,15 @@ def test_streaming_interval_path():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(tf)[0])
 
 
-def test_uneven_grid_declines_to_xla():
-    """Pad-and-mask grids keep the XLA divergence path (the splice
-    transport assumes the array wrap is the physical wrap)."""
+def test_uneven_grid_keeps_fused_path():
+    """Round 4: pad-and-mask grids KEEP the fused divergence path via
+    mirror padding (pad cells as live wrapped copies; kernel_common.
+    make_shard_halo_helpers docstring). Equivalence is pinned in
+    tests/test_uneven.py::test_fused_padded_divform_matches_xla."""
     cfg = flat_cfg(boundary="noflux", x_mesh=50)   # 50 % 4 != 0
     mesh = make_mesh(shape=(2, 4))
     p = build_problem(cfg)
     pad_spec = mesh_pad_spec(cfg, mesh)
     assert pad_spec is not None
     assert maybe_fused_shard_divform(p, mesh, interpret=True,
-                                     pad_spec=pad_spec) is None
+                                     pad_spec=pad_spec) is not None

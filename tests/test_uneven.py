@@ -372,3 +372,39 @@ def test_fused_padded_divform_matches_xla(case):
         # scar cells hold their IC bitwise through the mirror-pad kernel
         ic = np.asarray(p_k.y0)[:, 20:30, 5:12]
         np.testing.assert_array_equal(tf[-1][:, 20:30, 5:12], ic)
+
+
+@pytest.mark.parametrize("method", ["bs32", "rkc2"])
+def test_fused_padded_box3d_matches_xla(method):
+    """Mirror-pad + the z-streaming 3-D box shard kernels: an uneven
+    (ny, nx) box volume keeps the fused path (VERDICT r3 #1's 3-D case)."""
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_box3d,
+        mesh_pad_spec, sharded_params)
+    cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=17,
+                    surface_width=10.0, surface_length=30.0, y_mesh=51,
+                    surface_depth=3.0, z_mesh=6, t_final=1.0,
+                    output_timestep=2, beta=0.0, dtype="float32",
+                    method=method, rtol=1e-4, atol=1e-7, boundary="noflux",
+                    use_pallas=True)
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    assert pad_spec is not None and pad_spec.active
+    if method != "rkc2":
+        assert maybe_fused_shard_box3d(p_k, mesh, interpret=True,
+                                       pad_spec=pad_spec) is not None
+    params, _ = sharded_params(p_k, pad_spec)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(pad_spec.pad_field(p_k.y0), params)
+    tf = np.asarray(pad_spec.unpad_field(tf))
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    r_x = simulate_sharded(cfg_x, mesh=mesh)
+    assert r_x.ok
+    tx = np.asarray(r_x.trajectory)[1:]
+    assert np.all(np.asarray(sf.status) == 0)
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(r_x.stats.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
