@@ -606,6 +606,22 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
     return rho
 
 
+def solver_breakpoints(cfg, forcing=None) -> tuple:
+    """Times the integrator must step exactly to: the tBoundary freeze
+    release (reference src/FHNmodel_torus.cpp:643-653 — a known RHS
+    discontinuity, SURVEY.md) plus any declared forcing discontinuities
+    (core/forcing.py pulse edges). Sorted, open interval (0, t_final)."""
+    pts = set()
+    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
+        pts.add(float(cfg.t_boundary))
+    from crdmodel_tpu.core.forcing import SeparableForcing
+    if isinstance(forcing, SeparableForcing):
+        for e in forcing.breakpoints:
+            if 0.0 < e < cfg.t_final:
+                pts.add(float(e))
+    return tuple(sorted(pts))
+
+
 def build_problem(cfg: SimConfig, diffusion_field=None,
                   forcing=None, diffusion_tensor=None,
                   obstacle_mask=None, profile=None) -> Problem:

@@ -48,6 +48,21 @@ def needs_divform(problem) -> bool:
     return np.ndim(df) > 1
 
 
+def fused_forcing(problem):
+    """The structured forcing the ERK step kernels evaluate in-kernel
+    (core/forcing.py::SeparableForcing, all stimuli rank-1): returns the
+    forcing, or None when the problem has none, or False when a forcing
+    exists but is not kernel-consumable (free-form callable / full 2-D
+    spatial) — callers decline to the XLA path on False."""
+    f = problem.forcing
+    if f is None:
+        return None
+    from crdmodel_tpu.core.forcing import SeparableForcing
+    if isinstance(f, SeparableForcing) and f.separable:
+        return f
+    return False
+
+
 def coeff_kind(geometry_kind: str) -> str:
     """The kernels' coefficient layout for a geometry kind.
 
@@ -88,11 +103,19 @@ def make_rhs_block(kind: str, model, just_diffusion: bool):
         cu1, cu2, cu3 = stencil
         return cu1 * (uw + ue) + cu2 * (us + un) + cu3 * u
 
-    def rhs_block(yb, stencil, b_rows, live_rows):
+    def rhs_block(yb, stencil, b_rows, live_rows, extra=None):
+        """extra: optional {var: array} forcing contributions, added to the
+        diffusion term BEFORE kinetics (matching the XLA association order
+        `kinetics + (diff + forcing)`, core/problem.py::make_rhs — and the
+        live_rows mask is 0/1, so masking the sum equals masking the parts
+        bitwise)."""
         laps = {}
         for idx, v in enumerate(dvars):
             lap = lap_of(yb[v], stencil)
             laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
+        if extra:
+            for v, add in extra.items():
+                laps[v] = laps[v] + add if v in laps else add
         if just_diffusion:
             ydot = jnp.stack([laps[v] if v in laps else jnp.zeros_like(yb[0])
                               for v in range(nvars)])

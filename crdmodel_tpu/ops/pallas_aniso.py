@@ -61,6 +61,8 @@ def _pick_strip(ny: int, target: int) -> int | None:
 
 
 def is_aniso_supported(problem, tableau: Tableau, dtype) -> bool:
+    if problem.forcing is not None:
+        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
     if getattr(problem, "diffusion_tensor", None) is None:
         return False
     if problem.geometry.kind != "flat":

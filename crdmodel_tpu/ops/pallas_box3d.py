@@ -236,6 +236,8 @@ def _box_mode_impl(problem):
 
 def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
     cfg = problem.cfg
+    if problem.forcing is not None:
+        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
     if problem.geometry.kind != "box":
         return False
     if jnp.dtype(dtype) != jnp.float32:

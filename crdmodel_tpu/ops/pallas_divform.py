@@ -103,6 +103,8 @@ def _face_coeffs64(problem):
 
 
 def is_divform_supported(problem, tableau: Tableau, dtype) -> bool:
+    if problem.forcing is not None:
+        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
     if not needs_divform(problem):
         return False
     if problem.geometry.kind not in ("flat", "torus", "revolution"):

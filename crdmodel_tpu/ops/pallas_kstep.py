@@ -68,6 +68,8 @@ def max_k(tableau: Tableau) -> int:
 
 
 def is_kstep_supported(problem, tableau: Tableau, dtype, k: int) -> bool:
+    if problem.forcing is not None:
+        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
     from crdmodel_tpu.ops.pallas_step import is_supported
     if not is_supported(problem, tableau, dtype):
         return False

@@ -84,9 +84,11 @@ def _pick_strip(ny: int, target: int = 256) -> int | None:
 
 
 def is_supported(problem, tableau: Tableau, dtype) -> bool:
-    from crdmodel_tpu.ops.kernel_common import needs_divform
+    from crdmodel_tpu.ops.kernel_common import fused_forcing, needs_divform
     if needs_divform(problem):
         return False   # masked faces / 2-D fields: ops/pallas_divform.py
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if tableau.stages > HALO:
@@ -148,7 +150,38 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
     rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
-    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+    # structured forcing (core/forcing.py): per-stage scalar amplitudes
+    # computed OUTSIDE the kernel at the true stage times t + c_s*h; the
+    # rank-1 spatial profiles ride as trace-time constant inputs (rows
+    # wrap-padded like the beta field, cols in the lane layout)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(s.var for s in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in tableau.c)
+        rows_np, cols_np = [], []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            rows_np.append(np.concatenate([r_[-P:], r_, r_[:P]], axis=0))
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P] = c_[-P:]
+            c_lane[P:P + nx] = c_
+            c_lane[P + nx:P + nx + P] = c_[:P]
+            cols_np.append(c_lane)
+        stim_rows = jnp.asarray(np.stack(rows_np), dtype)  # (n_stim,ny+2P,1)
+        stim_cols = jnp.asarray(np.stack(cols_np)[:, None, :], dtype)
+    else:
+        stim_rows = jnp.zeros((1, 1, 1), dtype)
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), n_stages), dtype)
+
+    def kernel(h_ref, fz_ref, amps_ref, srow_ref, scol_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
                y_hbm, ynew_ref, ss_ref, yv, sems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
@@ -162,8 +195,20 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
-        def rhs_block(yb):
-            return rhs_block_of(yb, stencil, b_rows, live_rows)
+        def rhs_block(yb, extra=None):
+            return rhs_block_of(yb, stencil, b_rows, live_rows, extra=extra)
+
+        def stage_extra(s):
+            if not n_stim:
+                return None
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, s]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+            return ex
 
         # tableau entries as PYTHON floats: a numpy f64 scalar would
         # promote the whole update to f64 under x64 (interpreter tests)
@@ -174,7 +219,7 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
             for j in range(s):
                 if a[s, j] != 0.0:
                     yi = yi + (h * float(a[s, j])) * ks[j]
-            ks.append(rhs_block(yi))
+            ks.append(rhs_block(yi, stage_extra(s)))
 
         ynew = y0
         err = jnp.zeros_like(y0)
@@ -204,6 +249,12 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(amps0.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec(stim_rows.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus row profiles
+            pl.BlockSpec(stim_cols.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus col profiles
             kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
             pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -235,10 +286,17 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
     )
 
     def step_err(t, yp, h, params):
-        del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
+        if n_stim:
+            # true stage times — the one place t enters the kernels
+            amps = jnp.stack([
+                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
+                           for cs in c_nodes])
+                for st in forcing.stimuli])          # (n_stim, n_stages)
+        else:
+            amps = amps0
         # per-call parameter overrides (the serial-sweep path, sweep.py):
         # beta and the diffusion scale are KERNEL INPUTS, not baked
         # constants, so one compiled program serves every sweep member —
@@ -252,7 +310,8 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
             if "dscale" in params:
                 ds = params["dscale"].astype(dtype)
                 c0, c1, c2 = c0 * ds, c1 * ds, c2 * ds
-        ynew, ss = call(h_s, fz_s, c0, c1, c2, b_in, kc.m_pad,
+        ynew, ss = call(h_s, fz_s, amps, stim_rows, stim_cols,
+                        c0, c1, c2, b_in, kc.m_pad,
                         kc.col_mask, yp)
         return ynew, jnp.sum(ss)
 

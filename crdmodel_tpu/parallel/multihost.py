@@ -143,9 +143,8 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         make_sharded_interval_fn(problem, mesh)
     normal = cfg.step_mode == "normal"
     touts = output_times(cfg)
-    breakpoints = []
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = [cfg.t_boundary]
+    from crdmodel_tpu.core.problem import solver_breakpoints
+    breakpoints = list(solver_breakpoints(cfg, problem.forcing))
     stop_times, is_output = merge_stops(touts, breakpoints)
     from crdmodel_tpu.sim import make_normal_stream_plan
     plan = (make_normal_stream_plan(zip(stop_times, is_output), breakpoints)

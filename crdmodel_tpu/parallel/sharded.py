@@ -653,9 +653,8 @@ def build_local_run(problem: Problem, mesh,
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = problem.y0.size   # nvars*ny*nx (+ nz on the 3-D box)
 
-    breakpoints = ()
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = (cfg.t_boundary,)
+    from crdmodel_tpu.core.problem import solver_breakpoints
+    breakpoints = solver_breakpoints(cfg, problem.forcing)
 
     rho_fn = None
     if cfg.method == "rkc2":
@@ -1042,9 +1041,8 @@ def simulate_sharded_streaming(cfg: SimConfig, mesh: Optional[Mesh] = None,
     touts = output_times(cfg)
 
     from crdmodel_tpu.integrate.erk import SolveStats, merge_stops
-    breakpoints = []
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = [cfg.t_boundary]
+    from crdmodel_tpu.core.problem import solver_breakpoints
+    breakpoints = list(solver_breakpoints(cfg, problem.forcing))
     stop_times, is_output = merge_stops(touts, breakpoints)
     from crdmodel_tpu.sim import make_normal_stream_plan
     plan = (make_normal_stream_plan(zip(stop_times, is_output), breakpoints)

@@ -74,12 +74,14 @@ def output_times(cfg: SimConfig) -> np.ndarray:
     return touts
 
 
-def _pallas_eligible(problem, interpret: bool = False) -> bool:
+def _pallas_eligible(problem, interpret: bool = False,
+                     allow_forcing: bool = False) -> bool:
     from crdmodel_tpu.config import PALLAS_AUTO_POINTS
     cfg = problem.cfg
-    if problem.forcing is not None:
-        # time-dependent forcing needs true stage times — the kernels
-        # evaluate the RHS without them (models/base.py AUTONOMY CONTRACT)
+    if problem.forcing is not None and not allow_forcing:
+        # time-dependent forcing needs true stage times; only the ERK step
+        # kernels evaluate structured (separable) forcing in-kernel
+        # (core/forcing.py) — every other kernel declines
         return False
     if getattr(cfg, "pole_coarsen", 0):
         # reduced-grid pole coarsening is an XLA-only operator (block
@@ -143,9 +145,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
 
     # the absorbing-boundary turn-off is a known RHS discontinuity in t;
     # integrate piecewise-smooth segments (see integrate_to_outputs docs)
-    breakpoints = ()
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = (cfg.t_boundary,)
+    from crdmodel_tpu.core.problem import solver_breakpoints
+    breakpoints = solver_breakpoints(cfg, problem.forcing)
 
     rho_fn = None
     frkc = None
@@ -198,8 +199,8 @@ def make_run_fn(problem: Problem, interpret: bool = False):
 
     fused = None
     kstep = None
-    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(problem,
-                                                                 interpret):
+    if cfg.method not in ("rkc2", "ark324") and _pallas_eligible(
+            problem, interpret, allow_forcing=True):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import kernel_common, pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
@@ -391,9 +392,8 @@ def simulate_streaming(cfg: SimConfig, problem: Optional[Problem] = None,
     touts = output_times(cfg)
     dtype = jnp.dtype(cfg.dtype)
 
-    breakpoints = []
-    if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-        breakpoints = [cfg.t_boundary]
+    from crdmodel_tpu.core.problem import solver_breakpoints
+    breakpoints = list(solver_breakpoints(cfg, problem.forcing))
     from crdmodel_tpu.integrate.erk import merge_stops
     stop_times, is_output = merge_stops(touts, breakpoints)
     stops = list(zip(stop_times.tolist(), is_output.tolist()))

@@ -238,9 +238,8 @@ def sweep_configs(cfg: SimConfig, overrides, mesh=None,
             return run_sharded(y0, p)
     else:
         from crdmodel_tpu.core.problem import make_rhs
-        breakpoints = ()
-        if 0.0 < cfg.t_boundary < cfg.t_final and not cfg.just_diffusion:
-            breakpoints = (cfg.t_boundary,)
+        from crdmodel_tpu.core.problem import solver_breakpoints
+        breakpoints = solver_breakpoints(cfg, base.forcing)
         rhs_split = (make_rhs(cfg, base.model, base.geometry, dtype,
                               split=True,
                               diffusion_field=base.diffusion_field,

@@ -176,3 +176,175 @@ class TestGates:
         np.testing.assert_allclose(np.asarray(r1.trajectory),
                                    np.asarray(r8.trajectory),
                                    rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Structured forcing through the FUSED kernels (VERDICT r3 #5): stimulation
+# protocols as data (core/forcing.py::SeparableForcing) — per-stage scalar
+# amplitudes at true stage times computed outside the kernel, rank-1 spatial
+# profiles streamed like the beta field. Equivalence vs the XLA path, which
+# these same protocols also run (the generic forcing contract).
+# ---------------------------------------------------------------------------
+
+def _fused_cfg(**kw):
+    # fine output intervals: per-interval equivalence is ulp-level; coarse
+    # intervals let a single borderline accept flip compound through the
+    # pulse edges (same psum/reassociation budget as the sharded suites)
+    base = dict(model="fhn", surface="flat", x_mesh=48, surface_width=20.0,
+                surface_length=20.0, beta=1.25, t_final=1.0,
+                output_timestep=10, dtype="float32", rtol=1e-4, atol=1e-6,
+                use_pallas=True)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def _protocol(cfg, full2d=False):
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           gaussian_profile, pulse_train,
+                                           rect_profile)
+    if full2d:
+        rng = np.random.default_rng(5)
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1], 0.2, 2.0),
+                     spatial=rng.random((cfg.ny, cfg.nx))))
+    s1 = Stimulus(waveform=pulse_train([0.05, 0.45], 0.15, 1.5),
+                  row=rect_profile(cfg.ny, 0, cfg.ny // 4))
+    s2 = Stimulus(waveform=lambda t: 0.4 * jnp.cos(3.0 * t),
+                  col=gaussian_profile(cfg.nx, cfg.nx / 2, cfg.nx / 8),
+                  var=1)
+    return SeparableForcing(s1, s2)
+
+
+class TestFusedForcing:
+    def test_single_chip_fused_matches_xla(self):
+        import jax
+        from crdmodel_tpu.sim import make_run_fn
+        cfg = _fused_cfg()
+        p_k = build_problem(cfg, forcing=_protocol(cfg))
+        run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol(cfg))
+        run_x = jax.jit(make_run_fn(p_x)[0])
+        tk, sk = run_k(p_k.y0, p_k.params)
+        tx, sx = run_x(p_x.y0, p_x.params)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1 and gap.sum() <= 2
+        assert np.all(np.asarray(sk.status) == 0)
+        # a borderline accept flip near a pulse edge compounds mildly
+        # (f32 controller rounding; per-step equivalence is ulp-level)
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-3)
+        # the forcing actually did something
+        p_0 = build_problem(cfg_x)
+        run_0 = jax.jit(make_run_fn(p_0)[0])
+        t0, _ = run_0(p_0.y0, p_0.params)
+        assert np.abs(np.asarray(tk) - np.asarray(t0)).max() > 1e-3
+
+    def test_fused_kernel_selected_with_separable_forcing(self):
+        from crdmodel_tpu.integrate.erk import TABLEAUS
+        from crdmodel_tpu.ops import pallas_step
+        import jax.numpy as jnp
+        cfg = _fused_cfg()
+        p = build_problem(cfg, forcing=_protocol(cfg))
+        assert pallas_step.is_supported(p, TABLEAUS["bs32"], jnp.float32)
+        # a full-2D spatial stimulus declines
+        p2 = build_problem(cfg, forcing=_protocol(cfg, full2d=True))
+        assert not pallas_step.is_supported(p2, TABLEAUS["bs32"],
+                                            jnp.float32)
+        # free-form callables decline
+        p3 = build_problem(cfg, forcing=cos_forcing)
+        assert not pallas_step.is_supported(p3, TABLEAUS["bs32"],
+                                            jnp.float32)
+
+    def test_freeze_masks_forcing_in_kernel(self):
+        """tBoundary freeze must mask the stimulus on the frozen rows —
+        same bitwise contract as the XLA path's post-sum mask."""
+        import jax
+        from crdmodel_tpu.sim import make_run_fn
+        cfg = _fused_cfg(t_boundary=0.3)
+        p_k = build_problem(cfg, forcing=_protocol(cfg))
+        run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol(cfg))
+        run_x = jax.jit(make_run_fn(p_x)[0])
+        tk, sk = run_k(p_k.y0, p_k.params)
+        tx, sx = run_x(p_x.y0, p_x.params)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1 and gap.sum() <= 2
+        # one borderline accept flip at the freeze release compounds
+        # through the stiff transient (the documented f32 controller-
+        # rounding budget; per-step equivalence is ulp-level)
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-3)
+
+    def test_sharded_fused_matches_xla(self):
+        import jax
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_step,
+            sharded_params)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = _fused_cfg(x_mesh=64, surface_length=10.0, surface_width=10.0)
+        mesh = make_mesh(shape=(2, 4))
+        p_k = build_problem(cfg, forcing=_protocol(cfg))
+        assert maybe_fused_shard_step(p_k, mesh, interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol(cfg))
+        params_x, _ = sharded_params(p_x)
+        run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+        tx, sx = run_x(p_x.y0, params_x)
+        gap = abs(int(np.sum(np.asarray(sk.steps)))
+                  - int(np.sum(np.asarray(sx.steps))))
+        assert gap <= 3
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=2e-4)
+
+    def test_sharded_fused_padded_with_forcing(self):
+        """Mirror padding composes with in-kernel forcing: the stimulus
+        profiles are wrap-padded like every other spatial param."""
+        import jax
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_step,
+            mesh_pad_spec, sharded_params, simulate_sharded)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = _fused_cfg(x_mesh=17, surface_width=20.0, surface_length=60.0)
+        mesh = make_mesh(shape=(2, 2))
+        p_k = build_problem(cfg, forcing=_protocol(cfg))
+        pad_spec = mesh_pad_spec(cfg, mesh)
+        assert pad_spec is not None and pad_spec.active
+        assert maybe_fused_shard_step(p_k, mesh, interpret=True,
+                                      pad_spec=pad_spec) is not None
+        params, _ = sharded_params(p_k, pad_spec)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(pad_spec.pad_field(p_k.y0), params)
+        tk = np.asarray(pad_spec.unpad_field(tk))
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol(cfg))
+        r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+        assert r_x.ok
+        tx = np.asarray(r_x.trajectory)[1:]
+        gap = abs(int(np.sum(np.asarray(sk.steps)))
+                  - int(np.sum(np.asarray(r_x.stats.steps))))
+        assert gap <= 3
+        np.testing.assert_allclose(tk, tx, rtol=0, atol=1e-3)
+
+    def test_s1s2_protocol_elicits_response(self):
+        from crdmodel_tpu.core.forcing import s1s2_protocol
+        cfg = _fused_cfg(use_pallas=False, t_final=2.0)
+        frc = s1s2_protocol(cfg, amplitude=2.0, s1_times=[0.1],
+                            s2_time=1.0, duration=0.3)
+        p = build_problem(cfg, forcing=frc)
+        res = simulate(cfg, problem=p)
+        assert res.ok
+        u = np.asarray(res.trajectory[-1, 0])
+        p0 = build_problem(cfg)
+        res0 = simulate(cfg, problem=p0)
+        assert np.abs(u - np.asarray(res0.trajectory[-1, 0])).max() > 1e-2
