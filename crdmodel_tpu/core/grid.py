@@ -157,7 +157,7 @@ class FlatGeometry:
         aS = Ds * inv_dy2
         return _apply_face_mask((aE, aW, aN, aS), face_mask)
 
-    def tensor_coeffs64(self, dxx, dyy, dxy):
+    def tensor_coeffs64(self, dxx, dyy, dxy, boundary: str = "periodic"):
         """Coefficients of the anisotropic conservative operator
         div(D grad u), D = [[Dxx, Dxy], [Dxy, Dyy]] an SPD tensor field
         (fiber anisotropy — e.g. cardiac conduction, where the
@@ -178,13 +178,23 @@ class FlatGeometry:
         anisotropy ratios where |Dxy| approaches sqrt(Dxx*Dyy) the stencil
         can produce small new extrema; SPD is validated at build time.
 
+        boundary ("noflux"/"noflux_x"/"noflux_y"): closed domain walls —
+        the diagonal faces at the walls carry zero coefficients (exactly
+        like face_openness) and the mixed field Dxy is zeroed on the
+        wall-adjacent LAYERS of each closed axis, so every centred
+        difference that would span a wall multiplies zero. This keeps the
+        operator exactly symmetric and conservative (zeroing coefficient
+        fields preserves the Aa^T = -Aa structure); the mixed flux simply
+        shuts off in the boundary layer (first-order locally, standard
+        for centred mixed terms).
+
         Returns (face_coeffs(aE, aW, aN, aS), dxy_full (ny, nx), inv4)
         with inv4 = 1/(4 dx dy) — the mixed-term weight."""
         g = self.grid
         shape = (g.ny, g.nx)
         Dxx = np.broadcast_to(np.asarray(dxx, np.float64), shape)
         Dyy = np.broadcast_to(np.asarray(dyy, np.float64), shape)
-        Dxy = np.broadcast_to(np.asarray(dxy, np.float64), shape)
+        Dxy = np.broadcast_to(np.asarray(dxy, np.float64), shape).copy()
         if not (np.all(Dxx > 0.0) and np.all(Dyy > 0.0)
                 and np.all(Dxx * Dyy - Dxy * Dxy >= -1e-14 * Dxx * Dyy)):
             raise ValueError("diffusion_tensor must be SPD pointwise "
@@ -193,9 +203,20 @@ class FlatGeometry:
         Dn = 0.5 * (Dyy + np.roll(Dyy, -1, axis=-2))
         inv_dx2 = 1.0 / np.float64(g.dx) ** 2
         inv_dy2 = 1.0 / np.float64(g.dy) ** 2
-        aE = De * inv_dx2
+        aE = (De * inv_dx2).copy()
+        aN = (Dn * inv_dy2).copy()
+        closed_x = boundary in ("noflux", "noflux_x")
+        closed_y = boundary in ("noflux", "noflux_y")
+        if closed_x:
+            aE[..., -1] = 0.0
+            Dxy[..., 0] = 0.0
+            Dxy[..., -1] = 0.0
+        if closed_y:
+            aN[..., -1, :] = 0.0
+            Dxy[..., 0, :] = 0.0
+            Dxy[..., -1, :] = 0.0
+        # aW/aS AFTER masking so the roll identities hold wall-aware
         aW = np.roll(aE, 1, axis=-1)
-        aN = Dn * inv_dy2
         aS = np.roll(aN, 1, axis=-2)
         inv4 = 1.0 / (4.0 * np.float64(g.dx) * np.float64(g.dy))
         return (aE, aW, aN, aS), Dxy, inv4
@@ -598,7 +619,8 @@ class BoxGeometry:
         faces = (aE, roll_x(aE), aN, roll_y(aN), aU, roll_z(aU))
         return _apply_face_mask(faces, face_mask)
 
-    def tensor_coeffs64(self, dxx, dyy, dzz, dxy, dxz, dyz):
+    def tensor_coeffs64(self, dxx, dyy, dzz, dxy, dxz, dyz,
+                        boundary: str = "periodic"):
         """Coefficients of the 3-D anisotropic conservative operator
         div(D grad u), D = [[Dxx,Dxy,Dxz],[Dxy,Dyy,Dyz],[Dxz,Dyz,Dzz]] an
         SPD tensor field — volumetric fiber anisotropy (e.g. cardiac
@@ -617,6 +639,14 @@ class BoxGeometry:
 
         SPD is validated pointwise by Sylvester's criterion; the centred
         mixed terms keep the 2-D monotonicity caveat.
+
+        boundary ("noflux"/"noflux_x"/"noflux_y"/"noflux_z"): closed
+        walls — zero diagonal faces at the walls, and each mixed field
+        Dab zeroed on the wall-adjacent layers of its two axes when
+        closed (see FlatGeometry.tensor_coeffs64's note: symmetry and
+        conservation are preserved; the mixed flux shuts off in the
+        boundary layer). noflux_z is the ventricular-slab configuration
+        (bounded wall thickness, periodic in-plane).
 
         Returns (face_coeffs6, (Dxy, Dxz, Dyz) full (nz, ny, nx) arrays,
         (inv4_xy, inv4_xz, inv4_yz)) with inv4_ab = 1/(4 da db) — the
@@ -644,9 +674,31 @@ class BoxGeometry:
         De = 0.5 * (Dxx + np.roll(Dxx, -1, axis=-1))
         Dn = 0.5 * (Dyy + np.roll(Dyy, -1, axis=-2))
         Du = 0.5 * (Dzz + np.roll(Dzz, -1, axis=-3))
-        aE = De / np.float64(g.dx) ** 2
-        aN = Dn / np.float64(g.dy) ** 2
-        aU = Du / np.float64(g.dz) ** 2
+        aE = (De / np.float64(g.dx) ** 2).copy()
+        aN = (Dn / np.float64(g.dy) ** 2).copy()
+        aU = (Du / np.float64(g.dz) ** 2).copy()
+        Dxy = Dxy.copy()
+        Dxz = Dxz.copy()
+        Dyz = Dyz.copy()
+        closed_x = boundary in ("noflux", "noflux_x")
+        closed_y = boundary in ("noflux", "noflux_y")
+        closed_z = boundary in ("noflux", "noflux_z")
+        if closed_x:
+            aE[..., -1] = 0.0
+            for Dab in (Dxy, Dxz):
+                Dab[..., 0] = 0.0
+                Dab[..., -1] = 0.0
+        if closed_y:
+            aN[..., -1, :] = 0.0
+            for Dab in (Dxy, Dyz):
+                Dab[..., 0, :] = 0.0
+                Dab[..., -1, :] = 0.0
+        if closed_z:
+            aU[-1, ...] = 0.0
+            for Dab in (Dxz, Dyz):
+                Dab[0, ...] = 0.0
+                Dab[-1, ...] = 0.0
+        # rolled faces AFTER masking so the roll identities hold wall-aware
         faces = (aE, np.roll(aE, 1, axis=-1), aN, np.roll(aN, 1, axis=-2),
                  aU, np.roll(aU, 1, axis=-3))
         dx, dy, dz = (np.float64(g.dx), np.float64(g.dy), np.float64(g.dz))

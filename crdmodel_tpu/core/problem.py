@@ -371,7 +371,8 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
                          "diffusion_field (build_problem defaults it to "
                          "the constant cfg.diffusion)")
     if diffusion_tensor is not None:
-        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(*diffusion_tensor)
+        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(
+            *diffusion_tensor, boundary=cfg.boundary)
         face_t = tuple(jnp.asarray(a, dtype) for a in face_t)
         if len(face_t) == 6:
             # 3-D box: full 3x3 tensor, 19-point operator
@@ -544,7 +545,8 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
         # <= max|Dab|/(4 da db) per row, adding 2 * max|Dab|/(da db) to
         # the Gershgorin radius (safe over-bound). 2-D: one pair (xy);
         # 3-D box: three pairs (xy, xz, yz)
-        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(*diffusion_tensor)
+        face_t, mixed_np, inv_w = geometry.tensor_coeffs64(
+            *diffusion_tensor, boundary=cfg.boundary)
         row_sum = 0.0
         for a in face_t:
             row_sum = row_sum + a
@@ -686,7 +688,8 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
             np.asarray(c, dtype=np.float64) for c in diffusion_tensor)
         # SPD validation happens in tensor_coeffs64; build them once here
         # so bad tensors fail at build time, not first step
-        geometry.tensor_coeffs64(*diffusion_tensor)
+        geometry.tensor_coeffs64(*diffusion_tensor,
+                                 boundary=cfg.boundary)
     if diffusion_field is None:
         if diffusion_tensor is not None:
             diffusion_field = None   # the tensor IS the operator; no
@@ -710,12 +713,14 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
                 f"diffusion_field shape {diffusion_field.shape} does not "
                 f"broadcast to the grid {geometry.grid.shape}")
     face_mask = None
-    if cfg.boundary != "periodic" or obstacle_mask is not None:
-        if diffusion_tensor is not None:
-            raise ValueError("no-flux boundaries / obstacle_mask are "
-                             "unsupported with diffusion_tensor (the "
-                             "9-point mixed terms need mask-aware "
-                             "one-sided differencing)")
+    if diffusion_tensor is not None and obstacle_mask is not None:
+        raise ValueError("obstacle_mask is unsupported with "
+                         "diffusion_tensor (mixed terms need mask-aware "
+                         "one-sided differencing); no-flux DOMAIN "
+                         "boundaries compose via "
+                         "tensor_coeffs64(boundary=...)")
+    if (cfg.boundary != "periodic" or obstacle_mask is not None) \
+            and diffusion_tensor is None:
         if obstacle_mask is not None:
             obstacle_mask = np.asarray(obstacle_mask, dtype=bool)
             try:

@@ -121,7 +121,7 @@ def build_fused_aniso_step(problem, tableau: Tableau, dtype=jnp.float32,
 
     # --- coefficient strip windows: (n_strips, R, nxp), f64 setup ---
     (aE64, _aW64, aN64, _aS64), dxy64, inv4 = geometry.tensor_coeffs64(
-        *problem.diffusion_tensor)
+        *problem.diffusion_tensor, boundary=problem.cfg.boundary)
 
     def np_pad_cols(arr):
         out = np.concatenate([arr[:, -P:], arr, arr[:, :P]], axis=1)

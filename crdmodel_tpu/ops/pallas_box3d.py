@@ -93,7 +93,13 @@ def _box_strip_target(nx: int, nvars: int, n_stages: int,
     nxp = lane_pad_width(nx, HALO)
     live = _ring_planes(n_stages) + 10
     tis = (n_stages + 6) if has_tissue else 0
-    fld = (3 * (n_stages + 3) + 3) if has_field else 0
+    # has_field: 3-face ring + recovery rolls; "tensor": 6-field ring
+    # (3 faces + 3 mixed) + ~8 mixed-term temporaries per stage
+    fld = 0
+    if has_field == "tensor":
+        fld = 6 * (n_stages + 3) + 8
+    elif has_field:
+        fld = 3 * (n_stages + 3) + 3
     bytes_per_row = 4 * nxp * (nvars * live + tis + fld)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
@@ -193,6 +199,36 @@ def _box_field_faces(problem):
     return aE, aN, aU
 
 
+def _box_tensor_fields(problem):
+    """The 19-point tensor operator's streamed per-plane field set —
+    (6, nz, ny, nx) f64 stack (aE, aN, aU, Dxy, Dxz, Dyz) + the three
+    mixed inv4 weights — or None. Requires CLOSED z walls (boundary
+    noflux/noflux_z): the z-streaming clamp needs aU[-1] == 0 and the
+    wall layers of Dxz/Dyz zeroed (grid.py::tensor_coeffs64 boundary
+    masking provides exactly that); aW/aS/aD are recovered in-kernel by
+    the same roll identities as field mode (held by construction: the
+    rolled faces are built AFTER wall masking)."""
+    if problem.geometry.kind != "box":
+        return None
+    if getattr(problem, "diffusion_tensor", None) is None:
+        return None
+    faces, mixed, invs = problem.geometry.tensor_coeffs64(
+        *problem.diffusion_tensor, boundary=problem.cfg.boundary)
+    aE, aW, aN, aS, aU, aD = [np.asarray(a, np.float64) for a in faces]
+    dxy, dxz, dyz = [np.asarray(a, np.float64) for a in mixed]
+    if np.any(aU[-1] != 0.0):
+        return None   # open z walls: the clamp would be wrong
+    if np.any(dxz[0] != 0.0) or np.any(dxz[-1] != 0.0) \
+            or np.any(dyz[0] != 0.0) or np.any(dyz[-1] != 0.0):
+        return None   # mixed z legs must shut off at the walls
+    if not (np.array_equal(aW, np.roll(aE, 1, axis=-1))
+            and np.array_equal(aS, np.roll(aN, 1, axis=-2))
+            and np.array_equal(aD, np.roll(aU, 1, axis=-3))):
+        return None
+    return (np.stack([aE, aN, aU, dxy, dxz, dyz]),
+            tuple(float(v) for v in invs))
+
+
 _BOX_MODE_CACHE: dict = {}
 
 
@@ -220,6 +256,9 @@ def _box_mode(problem):
 
 
 def _box_mode_impl(problem):
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        tf = _box_tensor_fields(problem)
+        return ("tensor", tf) if tf is not None else (None, None)
     profs = _box_profiles(problem)
     if profs is not None:
         if profs[4][-1] != 0.0 or profs[5][0] != 0.0:
@@ -247,12 +286,16 @@ def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
     mode, _ = _box_mode(problem)
     if mode is None:
         return False
+    if mode == "tensor" and getattr(problem, "obstacle_mask",
+                                    None) is not None:
+        return False   # build_problem rejects this anyway
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(cfg.ny, _box_strip_target(cfg.nx,
                                               problem.model.nvars,
                                               tableau.stages,
                                               has_tissue,
-                                              mode == "field"))
+                                              "tensor" if mode == "tensor"
+                                              else mode == "field"))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -280,9 +323,12 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         raise ValueError("operator is neither profile-expressible nor a "
                          "closed-z 3-D field (is_box3d_supported should "
                          "have declined)")
-    has_field = mode == "field"
+    has_tensor = mode == "tensor"
+    has_field = has_tensor or mode == "field"
+    n_cfield = 6 if has_tensor else 3
     S = _pick_strip(ny, _box_strip_target(nx, nvars, ns, has_tissue,
-                                          has_field))
+                                          "tensor" if has_tensor
+                                          else mode == "field"))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -309,14 +355,21 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
+    inv_xy = inv_xz = inv_yz = 0.0
     if has_field:
         # full-field faces: wrap-pad rows at build (static), stack the
-        # three streamed faces; the kernel recovers aW/aS in-window and
-        # aD from the ring's p-1 slot (_box_field_faces contract)
-        aE64f, aN64f, aU64f = mode_data
+        # streamed fields; the kernel recovers aW/aS in-window and aD
+        # from the ring's p-1 slot (_box_field_faces contract). Tensor
+        # mode streams six fields (3 faces + 3 mixed, _box_tensor_fields)
+        if has_tensor:
+            stack6, (inv_xy, inv_xz, inv_yz) = mode_data
+            fields = list(stack6)
+        else:
+            aE64f, aN64f, aU64f = mode_data
+            fields = [aE64f, aN64f, aU64f]
         c64 = np.stack([np.concatenate([a[:, -P:], a, a[:, :P]], axis=1)
-                        for a in (aE64f, aN64f, aU64f)])
-        c_hbm = pad_cols(jnp.asarray(c64, dtype))   # (3, nz, ny+2P, nxp)
+                        for a in fields])
+        c_hbm = pad_cols(jnp.asarray(c64, dtype))  # (n_cfield,nz,ny+2P,nxp)
         ae_row = aw_row = jnp.zeros((1, nxp), dtype)
         an_col = as_col = jnp.zeros((ny + 2 * P, 1), dtype)
         au_z = ad_z = jnp.zeros((nz, 1), dtype)
@@ -469,6 +522,7 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             yd = yi_at(s, p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            mixed = None
             if has_field:
                 cp = coeff_at(p)
                 aeL = cp[0]
@@ -478,6 +532,15 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                 auL = cp[2]
                 # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
                 adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+                if has_tensor:
+                    # mixed fields at p and (clamped) p+-1: the wall
+                    # layers of Dxz/Dyz are zero (the _box_tensor_fields
+                    # gate), so the clamped reads multiply to exactly the
+                    # XLA path's periodic-roll-times-zero values
+                    cpu_ = coeff_at(p + 1)
+                    cpd_ = coeff_at(p - 1)
+                    mixed = (cp[3], cp[4], cp[5],
+                             cpu_[4], cpd_[4], cpu_[5], cpd_[5])
             elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
@@ -498,6 +561,37 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                        + anL * (jnp.roll(u, -1, -2) - u)
                        + asL * (jnp.roll(u, 1, -2) - u)
                        + auL * (yu[v] - u) + adL * (yd[v] - u))
+                if mixed is not None:
+                    # the three centred mixed pairs, EXACTLY the XLA
+                    # association (ops/stencil.py::anisotropic_laplacian3
+                    # -> _mixed_pair: per pair t1 + t2, summed in
+                    # xy, xz, yz order onto the axis part)
+                    dxy, dxz, dyz, dxz_u, dxz_d, dyz_u, dyz_d = mixed
+                    uu, ud = yu[v], yd[v]
+                    dys = jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)
+                    dxs = jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)
+                    fa = dxy * dys
+                    t_xy = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fb = dxy * dxs
+                    t_xy = t_xy + (jnp.roll(fb, -1, -2)
+                                   - jnp.roll(fb, 1, -2))
+                    dzs = uu - ud
+                    fa = dxz * dzs
+                    t_xz = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fz_u = dxz_u * (jnp.roll(uu, -1, -1)
+                                    - jnp.roll(uu, 1, -1))
+                    fz_d = dxz_d * (jnp.roll(ud, -1, -1)
+                                    - jnp.roll(ud, 1, -1))
+                    t_xz = t_xz + (fz_u - fz_d)
+                    fa = dyz * dzs
+                    t_yz = (jnp.roll(fa, -1, -2) - jnp.roll(fa, 1, -2))
+                    gz_u = dyz_u * (jnp.roll(uu, -1, -2)
+                                    - jnp.roll(uu, 1, -2))
+                    gz_d = dyz_d * (jnp.roll(ud, -1, -2)
+                                    - jnp.roll(ud, 1, -2))
+                    t_yz = t_yz + (gz_u - gz_d)
+                    lap = ((lap + inv_xy * t_xy) + inv_xz * t_xz) \
+                        + inv_yz * t_yz
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -590,8 +684,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
-            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
-                       dtype),
+            pltpu.VMEM((DC, n_cfield, R, nxp) if has_field
+                       else (1, 1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
         ] + [pltpu.VMEM((dk, nvars, R, nxp), dtype) for dk in DK],
     )

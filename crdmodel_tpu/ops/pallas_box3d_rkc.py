@@ -80,7 +80,11 @@ def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False,
     # plus ~3 openness temporaries; the coefficient plane ring (full 3-D
     # fields) carries 3 face fields per slot plus recovery-roll temps
     tis = (C_RKC + 7) if has_tissue else 0
-    fld = (3 * (C_RKC + 4) + 3) if has_field else 0
+    fld = 0
+    if has_field == "tensor":
+        fld = 6 * (C_RKC + 4) + 8
+    elif has_field:
+        fld = 3 * (C_RKC + 4) + 3
     bytes_per_row = 4 * nxp * (nvars * _rkc_ring_planes() + tis + fld)
     rows = max(1, VMEM_BUDGET // bytes_per_row)
     return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
@@ -100,7 +104,8 @@ def is_box3d_rkc_supported(problem, dtype) -> bool:
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     S = _pick_strip(cfg.ny, _rkc_strip_target(cfg.nx, problem.model.nvars,
                                               has_tissue,
-                                              mode == "field"))
+                                              "tensor" if mode == "tensor"
+                                              else mode == "field"))
     if S is None or not (S >= HALO or cfg.ny <= S):
         return False
     return True
@@ -120,6 +125,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         from crdmodel_tpu.core.problem import make_rho_bound
         rho_fn = make_rho_bound(cfg, model, problem.geometry, dtype,
                                 diffusion_field=problem.diffusion_field,
+                                diffusion_tensor=problem.diffusion_tensor,
                                 face_mask=problem.face_mask)
 
     C = C_RKC
@@ -130,9 +136,12 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         raise ValueError("operator is neither profile-expressible nor a "
                          "closed-z 3-D field (is_box3d_rkc_supported "
                          "should have declined)")
-    has_field = mode == "field"
+    has_tensor = mode == "tensor"
+    has_field = has_tensor or mode == "field"
+    n_cfield = 6 if has_tensor else 3
     S = _pick_strip(ny, _rkc_strip_target(nx, nvars, has_tissue,
-                                          has_field))
+                                          "tensor" if has_tensor
+                                          else mode == "field"))
     if S is None:
         raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
     n_strips = ny // S
@@ -159,14 +168,21 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
+    inv_xy = inv_xz = inv_yz = 0.0
     if has_field:
         # full-field faces: the ops/pallas_box3d.py coefficient plane
         # ring (aE, aN, aU streamed; aW/aS by in-window rolls, aD from
-        # the ring's p-1 slot)
-        aE64f, aN64f, aU64f = mode_data
+        # the ring's p-1 slot); tensor mode streams six fields
+        # (+ Dxy, Dxz, Dyz — _box_tensor_fields)
+        if has_tensor:
+            stack6, (inv_xy, inv_xz, inv_yz) = mode_data
+            fields = list(stack6)
+        else:
+            aE64f, aN64f, aU64f = mode_data
+            fields = [aE64f, aN64f, aU64f]
         c64 = np.stack([np.concatenate([a[:, -P:], a, a[:, :P]], axis=1)
-                        for a in (aE64f, aN64f, aU64f)])
-        c_hbm = pad_cols(jnp.asarray(c64, dtype))   # (3, nz, ny+2P, nxp)
+                        for a in fields])
+        c_hbm = pad_cols(jnp.asarray(c64, dtype))  # (n_cfield,nz,ny+2P,nxp)
         ae_row = aw_row = jnp.zeros((1, nxp), dtype)
         an_col = as_col = jnp.zeros((ny + 2 * P, 1), dtype)
         au_z = ad_z = jnp.zeros((nz, 1), dtype)
@@ -314,6 +330,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            mixed = None
             if has_field:
                 cp = coeff_at(p)
                 aeL = cp[0]
@@ -323,6 +340,11 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 auL = cp[2]
                 # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
                 adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+                if has_tensor:
+                    cpu_ = coeff_at(p + 1)
+                    cpd_ = coeff_at(p - 1)
+                    mixed = (cp[3], cp[4], cp[5],
+                             cpu_[4], cpd_[4], cpu_[5], cpd_[5])
             elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
@@ -341,6 +363,36 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                        + anL * (jnp.roll(u, -1, -2) - u)
                        + asL * (jnp.roll(u, 1, -2) - u)
                        + auL * (yu[v] - u) + adL * (yd[v] - u))
+                if mixed is not None:
+                    # the centred mixed pairs, EXACTLY the XLA association
+                    # (ops/stencil.py::anisotropic_laplacian3; see the
+                    # ERK tensor branch in ops/pallas_box3d.py)
+                    dxy, dxz, dyz, dxz_u, dxz_d, dyz_u, dyz_d = mixed
+                    uu, ud = yu[v], yd[v]
+                    dys = jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)
+                    dxs = jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)
+                    fa = dxy * dys
+                    t_xy = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fb = dxy * dxs
+                    t_xy = t_xy + (jnp.roll(fb, -1, -2)
+                                   - jnp.roll(fb, 1, -2))
+                    dzs = uu - ud
+                    fa = dxz * dzs
+                    t_xz = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fz_u = dxz_u * (jnp.roll(uu, -1, -1)
+                                    - jnp.roll(uu, 1, -1))
+                    fz_d = dxz_d * (jnp.roll(ud, -1, -1)
+                                    - jnp.roll(ud, 1, -1))
+                    t_xz = t_xz + (fz_u - fz_d)
+                    fa = dyz * dzs
+                    t_yz = (jnp.roll(fa, -1, -2) - jnp.roll(fa, 1, -2))
+                    gz_u = dyz_u * (jnp.roll(uu, -1, -2)
+                                    - jnp.roll(uu, 1, -2))
+                    gz_d = dyz_d * (jnp.roll(ud, -1, -2)
+                                    - jnp.roll(ud, 1, -2))
+                    t_yz = t_yz + (gz_u - gz_d)
+                    lap = ((lap + inv_xy * t_xy) + inv_xz * t_xz) \
+                        + inv_yz * t_yz
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -452,8 +504,8 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 3) if has_tissue else (1, 3)),
-            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
-                       dtype),
+            pltpu.VMEM((DC, n_cfield, R, nxp) if has_field
+                       else (1, 1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],

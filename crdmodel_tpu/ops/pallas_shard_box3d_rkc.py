@@ -106,9 +106,15 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         raise ValueError("operator is neither profile-expressible nor a "
                          "closed-z 3-D field (is_shard_box3d_rkc_supported "
                          "should have declined)")
-    has_field = mode == "field"
+    has_tensor = mode == "tensor"
+    has_field = has_tensor or mode == "field"
+    n_cfield = 6 if has_tensor else 3
+    inv_xy = inv_xz = inv_yz = 0.0
+    if has_tensor:
+        inv_xy, inv_xz, inv_yz = _mode_data[1]
     S = _pick_strip(nyl, _rkc_strip_target(nxl, nvars, has_tissue,
-                                           has_field))
+                                           "tensor" if has_tensor
+                                           else mode == "field"))
     if S is None:
         raise ValueError(f"nyl={nyl} has no multiple-of-8 divisor")
     assert S >= P
@@ -303,6 +309,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             yd = get(p - 1)
             au = au_ref[clampz(p), 0]
             ad = ad_ref[clampz(p), 0]
+            mixed = None
             if has_field:
                 cp = coeff_at(p)
                 aeL = cp[0]
@@ -312,6 +319,11 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                 auL = cp[2]
                 # aD(p) = aU(p-1); zero at the p=0 wall (closed z gate)
                 adL = jnp.where(p >= 1, coeff_at(p - 1)[2], 0.0)
+                if has_tensor:
+                    cpu_ = coeff_at(p + 1)
+                    cpd_ = coeff_at(p - 1)
+                    mixed = (cp[3], cp[4], cp[5],
+                             cpu_[4], cpd_[4], cpu_[5], cpd_[5])
             elif has_tissue:
                 tc = tis_at(p)
                 aeL = ae * (tc * jnp.roll(tc, -1, -1))
@@ -332,6 +344,36 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                        + anL * (jnp.roll(u, -1, -2) - u)
                        + asL * (jnp.roll(u, 1, -2) - u)
                        + auL * (yu[v] - u) + adL * (yd[v] - u))
+                if mixed is not None:
+                    # centred mixed pairs, EXACTLY the XLA association
+                    # (ops/stencil.py::anisotropic_laplacian3; see the
+                    # single-chip tensor branch, ops/pallas_box3d.py)
+                    dxy, dxz, dyz, dxz_u, dxz_d, dyz_u, dyz_d = mixed
+                    uu, ud = yu[v], yd[v]
+                    dys = jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)
+                    dxs = jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)
+                    fa = dxy * dys
+                    t_xy = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fb = dxy * dxs
+                    t_xy = t_xy + (jnp.roll(fb, -1, -2)
+                                   - jnp.roll(fb, 1, -2))
+                    dzs = uu - ud
+                    fa = dxz * dzs
+                    t_xz = (jnp.roll(fa, -1, -1) - jnp.roll(fa, 1, -1))
+                    fz_u = dxz_u * (jnp.roll(uu, -1, -1)
+                                    - jnp.roll(uu, 1, -1))
+                    fz_d = dxz_d * (jnp.roll(ud, -1, -1)
+                                    - jnp.roll(ud, 1, -1))
+                    t_xz = t_xz + (fz_u - fz_d)
+                    fa = dyz * dzs
+                    t_yz = (jnp.roll(fa, -1, -2) - jnp.roll(fa, 1, -2))
+                    gz_u = dyz_u * (jnp.roll(uu, -1, -2)
+                                    - jnp.roll(uu, 1, -2))
+                    gz_d = dyz_d * (jnp.roll(ud, -1, -2)
+                                    - jnp.roll(ud, 1, -2))
+                    t_yz = t_yz + (gz_u - gz_d)
+                    lap = ((lap + inv_xy * t_xy) + inv_xz * t_xz) \
+                        + inv_yz * t_yz
                 lap = ds * lap
                 laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
             if just_diffusion:
@@ -447,8 +489,8 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             pltpu.SemaphoreType.DMA((DY, 3)),
             pltpu.VMEM((DT, R, nxp) if has_tissue else (1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DT, 1) if has_tissue else (1, 1)),
-            pltpu.VMEM((DC, 3, R, nxp) if has_field else (1, 1, 1, 1),
-                       dtype),
+            pltpu.VMEM((DC, n_cfield, R, nxp) if has_field
+                       else (1, 1, 1, 1), dtype),
             pltpu.SemaphoreType.DMA((DC, 1) if has_field else (1, 1)),
             pltpu.VMEM((DF, nvars, R, nxp), dtype),
         ] + [pltpu.VMEM((DJ, nvars, R, nxp), dtype) for _ in range(C)],
@@ -527,7 +569,12 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         if has_field:
             # stream the masked local faces (ops/pallas_shard_box3d.py)
             cs = params["coeffs"]
-            c = jnp.stack([cs[0], cs[2], cs[4]]).astype(dtype)
+            stack_fields = [cs[0], cs[2], cs[4]]
+            if has_tensor:
+                dxy3 = params["dxy"]
+                stack_fields += [dxy3[0], dxy3[1], dxy3[2]]
+            c = jnp.stack([jnp.broadcast_to(f, (nz, nyl, nxl))
+                           for f in stack_fields]).astype(dtype)
             c = _hcols(c)
             if fill:
                 c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (0, fill)))

@@ -210,7 +210,7 @@ def sharded_params(problem: Problem, pad_spec=None):
                 "halo cells, which the pad-and-mask seam repair does not "
                 "fix (parallel/halo.py::_seam_fix)")
         face_t, mixed_np, _ = problem.geometry.tensor_coeffs64(
-            *problem.diffusion_tensor)
+            *problem.diffusion_tensor, boundary=cfg.boundary)
         coeffs = tuple(jnp.asarray(a, dtype) for a in face_t)
         if len(face_t) == 6:
             # 3-D box tensor: stack (Dxy, Dxz, Dyz) so ONE halo exchange
@@ -402,8 +402,9 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if problem.geometry.kind != "box":
         return None
-    if getattr(problem, "diffusion_tensor", None) is not None:
-        return None   # 19-point anisotropic operator: XLA path only
+    if getattr(problem, "diffusion_tensor", None) is not None \
+            and pad_spec is not None and pad_spec.active:
+        return None   # sharded_params rejects tensor+pad (corner seams)
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if cfg.method not in TABLEAUS:
@@ -477,8 +478,9 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
     if problem.geometry.kind == "box":
-        if getattr(problem, "diffusion_tensor", None) is not None:
-            return None   # 19-point anisotropic operator: XLA path only
+        if getattr(problem, "diffusion_tensor", None) is not None \
+                and pad_spec is not None and pad_spec.active:
+            return None   # sharded_params rejects tensor+pad
         if problem.forcing is not None:
             return None
         if cfg.method != "rkc2":
@@ -643,7 +645,13 @@ def build_local_run(problem: Problem, mesh,
     tensor = getattr(problem, "diffusion_tensor", None)
     tensor_inv4 = None
     if tensor is not None:
-        tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
+        tensor_inv4 = problem.geometry.tensor_coeffs64(
+            *tensor, boundary=cfg.boundary)[2]
+        # python floats: an np.float64 scalar would promote the whole f32
+        # RHS to f64 under x64 (the forced-x64 CPU test environment)
+        tensor_inv4 = (tuple(float(v) for v in tensor_inv4)
+                       if isinstance(tensor_inv4, tuple)
+                       else float(tensor_inv4))
     tissue = getattr(problem, "obstacle_mask", None) is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
@@ -712,17 +720,19 @@ def build_local_run(problem: Problem, mesh,
         params_run = params
         if tensor is not None:
             # one ring exchange per DISPATCH (not per RHS eval): Dxy is
-            # static, only its halo view is mesh-local
+            # static, only its halo view is mesh-local (the XLA local_rhs
+            # — h0 heuristic and fallback path — reads it; the fused box
+            # tensor kernel streams its own field ring instead)
             params_run = {**params, "_dxy_pad": halo_pad(params["dxy"])}
         if fused is not None:
-            params_run = fused.prepare_params(params)
+            params_run = fused.prepare_params(params_run)
             kw = dict(
                 step_err=lambda t, y, h, p, carry:
                     (*fused.step_err(t, y, h, p), ()),
                 y_loop0=fused.pad(y0), capture=fused.unpad)
         elif fimex is not None:
             from crdmodel_tpu.integrate import imex
-            params_run = fimex.prepare_params(params)
+            params_run = fimex.prepare_params(params_run)
             kw = dict(
                 step_err=lambda t, y, h, p, carry:
                     (*fimex.step_err(t, y, h, p), ()),
@@ -731,7 +741,7 @@ def build_local_run(problem: Problem, mesh,
                 y_loop0=fimex.pad(y0), capture=fimex.unpad)
         elif frkc is not None:
             from crdmodel_tpu.integrate import rkc as _rkc
-            params_run = frkc.prepare_params(params)
+            params_run = frkc.prepare_params(params_run)
             kw = dict(step_err=frkc.step_err,
                       y_loop0=frkc.pad(y0), capture=frkc.unpad,
                       err_order=_rkc.ERR_ORDER,
@@ -815,7 +825,13 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     tensor = getattr(problem, "diffusion_tensor", None)
     tensor_inv4 = None
     if tensor is not None:
-        tensor_inv4 = problem.geometry.tensor_coeffs64(*tensor)[2]
+        tensor_inv4 = problem.geometry.tensor_coeffs64(
+            *tensor, boundary=cfg.boundary)[2]
+        # python floats: an np.float64 scalar would promote the whole f32
+        # RHS to f64 under x64 (the forced-x64 CPU test environment)
+        tensor_inv4 = (tuple(float(v) for v in tensor_inv4)
+                       if isinstance(tensor_inv4, tuple)
+                       else float(tensor_inv4))
     tissue = getattr(problem, "obstacle_mask", None) is not None
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,

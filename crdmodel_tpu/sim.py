@@ -157,11 +157,13 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                                 diffusion_field=problem.diffusion_field,
                                 diffusion_tensor=problem.diffusion_tensor,
                                 face_mask=problem.face_mask)
-        if _pallas_eligible(problem, interpret) and \
-                problem.diffusion_tensor is None:
+        if _pallas_eligible(problem, interpret) and (
+                problem.diffusion_tensor is None
+                or problem.geometry.kind == "box"):
             if problem.geometry.kind == "box":
                 # 3-D box: the z-streaming fused Chebyshev pipeline
-                # (ops/pallas_box3d_rkc.py)
+                # (ops/pallas_box3d_rkc.py; tensor mode streams the
+                # 19-point operator's six coefficient fields)
                 from crdmodel_tpu.ops import pallas_box3d_rkc
                 if pallas_box3d_rkc.is_box3d_rkc_supported(
                         problem, jnp.dtype(cfg.dtype)):
@@ -204,9 +206,12 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         from crdmodel_tpu.integrate.erk import TABLEAUS
         from crdmodel_tpu.ops import kernel_common, pallas_kstep, pallas_step
         tableau = TABLEAUS[cfg.method]
-        if problem.diffusion_tensor is not None:
-            # anisotropic tensor: the 9-point fused kernel
-            # (ops/pallas_aniso.py); no kstep (it bakes 5-point profiles)
+        if problem.diffusion_tensor is not None \
+                and problem.geometry.kind != "box":
+            # 2-D anisotropic tensor: the 9-point fused kernel
+            # (ops/pallas_aniso.py); no kstep (it bakes 5-point profiles).
+            # The 3-D box tensor routes to the z-streaming kernel's
+            # tensor mode below (ops/pallas_box3d.py).
             from crdmodel_tpu.ops import pallas_aniso
             if pallas_aniso.is_aniso_supported(problem, tableau,
                                                jnp.dtype(cfg.dtype)):

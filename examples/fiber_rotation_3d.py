@@ -78,6 +78,10 @@ def main(outdir: str = "fiber3d_out"):
         z_mesh=12, surface_width=40, surface_length=40, surface_depth=5,
         diffusion=1.0, beta=0.05, wave_length=0.06, wave_width=0.06,
         t_final=10.0, output_timestep=5,
+        # closed transmural walls (the physical slab), which is also what
+        # lets the fused 19-point tensor kernel engage (ops/pallas_box3d
+        # tensor mode needs the z-streaming clamp's closed walls)
+        boundary="noflux_z",
         dtype="float32", rtol=1e-4, atol=1e-7,
     )
     tensor, th = transmural_tensor(cfg)

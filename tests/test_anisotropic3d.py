@@ -233,5 +233,150 @@ def test_validation_errors():
                      output_timestep=2, beta=1.25, dtype="float64")
     with pytest.raises(ValueError, match="Dxx, Dyy, Dxy"):
         build_problem(flat, diffusion_tensor=CONST6)
-    with pytest.raises(ValueError, match="unsupported"):
-        build_problem(_cfg(boundary="noflux"), diffusion_tensor=CONST6)
+    # round 4: no-flux DOMAIN boundaries now compose with the tensor
+    # (grid.py::tensor_coeffs64 boundary masking); obstacles still don't
+    p = build_problem(_cfg(boundary="noflux"), diffusion_tensor=CONST6)
+    assert p.diffusion_tensor is not None
+    with pytest.raises(ValueError, match="obstacle_mask is unsupported"):
+        mask = np.ones((_cfg().nz, _cfg().ny, _cfg().nx), bool)
+        mask[1, 2, 3] = False
+        build_problem(_cfg(), diffusion_tensor=CONST6, obstacle_mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# No-flux walls for the tensor operator (round 4): grid.py::tensor_coeffs64
+# boundary masking — zero diagonal faces at closed walls, mixed fields
+# zeroed on the wall-adjacent layers of each closed axis. Structural
+# guarantees (conservation + self-adjointness) must survive the masking.
+# ---------------------------------------------------------------------------
+
+def _op_b(cfg, tensor, boundary):
+    geo = make_geometry(cfg)
+    face, mixed, invs = geo.tensor_coeffs64(*tensor, boundary=boundary)
+    face = tuple(jnp.asarray(a) for a in face)
+    mixed = tuple(jnp.asarray(a) for a in mixed)
+    return lambda u: np.asarray(
+        anisotropic_laplacian3(jnp.asarray(u), face, mixed, invs))
+
+
+@pytest.mark.parametrize("boundary", ["noflux_z", "noflux"])
+def test_noflux_tensor_conservative_and_self_adjoint(boundary):
+    cfg = _cfg()
+    rng = np.random.default_rng(8)
+    tensor = _random_spd3((cfg.nz, cfg.ny, cfg.nx), rng)
+    L = _op_b(cfg, tensor, boundary)
+    u = rng.standard_normal((cfg.nz, cfg.ny, cfg.nx))
+    v = rng.standard_normal((cfg.nz, cfg.ny, cfg.nx))
+    scale = np.abs(L(u)).max() * u.size
+    assert abs(L(u).sum()) < 1e-12 * scale
+    assert abs(np.vdot(v, L(u)) - np.vdot(L(v), u)) < 1e-12 * scale
+
+
+def test_noflux_z_tensor_no_wall_leakage():
+    """With closed z, mass stays exactly conserved and nothing couples
+    through the wall: a field living only at z=0 must not pick up any
+    contribution at z=nz-1 through the wrap (compare against periodic,
+    which does wrap)."""
+    cfg = _cfg()
+    rng = np.random.default_rng(9)
+    tensor = _random_spd3((cfg.nz, cfg.ny, cfg.nx), rng)
+    u = np.zeros((cfg.nz, cfg.ny, cfg.nx))
+    u[0] = rng.standard_normal((cfg.ny, cfg.nx))
+    closed = _op_b(cfg, tensor, "noflux_z")(u)
+    periodic = _op_b(cfg, tensor, "periodic")(u)
+    assert np.all(closed[-1] == 0.0)       # no coupling through the wall
+    assert np.abs(periodic[-1]).max() > 0  # periodic does couple
+
+
+def _transmural_tensor(cfg, with_z_coupling=True):
+    nz, ny, nx = cfg.nz, cfg.ny, cfg.nx
+    z = np.linspace(0, 1, nz)[:, None, None] * np.ones((nz, ny, nx))
+    th = (z - 0.5) * np.pi / 3
+    dpar, dperp, dtrans = 0.3, 0.08, 0.02
+    c, s_ = np.cos(th), np.sin(th)
+    dxz = dyz = np.zeros_like(c)
+    if with_z_coupling:
+        dxz = np.where((z > 0.2) & (z < 0.8), 0.01, 0.0)
+        dyz = np.where((z > 0.2) & (z < 0.8), -0.008, 0.0)
+    return (dpar * c * c + dperp * s_ * s_, dpar * s_ * s_ + dperp * c * c,
+            np.full_like(c, dtrans), (dpar - dperp) * c * s_, dxz, dyz)
+
+
+def _tensor_cfg(**kw):
+    base = dict(model="aliev_panfilov", surface="box", x_mesh=24,
+                surface_width=10.0, surface_length=12.0, y_mesh=32,
+                surface_depth=3.0, z_mesh=8, t_final=0.5, output_timestep=1,
+                beta=0.05, dtype="float32", rtol=1e-4, atol=1e-7,
+                boundary="noflux_z", use_pallas=True)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# Fused 19-point tensor kernels (VERDICT r3 #2): the z-streaming box kernels'
+# tensor mode — six streamed coefficient fields (3 faces + 3 mixed), mixed
+# pairs in exactly the XLA association. Interpreter-mode equivalence.
+# ---------------------------------------------------------------------------
+
+class TestFusedTensorKernels:
+    @pytest.mark.parametrize("method", ["bs32", "rkc2"])
+    def test_single_chip_matches_xla(self, method):
+        from crdmodel_tpu.sim import make_run_fn
+        cfg = _tensor_cfg(method=method)
+        tensor = _transmural_tensor(cfg)
+        p_k = build_problem(cfg, diffusion_tensor=tensor)
+        from crdmodel_tpu.ops import pallas_box3d, pallas_box3d_rkc
+        if method == "bs32":
+            from crdmodel_tpu.integrate.erk import TABLEAUS
+            assert pallas_box3d._box_mode(p_k)[0] == "tensor"
+            assert pallas_box3d.is_box3d_supported(p_k, TABLEAUS["bs32"],
+                                                   jnp.float32)
+        else:
+            assert pallas_box3d_rkc.is_box3d_rkc_supported(p_k, jnp.float32)
+        run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+        tk, sk = run_k(p_k.y0, p_k.params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+        run_x = jax.jit(make_run_fn(p_x)[0])
+        tx, sx = run_x(p_x.y0, p_x.params)
+        assert np.array_equal(np.asarray(sk.steps), np.asarray(sx.steps))
+        assert np.all(np.asarray(sk.status) == 0)
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=2e-5)
+
+    def test_periodic_z_declines(self):
+        """Open z walls: the z-streaming clamp would be wrong — XLA path."""
+        from crdmodel_tpu.ops import pallas_box3d
+        cfg = _tensor_cfg(boundary="periodic")
+        p = build_problem(cfg, diffusion_tensor=_transmural_tensor(cfg))
+        assert pallas_box3d._box_mode(p)[0] is None
+
+    @pytest.mark.parametrize("method", ["bs32", "rkc2"])
+    def test_sharded_matches_xla(self, method):
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_box3d,
+            sharded_params)
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = _tensor_cfg(method=method, x_mesh=32, surface_length=10.0,
+                          y_mesh=32)
+        tensor = _transmural_tensor(cfg)
+        mesh = make_mesh(shape=(2, 2))
+        p_k = build_problem(cfg, diffusion_tensor=tensor)
+        if method == "bs32":
+            assert maybe_fused_shard_box3d(p_k, mesh,
+                                           interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_f, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tf, sf = run_f(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+        run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+        tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+        assert np.array_equal(np.asarray(sf.steps), np.asarray(sx.steps))
+        # a nonzero difference proves the fused path actually ran (an
+        # XLA-vs-XLA pair would be bitwise identical)
+        d = np.abs(np.asarray(tf) - np.asarray(tx)).max()
+        assert 0 < d < 2e-5
