@@ -42,7 +42,8 @@ from crdmodel_tpu.sim import SimResult, output_times
 
 def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                    pad_spec=None, divergence: bool = False, forcing=None,
-                   tensor_inv4=None, tissue: bool = False):
+                   tensor_inv4=None, tissue: bool = False,
+                   pole_gs: tuple = ()):
     """RHS over a local (nvars, nyl, nxl) block with ppermute halos.
 
     Spatial inputs come through params (so they shard with the mesh):
@@ -59,6 +60,14 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
       params["_dxy_pad"]: haloed Dxy block — anisotropic tensor diffusion
         only (tensor_inv4 = the mixed-term weight 1/(4 dx dy); the caller
         halo-pads params["dxy"] ONCE per dispatch, outside the loop)
+      params["_pole_c_{g}"]: (1, nx) block-Laplacian coefficient profile
+        (aN/g^2 on the coarsened band columns, 0 elsewhere) per distinct
+        pole group size g (pole_gs static) — the sharded reduced-grid
+        sphere operator: per g, shard-local phi block means (g divides
+        nyl, checked in sharded_params), ONE width-1 ppermute of the
+        block-mean rows, and the Galerkin block Laplacian broadcast back
+        (bitwise the single-device core/problem.py::_pole_bands band
+        arithmetic; off-band columns multiply zero)
 
     split=True returns (rhs_ex, rhs_im) for the ark324 IMEX integrator: the
     implicit (reaction) part is pointwise — NO halo exchange, so the whole
@@ -104,6 +113,19 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                     term = (divergence3_from_padded(up, coeffs)
                             if len(coeffs) == 6
                             else divergence_from_padded(up, coeffs))
+                    if pole_gs:
+                        from crdmodel_tpu.parallel.halo import halo_pad_rows
+                        u_loc = state[v]
+                        for g in pole_gs:
+                            c = params[f"_pole_c_{g}"]
+                            nyg = u_loc.shape[-2] // g
+                            ub = u_loc.reshape(
+                                u_loc.shape[:-2]
+                                + (nyg, g, u_loc.shape[-1])).mean(-2)
+                            ubp = halo_pad_rows(ub)
+                            lapb = c * (ubp[..., 2:, :] - 2.0 * ub
+                                        + ubp[..., :-2, :])
+                            term = term + jnp.repeat(lapb, g, axis=-2)
                 else:
                     term = laplacian_from_padded(up, coeffs, kind)
                 out.append(term if r == 1.0 else r * term)
@@ -184,6 +206,53 @@ def mesh_pad_spec(cfg, mesh):
     return spec if spec.active else None
 
 
+def _pole_shard_data(problem, dtype):
+    """(pole_gs, face_coeffs, {g: (1, nx) coeff profile}) for the reduced
+    (pole-coarsened) sphere on a device mesh, or None when coarsening is
+    off. face_coeffs are the fine flux profiles with phi faces zeroed on
+    coarsened rings; the per-g profiles carry aN/g^2 on that g's band
+    columns and 0 elsewhere (core/problem.py::_pole_bands)."""
+    from crdmodel_tpu.core.problem import _pole_bands
+    pb = _pole_bands(problem.cfg, problem.geometry,
+                     problem.diffusion_field, dtype,
+                     face_mask=getattr(problem, "face_mask", None))
+    if pb is None:
+        return None
+    bands, face_coeffs = pb
+    nx = problem.geometry.grid.nx
+    cmap = {}
+    for sl, g, c in bands:
+        full = cmap.setdefault(int(g), np.zeros((1, nx)))
+        full[0, sl] = np.asarray(c, np.float64)
+    gs = tuple(sorted(cmap))
+    return gs, face_coeffs, {g: jnp.asarray(v, dtype)
+                             for g, v in cmap.items()}
+
+
+def check_pole_mesh(problem, mesh, pad_spec=None):
+    """pole_gs for this run (possibly ()), validating the mesh: every pole
+    group must divide the local phi block so block means stay shard-local."""
+    cfg = problem.cfg
+    if not getattr(cfg, "pole_coarsen", 0):
+        return ()
+    if pad_spec is not None and pad_spec.active:
+        raise ValueError(
+            "pole_coarsen does not compose with padded (uneven) meshes: "
+            "pick a mesh whose y axis divides ny (and every pole group "
+            "size divides nyl)")
+    pd = _pole_shard_data(problem, jnp.dtype(cfg.dtype))
+    if pd is None:
+        return ()
+    nyl = _local_block_shape(cfg, mesh, pad_spec)[0]
+    bad = [g for g in pd[0] if nyl % g]
+    if bad:
+        raise ValueError(
+            f"pole groups {bad} do not divide the local phi block "
+            f"nyl={nyl}: choose a mesh with fewer shards along 'py' "
+            "(phi block means must stay shard-local)")
+    return pd[0]
+
+
 def sharded_params(problem: Problem, pad_spec=None):
     """Global parameter arrays + their PartitionSpecs.
 
@@ -193,14 +262,14 @@ def sharded_params(problem: Problem, pad_spec=None):
     the physical value range (they are masked out of the dynamics, but
     spectral-radius bounds still see their values)."""
     cfg = problem.cfg
-    if getattr(cfg, "pole_coarsen", 0):
-        raise ValueError(
-            "pole_coarsen is a single-device XLA feature this round: the "
-            "phi block means span whole rings, which a phi-sharded mesh "
-            "splits across devices (core/problem.py::_pole_bands). Run "
-            "the sphere unsharded, or sharded without pole_coarsen.")
     dtype = jnp.dtype(cfg.dtype)
     padded = pad_spec is not None and pad_spec.active
+    pole = None
+    if getattr(cfg, "pole_coarsen", 0):
+        if padded:
+            raise ValueError("pole_coarsen does not compose with padded "
+                             "(uneven) meshes (see check_pole_mesh)")
+        pole = _pole_shard_data(problem, dtype)
     dxy = None
     if getattr(problem, "diffusion_tensor", None) is not None:
         if padded:
@@ -218,6 +287,11 @@ def sharded_params(problem: Problem, pad_spec=None):
             dxy = jnp.stack([jnp.asarray(a, dtype) for a in mixed_np])
         else:
             dxy = jnp.asarray(mixed_np, dtype)
+    elif pole is not None:
+        # reduced (pole-coarsened) sphere: fine flux profiles with phi
+        # faces zeroed on coarsened rings; the band operator rides the
+        # per-g coefficient profiles registered below
+        coeffs = tuple(jnp.asarray(c, dtype) for c in pole[1])
     elif problem.diffusion_field is not None:
         # conservative variable-coefficient operator: coeffs are the four
         # face arrays, (nx,) for x-only D fields or (ny, nx) for full
@@ -290,6 +364,10 @@ def sharded_params(problem: Problem, pad_spec=None):
     if padded:
         params["valid"] = jnp.asarray(pad_spec.valid_mask())
         specs["valid"] = P(AXIS_Y, AXIS_X)
+    if pole is not None:
+        for g, prof in pole[2].items():
+            params[f"_pole_c_{g}"] = prof
+            specs[f"_pole_c_{g}"] = P(None, AXIS_X)
     frc = getattr(problem, "forcing", None)
     from crdmodel_tpu.core.forcing import SeparableForcing
     if isinstance(frc, SeparableForcing):
@@ -653,10 +731,12 @@ def build_local_run(problem: Problem, mesh,
                        if isinstance(tensor_inv4, tuple)
                        else float(tensor_inv4))
     tissue = getattr(problem, "obstacle_mask", None) is not None
+    pole_gs = check_pole_mesh(problem, mesh, pad_spec)
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
                                forcing=problem.forcing,
-                               tensor_inv4=tensor_inv4, tissue=tissue)
+                               tensor_inv4=tensor_inv4, tissue=tissue,
+                               pole_gs=pole_gs)
     # PHYSICAL cell count: pad cells contribute exactly zero to every norm
     # (masked RHS => zero error stages; explicit mask in reduce_fn below)
     global_size = problem.y0.size   # nvars*ny*nx (+ nz on the 3-D box)
@@ -680,7 +760,8 @@ def build_local_run(problem: Problem, mesh,
     rhs_split = (make_local_rhs(cfg, model, kind, split=True,
                                 pad_spec=pad_spec, divergence=divergence,
                                 forcing=problem.forcing,
-                                tensor_inv4=tensor_inv4, tissue=tissue)
+                                tensor_inv4=tensor_inv4, tissue=tissue,
+                                pole_gs=pole_gs)
                  if cfg.method == "ark324" else None)
 
     fused = (maybe_fused_shard_step(problem, mesh,
@@ -833,10 +914,12 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                        if isinstance(tensor_inv4, tuple)
                        else float(tensor_inv4))
     tissue = getattr(problem, "obstacle_mask", None) is not None
+    pole_gs = check_pole_mesh(problem, mesh, pad_spec)
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
                                divergence=divergence,
                                forcing=problem.forcing,
-                               tensor_inv4=tensor_inv4, tissue=tissue)
+                               tensor_inv4=tensor_inv4, tissue=tissue,
+                               pole_gs=pole_gs)
     global_size = problem.y0.size   # physical count (see sim fn)
     dtype = jnp.dtype(cfg.dtype)
 
@@ -893,7 +976,8 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
                                     pad_spec=pad_spec,
                                     divergence=divergence,
                                     forcing=problem.forcing,
-                                    tensor_inv4=tensor_inv4, tissue=tissue)
+                                    tensor_inv4=tensor_inv4, tissue=tissue,
+                                    pole_gs=pole_gs)
                      if cfg.method == "ark324" else None)
         step_err, init_carry, err_order = make_stepper(
             cfg.method, local_rhs, cfg.rtol, cfg.atol, rho_fn, rhs_split)
