@@ -278,3 +278,72 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
                      touts=touts_out,
                      stats=stats, wall_time=wall,
                      snapshots=None if gather else snaps)
+
+
+def sweep_beta_multihost(cfg, betas, mesh: Optional[Mesh] = None,
+                         spatial_shape: Optional[tuple] = None):
+    """Process-spanning 'member' ensemble sweep over DCN.
+
+    The DCN analogue of parallel/ensemble.py: the member axis of a
+    ('member',) or ('member','py','px') mesh spans ALL processes'
+    devices (jax.devices() is global after initialize()), each member
+    running the full single-member adaptive program with zero
+    cross-member communication — the reference's N separate `mpirun`
+    launches (README.md:29-34) become one multi-node program. Member
+    inputs are built identically on every process and contributed
+    shard-wise (distribute(); nothing crosses the network), results are
+    allgathered to every host.
+
+    Returns a sweep.SweepResult (trajectories include the IC row, the
+    sweep.py layout)."""
+    import dataclasses
+    import time
+
+    from jax.experimental import multihost_utils
+
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.ensemble import (make_ensemble_mesh,
+                                                make_ensemble_sweep_fn,
+                                                member_axis_size)
+    from crdmodel_tpu.parallel.mesh import AXIS_M
+    from crdmodel_tpu.sweep import SweepResult
+
+    if cfg.vary_beta:
+        raise ValueError("sweep_beta sweeps the constant beta; "
+                         "vary_beta encodes a spatial range")
+    t0 = time.perf_counter()
+    if mesh is None:
+        mesh = make_ensemble_mesh(spatial_shape=spatial_shape)
+    base = build_problem(cfg)
+    run_e, touts, pad_e = make_ensemble_sweep_fn(base, mesh)
+    m = member_axis_size(mesh)
+    B = len(betas)
+    n_pad = -(-B // m) * m
+    probs = [build_problem(dataclasses.replace(cfg, beta=float(b)))
+             for b in betas]
+    dtype = np.dtype(cfg.dtype)
+    y0s = np.stack([np.asarray(p.y0) for p in probs]).astype(dtype)
+    if pad_e is not None:
+        y0s = np.stack([np.asarray(pad_e.pad_field(y)) for y in y0s])
+    bb = np.asarray(list(betas), dtype)
+    if n_pad != B:
+        y0s = np.concatenate([y0s, np.repeat(y0s[-1:], n_pad - B, 0)])
+        bb = np.concatenate([bb, np.repeat(bb[-1:], n_pad - B)])
+    ds = np.ones(n_pad, dtype)
+    lead = lambda a: P(AXIS_M, *([None] * (np.ndim(a) - 1)))  # noqa: E731
+    traj, stats = run_e(distribute(mesh, lead(y0s), y0s),
+                        distribute(mesh, lead(bb), bb),
+                        distribute(mesh, lead(ds), ds))
+    gather = lambda x: np.asarray(  # noqa: E731
+        multihost_utils.process_allgather(x, tiled=True))[:B]
+    traj = gather(traj)
+    stats = jax.tree_util.tree_map(gather, stats)
+    if pad_e is not None:
+        traj = np.asarray(pad_e.unpad_field(jnp.asarray(traj)))
+        y0s = y0s[..., :cfg.ny, :cfg.nx]
+    full = np.concatenate([y0s[:B, None], traj], axis=1)
+    return SweepResult(cfg=cfg, betas=np.asarray(betas, np.float64),
+                       trajectories=full,
+                       touts=np.concatenate([[0.0], touts]), stats=stats,
+                       wall_time=time.perf_counter() - t0,
+                       members=tuple({"beta": float(b)} for b in betas))

@@ -71,10 +71,13 @@ class TestValidation:
         with pytest.raises(ValueError, match="broadcast"):
             build_problem(cfg, obstacle_mask=np.ones((3, 5), bool))
 
-    def test_tensor_boundary_rejected(self):
+    def test_tensor_boundary_composes(self):
+        # round 4: no-flux DOMAIN walls compose with the tensor operator
+        # (grid.py::tensor_coeffs64 boundary masking); obstacles still
+        # reject (tests/test_anisotropic3d.py::test_validation_errors)
         cfg = flat_cfg(boundary="noflux")
-        with pytest.raises(ValueError, match="diffusion_tensor"):
-            build_problem(cfg, diffusion_tensor=(0.1, 0.05, 0.0))
+        p = build_problem(cfg, diffusion_tensor=(0.1, 0.05, 0.0))
+        assert p.diffusion_tensor is not None
 
     def test_fingerprint_covers_boundary(self):
         from crdmodel_tpu.io.checkpoint import config_fingerprint

@@ -343,3 +343,148 @@ def test_two_process_normal_mode_matches_single(tmp_path):
     np.testing.assert_array_equal(steps_mh, np.asarray(res.stats.steps))
     np.testing.assert_allclose(traj_mh, np.asarray(res.trajectory),
                                rtol=1e-12, atol=1e-12)
+
+
+CHILD_ENSEMBLE = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+assert jax.device_count() == 8
+
+from crdmodel_tpu.config import SimConfig
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=2,
+                beta=1.25, dtype="float64", rtol=1e-6, atol=1e-10)
+betas = [1.0, 1.05, 1.1, 1.15, 1.2, 1.25, 1.3, 1.35]
+res = multihost.sweep_beta_multihost(cfg, betas)
+if jax.process_index() == 0:
+    np.savez(out, traj=np.asarray(res.trajectories),
+             steps=np.asarray(res.stats.steps))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_member_ensemble_sweep(tmp_path):
+    """VERDICT r3 #8a: the 'member' ensemble axis spans PROCESSES — 8 beta
+    members over 2 coordinated processes x 4 devices (DCN analogue of
+    parallel/ensemble.py), matching the single-process vmap sweep."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    out = str(tmp_path / "mh_sweep.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_ENSEMBLE, str(pid), "2", port, out],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.sweep import sweep_beta
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=2, beta=1.25, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    betas = [1.0, 1.05, 1.1, 1.15, 1.2, 1.25, 1.3, 1.35]
+    ref = sweep_beta(cfg, betas, batch_mode="vmap")
+    with np.load(out) as z:
+        np.testing.assert_array_equal(z["steps"],
+                                      np.asarray(ref.stats.steps))
+        np.testing.assert_allclose(z["traj"],
+                                   np.asarray(ref.trajectories),
+                                   rtol=1e-12, atol=1e-12)
+
+
+CHILD_SAVE_ONLY = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+out = sys.argv[4]; ckdir = sys.argv[5]
+
+from crdmodel_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nprocs, process_id=pid)
+
+from crdmodel_tpu.config import SimConfig
+cfg = SimConfig(model="fhn", surface="torus", x_mesh=16, surface_width=20.0,
+                surface_length=40.0, t_final=0.4, output_timestep=4,
+                vary_beta=1, beta_min=0.7, beta_max=1.7, t_boundary=0.1,
+                dtype="float64", rtol=1e-6, atol=1e-10)
+mesh = multihost.make_global_mesh((cfg.ny, cfg.nx), shape=(2, 4))
+full = multihost.simulate_sharded_multihost(cfg, mesh=mesh)
+assert full.ok
+multihost.simulate_sharded_multihost(cfg, mesh=mesh, checkpoint_every=2,
+                                     checkpoint_dir=ckdir,
+                                     checkpoint_backend="orbax")
+if jax.process_index() == 0:
+    np.savez(out, full=np.asarray(full.trajectory),
+             steps_full=np.asarray(full.stats.steps))
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_elastic_resume_across_process_counts(tmp_path):
+    """VERDICT r3 #8b: an orbax checkpoint written collectively by TWO
+    processes resumes in ONE process — on the same mesh shape AND on a
+    different one (elastic re-layout) — matching the uninterrupted
+    2-process run exactly."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    out = str(tmp_path / "mh_save.npz")
+    ckdir = str(tmp_path / "ck")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", CHILD_SAVE_ONLY, str(pid), "2", port, out,
+         ckdir],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{so}\n{se}"
+    with np.load(out) as z:
+        full = z["full"]
+
+    # resume in THIS single process (8 local devices) on the saved mesh
+    # shape and on a different one
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import simulate_sharded_streaming
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=16,
+                    surface_width=20.0, surface_length=40.0, t_final=0.4,
+                    output_timestep=4, vary_beta=1, beta_min=0.7,
+                    beta_max=1.7, t_boundary=0.1, dtype="float64",
+                    rtol=1e-6, atol=1e-10)
+    for shape in [(2, 4), (4, 2)]:
+        res = simulate_sharded_streaming(cfg, mesh=make_mesh(shape=shape),
+                                         resume_dir=ckdir,
+                                         checkpoint_backend="orbax")
+        assert res.ok
+        assert np.asarray(res.trajectory).shape[0] == 2
+        np.testing.assert_allclose(np.asarray(res.trajectory), full[3:],
+                                   rtol=1e-12, atol=1e-12)
