@@ -159,11 +159,16 @@ def make_divform_rhs_block(model, just_diffusion: bool):
         # not a legal Pallas kernel constant)
         return lap if ds is None else ds * lap
 
-    def rhs_block(yb, faces, tis, ds, b_rows, live_rows):
+    def rhs_block(yb, faces, tis, ds, b_rows, live_rows, extra=None):
         laps = {}
         for idx, v in enumerate(dvars):
             lap = div_lap(yb[v], faces, ds)
             laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
+        if extra:
+            # forcing joins the diffusion term (XLA association order; the
+            # dscale rescale does NOT touch it, matching make_rhs)
+            for v, add in extra.items():
+                laps[v] = laps[v] + add if v in laps else add
         if just_diffusion:
             ydot = jnp.stack([laps[v] if v in laps else jnp.zeros_like(yb[0])
                               for v in range(nvars)])

@@ -103,8 +103,9 @@ def _face_coeffs64(problem):
 
 
 def is_divform_supported(problem, tableau: Tableau, dtype) -> bool:
-    if problem.forcing is not None:
-        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path
     if not needs_divform(problem):
         return False
     if problem.geometry.kind not in ("flat", "torus", "revolution"):
@@ -167,6 +168,35 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
+    # structured forcing (core/forcing.py) — same machinery as
+    # ops/pallas_step.py: per-stage amplitudes at true stage times from
+    # outside the kernel, rank-1 profiles as trace-time constant inputs
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_divform_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in tableau.c)
+        rows_np, cols_np = [], []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            rows_np.append(np.concatenate([r_[-P:], r_, r_[:P]], axis=0))
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P] = c_[-P:]
+            c_lane[P:P + nx] = c_
+            c_lane[P + nx:P + nx + P] = c_[:P]
+            cols_np.append(c_lane)
+        stim_rows = jnp.asarray(np.stack(rows_np), dtype)
+        stim_cols = jnp.asarray(np.stack(cols_np)[:, None, :], dtype)
+    else:
+        stim_rows = jnp.zeros((1, 1, 1), dtype)
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), n_stages), dtype)
+
     # --- coefficient strip windows: (n_strips, R, nxp), f64 setup ---
     aE64, aW64, aN64, aS64 = _face_coeffs64(problem)
     if not np.array_equal(aS64, np.roll(aN64, 1, axis=0)):
@@ -188,7 +218,8 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
 
     rhs_block = make_divform_rhs_block(model, just_diffusion)
 
-    def kernel(h_ref, fz_ref, ds_ref, b_ref, m_ref, cm_ref,
+    def kernel(h_ref, fz_ref, ds_ref, amps_ref, srow_ref, scol_ref,
+               b_ref, m_ref, cm_ref,
                y_hbm, c_hbm, ynew_ref, ss_ref, yv, sems, cv, csems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
@@ -214,6 +245,18 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
         as_ = jnp.roll(an, 1, axis=-2)
         tis = cb[3] if has_tissue else None
 
+        def stage_extra(s):
+            if not n_stim:
+                return None
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, s]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+            return ex
+
         y0 = yv[slot]
         faces = (ae, aw, an, as_)
         ks = []
@@ -222,7 +265,8 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
             for j in range(s):
                 if a[s, j] != 0.0:
                     yi = yi + (h * float(a[s, j])) * ks[j]
-            ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows))
+            ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows,
+                                stage_extra(s)))
 
         ynew = y0
         err = jnp.zeros_like(y0)
@@ -251,6 +295,12 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
         grid=(n_strips,),
         in_specs=[
             smem_scalar, smem_scalar, smem_scalar,
+            pl.BlockSpec(amps0.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec(stim_rows.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus row profiles
+            pl.BlockSpec(stim_cols.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus col profiles
             pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(kc.m_pad.shape, lambda i: (0, 0),
@@ -286,10 +336,16 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
     one = jnp.ones((1, 1), dtype)
 
     def step_err(t, yp, h, params):
-        del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
+        if n_stim:
+            amps = jnp.stack([
+                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
+                           for cs in c_nodes])
+                for st in forcing.stimuli])
+        else:
+            amps = amps0
         b_in = kc.b_pad
         ds_s = one
         ch = coeffs_hbm   # fallback: callers that don't thread params
@@ -300,7 +356,8 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
             if "_divform_coeffs" in params:
                 ch = params["_divform_coeffs"]
-        ynew, ss = call(h_s, fz_s, ds_s, b_in, kc.m_pad, kc.col_mask,
+        ynew, ss = call(h_s, fz_s, ds_s, amps, stim_rows, stim_cols,
+                        b_in, kc.m_pad, kc.col_mask,
                         yp, ch)
         return ynew, jnp.sum(ss)
 

@@ -92,6 +92,9 @@ def _strip_target(nxl: int, nvars: int, n_stages: int,
 
 def is_shard_divform_supported(problem, tableau: Tableau, dtype,
                                nyl: int, nxl: int) -> bool:
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path
     if not needs_divform(problem):
         return False
     if problem.geometry.kind not in ("flat", "torus", "revolution"):
@@ -158,12 +161,33 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         axis_y, axis_x, pad_spec=pad_spec)
     padded = pad_spec is not None and pad_spec.active
     pady = padded and pad_spec.y.active
+    padx = padded and pad_spec.x.active
 
     def _halo_rows(arr2d):
         if not pady:
             return halo_pad_rows(arr2d, axis_y, P)
         return mirror_halo_pad_rows(arr2d, axis_y, P,
                                     pad_spec.y.n, pad_spec.y.blk)
+
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    from crdmodel_tpu.parallel.halo import (halo_pad_cols,
+                                            mirror_halo_pad_cols)
+    forcing = fused_forcing(problem)
+    assert forcing is not False
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in tableau.c)
+
+    def _halo_cols_prof(prof):
+        if not padx:
+            prof = halo_pad_cols(prof, axis_x, P)
+        else:
+            prof = mirror_halo_pad_cols(prof, axis_x, P,
+                                        pad_spec.x.n, pad_spec.x.blk)
+        if fill:
+            prof = jnp.pad(prof, ((0, 0), (0, fill)))
+        return prof
 
     def prepare_params(params):
         out = dict(params)
@@ -198,13 +222,23 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             cmask = jnp.zeros((1, nxp), dtype)
             out["_fused_cmask"] = cmask.at[0, P:P + nxl].set(
                 jnp.max(valid, axis=0))
+        if n_stim:
+            out["_fused_stim_rows"] = jnp.stack(
+                [_halo_rows(params[f"_stim_row_{i}"]
+                            .astype(dtype).reshape(nyl, 1))
+                 for i in range(n_stim)])
+            out["_fused_stim_cols"] = jnp.stack(
+                [_halo_cols_prof(params[f"_stim_col_{i}"]
+                                 .astype(dtype).reshape(1, nxl))
+                 for i in range(n_stim)])
         return out
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
-    def kernel(h_ref, fz_ref, ds_ref, b_ref, m_ref, cm_ref, vr_ref,
+    def kernel(h_ref, fz_ref, ds_ref, amps_ref, srow_ref, scol_ref,
+               b_ref, m_ref, cm_ref, vr_ref,
                y_hbm, c_hbm, w_ref, e_ref, lo_ref, hi_ref,
                ynew_ref, ss_ref, yv, sems, cv, csems):
         i = pl.program_id(0)
@@ -264,13 +298,27 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             [wrow, yv[slot][..., P:P + nxl], erow,
              yv[slot][..., P + nxl + P:]], axis=-1)
 
+        def stage_extra(s):
+            if not n_stim:
+                return None
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, s]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+            
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+            return ex
+
         ks = []
         for s in range(n_stages):
             yi = y0
             for j in range(s):
                 if a[s, j] != 0.0:
                     yi = yi + (h * float(a[s, j])) * ks[j]
-            ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows))
+            ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows,
+                                stage_extra(s)))
 
         ynew = y0
         err = jnp.zeros_like(y0)
@@ -298,6 +346,14 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         grid=(n_strips,),
         in_specs=[
             smem_scalar, smem_scalar, smem_scalar,
+            pl.BlockSpec((max(1, n_stim), n_stages), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus row profiles
+            pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus col profiles
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
@@ -341,9 +397,11 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
 
     one = jnp.ones((1, 1), dtype)
     ones_rows = jnp.ones((nyl, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), n_stages), dtype)
+    srow0 = jnp.zeros((1, 1, 1), dtype)
+    scol0 = jnp.zeros((1, 1, 1), dtype)
 
     def step_err(t, yp, h, params):
-        del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
@@ -353,7 +411,17 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         cm = params.get("_fused_cmask", col_mask)
         vr = params.get("_fused_vrow", ones_rows)
-        ynew, ss = call(h_s, fz_s, ds_s, params["_fused_b"],
+        if n_stim:
+            amps = jnp.stack([
+                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
+                           for cs in c_nodes])
+                for st in forcing.stimuli])
+            srow = params["_fused_stim_rows"]
+            scol = params["_fused_stim_cols"]
+        else:
+            amps, srow, scol = amps0, srow0, scol0
+        ynew, ss = call(h_s, fz_s, ds_s, amps, srow, scol,
+                        params["_fused_b"],
                         params.get("_fused_live", one), cm, vr,
                         yp, params["_divform_coeffs"],
                         w_ext, e_ext, lo_rows, hi_rows)

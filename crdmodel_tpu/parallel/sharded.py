@@ -530,8 +530,9 @@ def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
         return None   # 3-D box: XLA 7-point path (kernels are 2-D machines)
     if not needs_divform(problem):
         return None   # the profile/aniso kernels' territory
-    if problem.forcing is not None:
-        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None   # only structured separable forcing runs in-kernel
     if cfg.method not in TABLEAUS:
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):

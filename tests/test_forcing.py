@@ -198,6 +198,21 @@ def _fused_cfg(**kw):
     return SimConfig(**base)
 
 
+def _protocol_smooth(cfg):
+    """Smooth waveforms only: sharp pulse onsets trigger controller
+    rejections whose accept/reject borderline flips amplify ulp-level
+    path differences into step-count gaps (documented in the per-interval
+    analysis) — the pulse machinery is pinned by the single-chip tests."""
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           gaussian_profile, rect_profile)
+    s1 = Stimulus(waveform=lambda t: 1.5 * jnp.exp(-((t - 0.3) / 0.1) ** 2),
+                  row=rect_profile(cfg.ny, 0, cfg.ny // 4))
+    s2 = Stimulus(waveform=lambda t: 0.4 * jnp.cos(3.0 * t),
+                  col=gaussian_profile(cfg.nx, cfg.nx / 2, cfg.nx / 8),
+                  var=1)
+    return SeparableForcing(s1, s2)
+
+
 def _protocol(cfg, full2d=False):
     from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
                                            gaussian_profile, pulse_train,
@@ -348,3 +363,59 @@ class TestFusedForcing:
         p0 = build_problem(cfg)
         res0 = simulate(cfg, problem=p0)
         assert np.abs(u - np.asarray(res0.trajectory[-1, 0])).max() > 1e-2
+
+
+class TestFusedDivformForcing:
+    """Pacing on BOUNDED tissue (the real-world S1-S2 configuration):
+    no-flux walls force the divergence-form kernel, which also evaluates
+    SeparableForcing in-kernel."""
+
+    def test_single_chip_noflux_matches_xla(self):
+        import jax
+        from crdmodel_tpu.sim import make_run_fn
+        from crdmodel_tpu.integrate.erk import TABLEAUS
+        from crdmodel_tpu.ops import pallas_divform
+        cfg = _fused_cfg(boundary="noflux")
+        p_k = build_problem(cfg, forcing=_protocol(cfg))
+        assert pallas_divform.is_divform_supported(p_k, TABLEAUS["bs32"],
+                                                   jnp.float32)
+        run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol(cfg))
+        run_x = jax.jit(make_run_fn(p_x)[0])
+        tk, sk = run_k(p_k.y0, p_k.params)
+        tx, sx = run_x(p_x.y0, p_x.params)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1 and gap.sum() <= 2
+        assert np.all(np.asarray(sk.status) == 0)
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-3)
+
+    def test_sharded_noflux_matches_xla(self):
+        import jax
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_divform,
+            sharded_params)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = _fused_cfg(x_mesh=64, surface_length=10.0, surface_width=10.0,
+                         boundary="noflux")
+        mesh = make_mesh(shape=(2, 4))
+        p_k = build_problem(cfg, forcing=_protocol_smooth(cfg))
+        assert maybe_fused_shard_divform(p_k, mesh,
+                                         interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol_smooth(cfg))
+        params_x, _ = sharded_params(p_x)
+        run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+        tx, sx = run_x(p_x.y0, params_x)
+        gap = abs(int(np.sum(np.asarray(sk.steps)))
+                  - int(np.sum(np.asarray(sx.steps))))
+        assert gap <= 3
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-4)
