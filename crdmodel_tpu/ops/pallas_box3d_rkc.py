@@ -213,6 +213,15 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
+    # the coefficient/tissue stacks can reach hundreds of MB at volumetric
+    # scale: pass them as RUNTIME params, never baked constants — closure
+    # constants ride the compile request, which the axon tunnel rejects
+    # above ~128 MB (HTTP 413; same lesson as kernel_common.build_coeff_hbm)
+    if has_field:
+        problem.params["_box3d_coeffs"] = c_hbm
+    if has_tissue:
+        problem.params["_box3d_tissue"] = tis_hbm
+
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
                b_ref, m_ref, cm_ref, y_hbm, t_hbm, c_hbm_ref,
@@ -544,9 +553,14 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 b_in = params["_fused_b"].astype(dtype)
             if "dscale" in params:
                 ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
+        th = tis_hbm
+        ch = c_hbm
+        if isinstance(params, dict):
+            th = params.get("_box3d_tissue", th)
+            ch = params.get("_box3d_coeffs", ch)
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
                         ae_row, aw_row, an_col, as_col, au_z, ad_z,
-                        b_in, kc.m_pad, kc.col_mask, yp, tis_hbm, c_hbm)
+                        b_in, kc.m_pad, kc.col_mask, yp, th, ch)
         return ynew, jnp.sum(ss), ()
 
     def h_limit(t, yp, params):

@@ -484,12 +484,9 @@ class TestPoleCoarsen:
         with pytest.raises(ValueError, match="pole_coarsen"):
             SimConfig(model="fhn", surface="torus",
                       pole_coarsen=1).validate()
-        # sharded drivers refuse
-        from crdmodel_tpu.parallel.mesh import make_mesh
-        from crdmodel_tpu.parallel.sharded import simulate_sharded
-        with pytest.raises(ValueError, match="single-device"):
-            simulate_sharded(self._cfg(x_mesh=64),
-                             mesh=make_mesh(shape=(2, 2)))
+        # round 4: sharded drivers ACCEPT pole coarsening (see
+        # TestShardedPoleCoarsen); only incompatible meshes refuse
+        # (pole groups must divide nyl — checked there)
         # fused kernels decline
         from crdmodel_tpu.sim import _pallas_eligible
         p = build_problem(self._cfg(x_mesh=64, dtype="float32",
