@@ -99,10 +99,19 @@ def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False,
     guard = (budget * 14) // 10
 
     def fits(P, S):
+        R = S + 2 * P
         if blocked:
-            R = S + 2 * P
             return 4 * nxp * nvars * (14 * R + 2 * S) <= 15_500_000
-        return 4 * nxp * (9 * nvars + extra_live) * (S + 2 * P) <= guard
+        # two ceilings: the round-3 9-live model against the calibrated
+        # guard, AND a Mosaic-measured 15-live ceiling against the 16MB
+        # scoped-vmem limit — the (8,64)@nxp=1664 nb=1 variant (ny=6400,
+        # nx=1600) allocates 16.13MB on current Mosaic (15.1 live row
+        # arrays; first full bench_suite re-run, round 4), which the
+        # 9-live model predicted at 9.6MB. Canonical plans are unchanged
+        # by the second ceiling (e.g. 400x1600 stays (24, 200)).
+        if 4 * nxp * nvars * 15 * R > 15_500_000:
+            return False
+        return 4 * nxp * (9 * nvars + extra_live) * R <= guard
 
     plan = []
     best_S = 0
