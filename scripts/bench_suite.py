@@ -212,6 +212,32 @@ def main():
                             points_steps_per_s=float(f"{rate:.4g}")))
         print(f"done: {name}: {wall:.3f}s / {steps} steps", file=sys.stderr)
 
+    # ensemble (TPU-batched sweep) row: B=8 beta members, members mode
+    # below PALLAS_AUTO_POINTS — the measured-crossover configuration
+    # (PERF_NOTES "TPU-batched sweeps"); one compiled program, 8 members
+    if not args.quick:
+        from crdmodel_tpu.sweep import sweep_beta
+        cfg_e = canonical_fhn("bs32")
+        cfg_e = dataclasses.replace(cfg_e, x_mesh=100, t_final=5.0,
+                                    output_timestep=1, vary_beta=0,
+                                    beta=1.25, beta_min=0.0, beta_max=0.0)
+        betas = [1.0 + 0.05 * i for i in range(8)]
+        sweep_beta(cfg_e, betas, batch_mode="members")   # compile + warm
+        wall = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            se = sweep_beta(cfg_e, betas, batch_mode="members")
+            wall = min(wall, time.perf_counter() - t0)
+        steps = int(np.sum(np.asarray(se.stats.steps)))
+        rate = cfg_e.nx * cfg_e.ny * steps / wall
+        results.append(dict(
+            name=f"FHN sweep B=8 members-mode {cfg_e.ny}x{cfg_e.nx} Tf=5",
+            ok=True, steps=steps, wall_s=round(wall, 4),
+            us_per_step=round(1e6 * wall / max(steps, 1), 2),
+            points_steps_per_s=float(f"{rate:.4g}")))
+        print(f"done: ensemble members B=8: {wall:.3f}s / {steps} steps",
+              file=sys.stderr)
+
     if args.max_scale:
         max_scale_row(results)
 
