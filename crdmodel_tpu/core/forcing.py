@@ -111,9 +111,14 @@ class SeparableForcing:
 
     def __call__(self, t, state, params):
         nvars = state.shape[0]
+        seg = params.get("_seg_end") if isinstance(params, dict) else None
         per_var = {}
         for i, s in enumerate(self.stimuli):
-            amp = jnp.asarray(s.waveform(t), state.dtype)
+            if seg is not None and getattr(s.waveform, "segment_gated",
+                                           False):
+                amp = jnp.asarray(s.waveform(t, seg_end=seg), state.dtype)
+            else:
+                amp = jnp.asarray(s.waveform(t), state.dtype)
             contrib = amp * self._profile(i, s, state, params)
             per_var[s.var] = (contrib if s.var not in per_var
                               else per_var[s.var] + contrib)
@@ -124,16 +129,33 @@ class SeparableForcing:
 
 def pulse_train(t_starts: Sequence[float], duration: float,
                 amplitude: float = 1.0):
-    """waveform(t): `amplitude` inside any [t0, t0+duration) window, else 0
-    — square stimulation pulses (jittable; static pulse list)."""
+    """waveform(t, seg_end=None): `amplitude` inside any [t0, t0+duration)
+    window, else 0 — square stimulation pulses (jittable; static list).
+
+    SEGMENT GATING (the freeze trick, core/problem.py): the edges are
+    registered as integrator breakpoints, so segments never straddle
+    them — and when the caller supplies the segment end (drivers thread
+    params["_seg_end"]), the pulse is ON iff the WHOLE segment lies
+    inside a window (seg_end in (t0, t0+dur]). Without it, a stage
+    evaluated exactly AT a left edge (the final stage of the pre-pulse
+    segment lands on t0 with stage node c=1) would see the jump, blow
+    the error estimate, and reject the controller into dt-underflow
+    (measured: the 256^2 S1-S2 example). With the gate, the amplitude is
+    constant per segment, the stage times become irrelevant to on/off,
+    and the pulse's integral over every segment is exact."""
     starts = tuple(float(t0) for t0 in t_starts)
     dur = float(duration)
     amp = float(amplitude)
 
-    def waveform(t):
-        on = jnp.zeros((), jnp.result_type(t, jnp.float32))
+    def waveform(t, seg_end=None):
+        ref = t if seg_end is None else seg_end
+        on = jnp.zeros((), jnp.result_type(ref, jnp.float32))
         for t0 in starts:
-            on = on + jnp.where((t >= t0) & (t < t0 + dur), 1.0, 0.0)
+            if seg_end is None:
+                hit = (ref >= t0) & (ref < t0 + dur)
+            else:
+                hit = (ref > t0) & (ref <= t0 + dur)
+            on = on + jnp.where(hit, 1.0, 0.0)
         return amp * jnp.minimum(on, 1.0)
 
     # pulse edges are RHS discontinuities in t: drivers register them as
@@ -142,6 +164,7 @@ def pulse_train(t_starts: Sequence[float], duration: float,
     # it with rejections (same machinery as the tBoundary freeze)
     waveform.breakpoints = tuple(sorted(
         {t0 for t0 in starts} | {t0 + dur for t0 in starts}))
+    waveform.segment_gated = True
     return waveform
 
 

@@ -758,9 +758,16 @@ def merge_stops(touts, breakpoints, t0=0.0):
     """
     touts_np = np.asarray(touts, dtype=np.float64)
     stops = [(float(t), True) for t in touts_np]
+    # capture the run's end BEFORE appending: reading stops[-1] inside the
+    # loop compared each breakpoint against the previously APPENDED one,
+    # silently dropping every breakpoint after the first (harmless for the
+    # single-tBoundary case this was written for; fatal for multi-edge
+    # forcing pulse trains — a stimulus whose edges vanish from the stop
+    # list is integrated as OFF by the segment gate)
+    t_end = stops[-1][0]
     for bp in breakpoints:
         bp = float(bp)
-        if bp <= t0 or bp >= stops[-1][0]:
+        if bp <= t0 or bp >= t_end:
             continue
         if any(np.isclose(bp, t) for t, _ in stops):
             continue

@@ -63,6 +63,23 @@ def fused_forcing(problem):
     return False
 
 
+def stage_amplitudes(forcing, t, h, c_nodes, params, dtype):
+    """(n_stim, n_stages) per-stage forcing amplitudes at true stage times
+    t + c_s h — segment-gated waveforms (pulse trains) receive
+    params['_seg_end'] instead, making the amplitude constant per segment
+    (core/forcing.py::pulse_train docstring)."""
+    seg = params.get("_seg_end") if isinstance(params, dict) else None
+    rows = []
+    for st in forcing.stimuli:
+        gated = seg is not None and getattr(st.waveform, "segment_gated",
+                                            False)
+        rows.append(jnp.stack([
+            jnp.asarray(st.waveform(t + cs * h, seg_end=seg) if gated
+                        else st.waveform(t + cs * h), dtype)
+            for cs in c_nodes]))
+    return jnp.stack(rows)
+
+
 def coeff_kind(geometry_kind: str) -> str:
     """The kernels' coefficient layout for a geometry kind.
 

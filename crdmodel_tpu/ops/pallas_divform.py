@@ -340,10 +340,8 @@ def build_fused_divform_step(problem, tableau: Tableau, dtype=jnp.float32,
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         if n_stim:
-            amps = jnp.stack([
-                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
-                           for cs in c_nodes])
-                for st in forcing.stimuli])
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
         else:
             amps = amps0
         b_in = kc.b_pad

@@ -412,10 +412,8 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         cm = params.get("_fused_cmask", col_mask)
         vr = params.get("_fused_vrow", ones_rows)
         if n_stim:
-            amps = jnp.stack([
-                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
-                           for cs in c_nodes])
-                for st in forcing.stimuli])
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
             srow = params["_fused_stim_rows"]
             scol = params["_fused_stim_cols"]
         else:

@@ -343,10 +343,8 @@ def build_fused_shard_step(problem, tableau: Tableau, nyl: int, nxl: int,
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
         if n_stim:
-            amps = jnp.stack([
-                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
-                           for cs in c_nodes])
-                for st in forcing.stimuli])
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
             srow = params["_fused_stim_rows"]
             scol = params["_fused_stim_cols"]
         else:

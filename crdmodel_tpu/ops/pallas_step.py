@@ -291,10 +291,8 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
         fz_s = jnp.reshape(fz, (1, 1))
         if n_stim:
             # true stage times — the one place t enters the kernels
-            amps = jnp.stack([
-                jnp.stack([jnp.asarray(st.waveform(t + cs * h), dtype)
-                           for cs in c_nodes])
-                for st in forcing.stimuli])          # (n_stim, n_stages)
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)          # (n_stim, n_stages)
         else:
             amps = amps0
         # per-call parameter overrides (the serial-sweep path, sweep.py):

@@ -174,3 +174,21 @@ def test_h_limit_fn_state_dependent():
         h_limit_fn=lambda t, y, p: jnp.asarray(0.1, y.dtype))
     assert int(np.sum(np.asarray(stats.steps))) > \
         int(np.sum(np.asarray(stats_loose.steps)))
+
+
+def test_merge_stops_keeps_every_breakpoint():
+    """Regression (round 4): merge_stops compared each breakpoint against
+    the previously APPENDED stop instead of the run's end, silently
+    dropping every breakpoint after the first — fatal for multi-edge
+    forcing pulse trains (segments straddled the dropped edges and the
+    segment gate integrated the pulse as OFF)."""
+    from crdmodel_tpu.integrate.erk import merge_stops
+    touts = np.arange(5.0, 125.0, 5.0)
+    st, io = merge_stops(touts, [1.0, 2.0, 58.0, 59.0])
+    for bp in (1.0, 2.0, 58.0, 59.0):
+        assert np.any(np.isclose(st, bp)), bp
+    assert len(st) == len(touts) + 4
+    assert not io[np.isclose(st, 2.0)].any()
+    # coinciding stop stays output-only; out-of-range breakpoints dropped
+    st2, io2 = merge_stops([1.0, 2.0], [1.0, 0.0, 2.0, 3.0])
+    assert list(st2) == [1.0, 2.0] and io2.all()
