@@ -51,6 +51,15 @@ def _strip_target(nxl: int, nvars: int) -> int:
 
 
 def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    ff = fused_forcing(problem)
+    if ff is False:
+        return False   # free-form forcing needs the XLA path
+    if ff is not None and not all(getattr(st.waveform, "segment_gated",
+                                          False) for st in ff.stimuli):
+        return False   # smooth waveforms vary ACROSS Chebyshev stages —
+        # only segment-gated pulses (constant per step) run in-kernel;
+        # the XLA rkc2 evaluates true stage times for the rest
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if nyl < P_RKC or nxl < P_RKC:
@@ -112,15 +121,54 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     rhs_block_of = make_rhs_block(kind, model, just_diffusion)
 
     # v3 splice transport shared by the sharded kernels
-    pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
+    pad, unpad, splice_inputs, prepare_params0 = make_shard_halo_helpers(
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
         axis_y, axis_x, pad_spec=pad_spec)
+
+    # segment-gated forcing (pulse trains only — is_shard_rkc_supported):
+    # the amplitude is CONSTANT per step, so one (n_stim, 1) scalar input
+    # covers every Chebyshev stage; profiles stream like the beta field
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    from crdmodel_tpu.parallel.halo import (halo_pad_cols, halo_pad_rows,
+                                            mirror_halo_pad_cols,
+                                            mirror_halo_pad_rows)
+    forcing = fused_forcing(problem)
+    assert forcing is not False
+    n_stim = len(forcing.stimuli) if forcing else 0
+    pady = pad_spec is not None and pad_spec.y.active
+    padx = pad_spec is not None and pad_spec.x.active
+    fill = nxp - (nxl + 2 * P)
+
+    def prepare_params(params):
+        out = prepare_params0(params)
+        if n_stim:
+            rows, cols = [], []
+            for i in range(n_stim):
+                r_ = params[f"_stim_row_{i}"].astype(dtype).reshape(nyl, 1)
+                r_ = (mirror_halo_pad_rows(r_, axis_y, P, pad_spec.y.n,
+                                           pad_spec.y.blk)
+                      if pady else halo_pad_rows(r_, axis_y, P))
+                rows.append(r_)
+                c_ = params[f"_stim_col_{i}"].astype(dtype).reshape(1, nxl)
+                c_ = (mirror_halo_pad_cols(c_, axis_x, P, pad_spec.x.n,
+                                           pad_spec.x.blk)
+                      if padx else halo_pad_cols(c_, axis_x, P))
+                if fill:
+                    c_ = jnp.pad(c_, ((0, 0), (0, fill)))
+                cols.append(c_)
+            out["_fused_stim_rows"] = jnp.stack(rows)
+            out["_fused_stim_cols"] = jnp.stack(cols)
+        return out
+
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
-    def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref,
+    def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref, amps_ref,
+               srow_ref, scol_ref,
                c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref, vr_ref,
                y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
                yv, sems):
@@ -140,8 +188,19 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
+        if n_stim:
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, 0]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+        else:
+            ex = None
+
         def rhs_block(yb):
-            return rhs_block_of(yb, stencil, b_rows, live_rows)
+            return rhs_block_of(yb, stencil, b_rows, live_rows, extra=ex)
 
         # in-kernel column splice (VPU-only; HBM halo lanes are stale)
         wrow = w_ref[:, pl.ds(row0, R), :]
@@ -194,6 +253,14 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             smem11, smem11, smem11, smem11,
             pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((max(1, n_stim), 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # per-step amplitudes
+            pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus row profiles
+            pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus col profiles
             coeff_spec, coeff_spec, coeff_spec,
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -235,6 +302,9 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
     ones = jnp.ones((1, 1), dtype)
     ones_rows = jnp.ones((nyl, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), 1), dtype)
+    srow0 = jnp.zeros((1, 1, 1), dtype)
+    scol0 = jnp.zeros((1, 1, 1), dtype)
     mu1_tab, ctab_tab = static_stage_tables(S_MAX_KERNEL, dtype)
 
     def _freeze_scalar(params):
@@ -256,7 +326,16 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         mu1_s = jnp.reshape(mu1, (1, 1))
         cm = params.get("_fused_cmask", col_mask)
         vr = params.get("_fused_vrow", ones_rows)
-        ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+        if n_stim:
+            seg = params.get("_seg_end") if isinstance(params, dict) else None
+            amps = jnp.stack([
+                jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                for st in forcing.stimuli]).reshape(n_stim, 1)
+            srow = params["_fused_stim_rows"]
+            scol = params["_fused_stim_cols"]
+        else:
+            amps, srow, scol = amps0, srow0, scol0
+        ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab, amps, srow, scol,
                         c0, c1, c2, b, m, cm, vr,
                         yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss, ()

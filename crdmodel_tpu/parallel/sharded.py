@@ -599,8 +599,11 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
                       # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
-    if problem.forcing is not None:
-        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None   # free-form forcing: XLA path (true stage times);
+        # is_shard_rkc_supported additionally requires segment-gated
+        # (pulse) stimuli — smooth waveforms vary across Chebyshev stages
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA single-device only
     if cfg.method != "rkc2":

@@ -419,3 +419,58 @@ class TestFusedDivformForcing:
         assert gap <= 3
         np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
                                    rtol=0, atol=1e-4)
+
+
+class TestFusedRKCForcing:
+    """Segment-gated pulse trains through the fused sharded RKC2 kernel:
+    the amplitude is constant per step (the gate), so one scalar per
+    stimulus covers every Chebyshev stage — smooth waveforms decline."""
+
+    def test_sharded_rkc2_pulse_matches_xla(self):
+        import jax
+        from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                               pulse_train, rect_profile)
+        from crdmodel_tpu.core.problem import make_rho_bound
+        from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_rkc,
+            sharded_params)
+        from jax import lax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = _fused_cfg(surface="torus", x_mesh=64, surface_width=20.0,
+                         surface_length=40.0, method="rkc2", t_final=0.6)
+
+        def frc():
+            return SeparableForcing(
+                Stimulus(waveform=pulse_train([0.1, 0.4], 0.1, 1.5),
+                         row=rect_profile(cfg.ny, 0, cfg.ny // 4)))
+
+        mesh = make_mesh(shape=(2, 2))
+        p_k = build_problem(cfg, forcing=frc())
+        rho = make_rho_bound(cfg, p_k.model, p_k.geometry, jnp.float32,
+                             max_reduce=lambda x: lax.pmax(x,
+                                                           (AXIS_Y, AXIS_X)))
+        assert maybe_fused_shard_rkc(p_k, mesh, rho,
+                                     interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=frc())
+        run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+        tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+        assert np.all(np.asarray(sk.status) == 0)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-4)
+
+    def test_smooth_waveform_declines_rkc(self):
+        import jax
+        from crdmodel_tpu.ops.pallas_shard_rkc import is_shard_rkc_supported
+        cfg = _fused_cfg(surface="torus", x_mesh=64, surface_width=20.0,
+                         surface_length=40.0, method="rkc2")
+        p = build_problem(cfg, forcing=_protocol_smooth(cfg))
+        assert not is_shard_rkc_supported(p, jnp.float32, 64, 64)
