@@ -92,6 +92,8 @@ def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False,
 
 def is_box3d_rkc_supported(problem, dtype) -> bool:
     cfg = problem.cfg
+    if problem.forcing is not None:
+        return False   # forcing: 2-D rkc/step kernels only
     if problem.geometry.kind != "box":
         return False
     if jnp.dtype(dtype) != jnp.float32:

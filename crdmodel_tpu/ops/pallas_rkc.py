@@ -200,6 +200,17 @@ def _divform_extra_live(problem) -> int:
 
 
 def is_rkc_supported(problem, dtype) -> bool:
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    ff = fused_forcing(problem)
+    if ff is False:
+        return False   # free-form forcing: XLA rkc2 (true stage times)
+    if ff is not None:
+        if not all(getattr(st.waveform, "segment_gated", False)
+                   for st in ff.stimuli):
+            return False   # smooth waveforms vary across Chebyshev stages
+        if choose_blocking(problem.cfg.ny, problem.cfg.nx,
+                           problem.model.nvars)[0] > 1:
+            return False   # blocked layout: forcing not wired (rare shape)
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
@@ -382,6 +393,33 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P_COL, pad_cols,
                            with_coeffs=not divform)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
+
+    # segment-gated forcing (pulse trains only, is_rkc_supported): the
+    # amplitude is CONSTANT per step, one (n_stim, 1) scalar input covers
+    # every Chebyshev stage; rank-1 profiles ride as trace-time constants
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_rkc_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        scols_np = []
+        srows_phys = []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            srows_phys.append(r_)
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P_COL] = c_[-P_COL:]
+            c_lane[P_COL:P_COL + nx] = c_
+            c_lane[P_COL + nx:P_COL + nx + P_COL] = c_[:P_COL]
+            scols_np.append(c_lane)
+        stim_cols = jnp.asarray(np.stack(scols_np)[:, None, :], dtype)
+    else:
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), 1), dtype)
     if divform:
         # general divergence form: full face-coefficient fields stacked
         # into ONE (n_coeff, ny, nxp) HBM array, row-windowed per strip by
@@ -430,8 +468,15 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         m_pad = jnp.asarray(
             np.concatenate([interior[-P:], interior, interior[:P]], axis=0),
             dtype)
+        if n_stim:
+            stim_rows_v = jnp.asarray(np.stack(
+                [np.concatenate([r_[-P:], r_, r_[:P]], axis=0)
+                 for r_ in srows_phys]), dtype)   # (n_stim, ny+2P, 1)
+        else:
+            stim_rows_v = jnp.zeros((1, 1, 1), dtype)
 
-        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref, *rest):
+        def kernel(h_ref, fz_ref, s_ref, mu1_ref, ctab_ref, amps_ref,
+                   srow_ref, scol_ref, *rest):
             if divform:
                 (b_ref, m_ref, cm_ref, y_hbm, c_hbm,
                  ynew_ref, ss_ref, yv, sems, cv, csems) = rest
@@ -446,6 +491,16 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             h = h_ref[0, 0]
             s = s_ref[0, 0]
             mu1 = mu1_ref[0, 0]
+            if n_stim:
+                ex = {}
+                for j in range(n_stim):
+                    contrib = (amps_ref[j, 0]
+                               * srow_ref[j, pl.ds(row0, R), :]
+                               * scol_ref[j, 0, :])
+                    v = stim_vars[j]
+                    ex[v] = ex[v] + contrib if v in ex else contrib
+            else:
+                ex = None
             if divform:
                 cslot = load_wrap_strips(c_hbm, cv, csems, ny, S, P,
                                          n_strips, i)
@@ -465,7 +520,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
 
                 def rhs_block(yb):
                     return divform_rhs(yb, faces, tis, None,
-                                       b_rows, live_rows)
+                                       b_rows, live_rows, extra=ex)
             else:
                 stencil, b_rows, live_rows = read_strip_constants(
                     kind, b_is_field, has_freeze,
@@ -473,7 +528,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                     b_ref, m_ref, fz_ref, row0, R)
 
                 def rhs_block(yb):
-                    return rhs_block_of(yb, stencil, b_rows, live_rows)
+                    return rhs_block_of(yb, stencil, b_rows, live_rows,
+                                        extra=ex)
 
             y0 = yv[slot]
             f0 = rhs_block(y0)                       # ring 1
@@ -523,6 +579,12 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((max(1, n_stim), 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),  # per-step amps
+                pl.BlockSpec(stim_rows_v.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # stimulus rows
+                pl.BlockSpec(stim_cols.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # stimulus cols
             ] + ([] if divform else [kc.coeff_spec] * 3) + [
                 pl.BlockSpec(b_pad.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -557,13 +619,15 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         )
 
         if divform:
-            def run(h_s, fz_s, s_s, mu1_s, ctab, yp, ch):
+            def run(h_s, fz_s, s_s, mu1_s, ctab, amps, yp, ch):
                 ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                                amps, stim_rows_v, stim_cols,
                                 b_pad, m_pad, kc.col_mask, yp, ch)
                 return ynew, jnp.sum(ss)
         else:
-            def run(h_s, fz_s, s_s, mu1_s, ctab, yp):
+            def run(h_s, fz_s, s_s, mu1_s, ctab, amps, yp):
                 ynew, ss = call(h_s, fz_s, s_s, mu1_s, ctab,
+                                amps, stim_rows_v, stim_cols,
                                 kc.c0, kc.c1, kc.c2, b_pad, m_pad,
                                 kc.col_mask, yp)
                 return ynew, jnp.sum(ss)
@@ -598,7 +662,14 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         fz_s = jnp.reshape(_freeze_scalar(params), (1, 1))
         s_s = jnp.reshape(s, (1, 1))
         mu1_s = jnp.reshape(mu1, (1, 1))
-        args = (h_s, fz_s, s_s, mu1_s, ctab, yp)
+        if n_stim:
+            seg = params.get("_seg_end") if isinstance(params, dict) else None
+            amps = jnp.stack([
+                jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                for st in forcing.stimuli]).reshape(n_stim, 1)
+        else:
+            amps = amps0
+        args = (h_s, fz_s, s_s, mu1_s, ctab, amps, yp)
         if divform:
             ch = coeffs_hbm   # fallback: callers that don't thread params
             if isinstance(params, dict) and "_divform_coeffs" in params:

@@ -157,7 +157,7 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                                 diffusion_field=problem.diffusion_field,
                                 diffusion_tensor=problem.diffusion_tensor,
                                 face_mask=problem.face_mask)
-        if _pallas_eligible(problem, interpret) and (
+        if _pallas_eligible(problem, interpret, allow_forcing=True) and (
                 problem.diffusion_tensor is None
                 or problem.geometry.kind == "box"):
             if problem.geometry.kind == "box":

@@ -474,3 +474,60 @@ class TestFusedRKCForcing:
                          surface_length=40.0, method="rkc2")
         p = build_problem(cfg, forcing=_protocol_smooth(cfg))
         assert not is_shard_rkc_supported(p, jnp.float32, 64, 64)
+
+
+def test_single_chip_rkc2_pulse_matches_xla():
+    """Single-chip fused RKC2 with segment-gated pulses (interpreter)."""
+    import jax
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           pulse_train, rect_profile)
+    from crdmodel_tpu.sim import make_run_fn
+    from crdmodel_tpu.ops.pallas_rkc import is_rkc_supported
+    cfg = _fused_cfg(surface="torus", x_mesh=64, surface_width=20.0,
+                     surface_length=40.0, method="rkc2", t_final=0.6)
+
+    def frc():
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.4], 0.1, 1.5),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 4)))
+
+    p_k = build_problem(cfg, forcing=frc())
+    assert is_rkc_supported(p_k, jnp.float32)
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=frc())
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.all(np.asarray(sk.status) == 0)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 1
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=1e-4)
+
+
+def test_single_chip_rkc2_divform_pulse_matches_xla():
+    """Gated pulses + bounded tissue through the fused RKC divform branch."""
+    import jax
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           pulse_train, rect_profile)
+    from crdmodel_tpu.sim import make_run_fn
+    cfg = _fused_cfg(boundary="noflux", method="rkc2", t_final=0.6)
+
+    def frc():
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.4], 0.1, 1.5),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 4)))
+
+    p_k = build_problem(cfg, forcing=frc())
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=frc())
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.all(np.asarray(sk.status) == 0)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 1
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=1e-4)
