@@ -205,12 +205,15 @@ def is_rkc_supported(problem, dtype) -> bool:
     if ff is False:
         return False   # free-form forcing: XLA rkc2 (true stage times)
     if ff is not None:
+        from crdmodel_tpu.ops.kernel_common import needs_divform as _ndf
         if not all(getattr(st.waveform, "segment_gated", False)
                    for st in ff.stimuli):
             return False   # smooth waveforms vary across Chebyshev stages
-        if choose_blocking(problem.cfg.ny, problem.cfg.nx,
-                           problem.model.nvars)[0] > 1:
-            return False   # blocked layout: forcing not wired (rare shape)
+        if not _ndf(problem) and choose_blocking(
+                problem.cfg.ny, problem.cfg.nx,
+                problem.model.nvars)[0] > 1:
+            return False   # blocked layout: forcing not wired (rare
+            # shape; divform always builds nb=1 so it never blocks)
     if jnp.dtype(dtype) != jnp.float32:
         return False
     cfg = problem.cfg
