@@ -236,3 +236,66 @@ def test_validation_errors():
                       diffusion_field=np.full((cfg.ny, cfg.nx), 0.1))
     with pytest.raises(ValueError, match="Dxx, Dyy, Dxy"):
         build_problem(cfg, diffusion_tensor=(0.1, 0.1))
+
+
+# ---------------------------------------------------------------------------
+# No-flux walls for the 2-D tensor (round 4): tensor_coeffs64 boundary
+# masking — the 2-D analogue of the 3-D structural suite.
+# ---------------------------------------------------------------------------
+
+def _op_b(cfg, dxx, dyy, dxy, boundary):
+    geo = make_geometry(cfg)
+    face, dxy_full, inv4 = geo.tensor_coeffs64(dxx, dyy, dxy,
+                                               boundary=boundary)
+    face = tuple(jnp.asarray(a) for a in face)
+    return lambda u: np.asarray(
+        anisotropic_laplacian(jnp.asarray(u), face,
+                              jnp.asarray(dxy_full), inv4))
+
+
+@pytest.mark.parametrize("boundary", ["noflux", "noflux_x", "noflux_y"])
+def test_noflux_tensor2d_conservative_and_self_adjoint(boundary):
+    cfg = _cfg()
+    rng = np.random.default_rng(12)
+    dxx, dyy, dxy = _random_spd((cfg.ny, cfg.nx), rng)
+    L = _op_b(cfg, dxx, dyy, dxy, boundary)
+    u = rng.standard_normal((cfg.ny, cfg.nx))
+    v = rng.standard_normal((cfg.ny, cfg.nx))
+    scale = np.abs(L(u)).max() * u.size
+    assert abs(L(u).sum()) < 1e-12 * scale
+    assert abs(np.vdot(v, L(u)) - np.vdot(L(v), u)) < 1e-12 * scale
+
+
+def test_noflux_x_tensor2d_no_wrap_coupling():
+    """A field living only in the first column must not couple through
+    the closed x wall to the last column (the periodic operator does)."""
+    cfg = _cfg()
+    rng = np.random.default_rng(13)
+    dxx, dyy, dxy = _random_spd((cfg.ny, cfg.nx), rng)
+    u = np.zeros((cfg.ny, cfg.nx))
+    u[:, 0] = rng.standard_normal(cfg.ny)
+    closed = _op_b(cfg, dxx, dyy, dxy, "noflux_x")(u)
+    periodic = _op_b(cfg, dxx, dyy, dxy, "periodic")(u)
+    assert np.all(closed[:, -1] == 0.0)
+    assert np.abs(periodic[:, -1]).max() > 0
+
+
+def test_fused_aniso_kernel_noflux_interpreter():
+    """The fused 9-point kernel with closed walls: the masked coefficient
+    fields flow through the same strip windows; step sequences pinned to
+    the XLA tensor path."""
+    from crdmodel_tpu.sim import make_run_fn
+    cfg = _cfg(dtype="float32", use_pallas=True, rtol=1e-4, atol=1e-7,
+               t_final=0.5, boundary="noflux")
+    tensor = (0.3, 0.08, 0.1)
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.array_equal(np.asarray(sk.steps), np.asarray(sx.steps))
+    assert np.all(np.asarray(sk.status) == 0)
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=5e-6)
