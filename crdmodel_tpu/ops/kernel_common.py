@@ -176,10 +176,30 @@ def make_divform_rhs_block(model, just_diffusion: bool):
         # not a legal Pallas kernel constant)
         return lap if ds is None else ds * lap
 
-    def rhs_block(yb, faces, tis, ds, b_rows, live_rows, extra=None):
+    def rhs_block(yb, faces, tis, ds, b_rows, live_rows, extra=None,
+                  mixed=None):
         laps = {}
         for idx, v in enumerate(dvars):
-            lap = div_lap(yb[v], faces, ds)
+            if mixed is None:
+                lap = div_lap(yb[v], faces, ds)
+            else:
+                # 2-D anisotropic 9-point operator: axis part + the
+                # symmetric centred mixed pair, EXACTLY the XLA
+                # association (ops/stencil.py::anisotropic_laplacian:
+                # axis + inv4*(t1+t2), ds applied to the total like the
+                # XLA path's dscale)
+                dxy_w, inv4 = mixed
+                u = yb[v]
+                lap = div_lap(u, faces, None)
+                dys = jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)
+                fx = dxy_w * dys
+                t1 = jnp.roll(fx, -1, -1) - jnp.roll(fx, 1, -1)
+                dxs = jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)
+                fy = dxy_w * dxs
+                t2 = jnp.roll(fy, -1, -2) - jnp.roll(fy, 1, -2)
+                lap = lap + inv4 * (t1 + t2)
+                if ds is not None:
+                    lap = ds * lap
             laps[v] = lap if ratios[idx] == 1.0 else ratios[idx] * lap
         if extra:
             # forcing joins the diffusion term (XLA association order; the

@@ -74,7 +74,10 @@ from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 def _n_windows(problem) -> int:
     """Coefficient fields riding the stacked halo-padded array: aE, aW, aN
-    (+ the 0/1 tissue mask when an obstacle is present)."""
+    (+ the 0/1 tissue mask when an obstacle is present; + Dxy in the
+    2-D anisotropic mode — tensor and obstacle are mutually exclusive)."""
+    if getattr(problem, "diffusion_tensor", None) is not None:
+        return 4
     return 3 + (1 if getattr(problem, "obstacle_mask", None) is not None
                 else 0)
 
@@ -91,13 +94,22 @@ def _strip_target(nxl: int, nvars: int, n_stages: int,
 
 
 def is_shard_divform_supported(problem, tableau: Tableau, dtype,
-                               nyl: int, nxl: int) -> bool:
+                               nyl: int, nxl: int,
+                               aniso: bool = False) -> bool:
     from crdmodel_tpu.ops.kernel_common import fused_forcing
     if fused_forcing(problem) is False:
         return False   # free-form forcing needs the XLA path
-    if not needs_divform(problem):
+    if aniso:
+        # 2-D anisotropic 9-point mode: the SAME windowed-coefficient
+        # kernel with Dxy as a fourth streamed field and the mixed pair
+        # added in-kernel (flat surface only — build_problem's contract)
+        if getattr(problem, "diffusion_tensor", None) is None:
+            return False
+        if problem.geometry.kind != "flat":
+            return False
+    elif not needs_divform(problem):
         return False
-    if problem.geometry.kind not in ("flat", "torus", "revolution"):
+    elif problem.geometry.kind not in ("flat", "torus", "revolution"):
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -111,7 +123,12 @@ def is_shard_divform_supported(problem, tableau: Tableau, dtype,
         return False
     # the in-kernel aS recovery must be exact (checked on the GLOBAL f64
     # fields: the local blocks inherit it under any decomposition)
-    _aE, _aW, aN, aS = _face_coeffs64(problem)
+    if aniso:
+        faces, _, _ = problem.geometry.tensor_coeffs64(
+            *problem.diffusion_tensor, boundary=problem.cfg.boundary)
+        _aE, _aW, aN, aS = faces
+    else:
+        _aE, _aW, aN, aS = _face_coeffs64(problem)
     return np.array_equal(aS, np.roll(aN, 1, axis=0))
 
 
@@ -119,7 +136,8 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
                               dtype=jnp.float32, interpret: bool = False,
                               axis_y: str = AXIS_Y,
                               axis_x: str = AXIS_X,
-                              pad_spec=None) -> FusedShardStep:
+                              pad_spec=None,
+                              aniso: bool = False) -> FusedShardStep:
     """Build the fused divergence-form step for (nyl, nxl) local blocks.
 
     step_err and prepare_params must run INSIDE shard_map over
@@ -132,6 +150,11 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     just_diffusion = bool(cfg.just_diffusion)
     t_boundary = float(cfg.t_boundary)
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
+    inv4 = 0.0
+    if aniso:
+        assert not has_tissue
+        inv4 = float(problem.geometry.tensor_coeffs64(
+            *problem.diffusion_tensor, boundary=cfg.boundary)[2])
 
     a = tableau.a
     bw = tableau.b
@@ -193,6 +216,9 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         out = dict(params)
         aE, aW, aN = (jnp.asarray(c, dtype) for c in params["coeffs"][:3])
         fields = [jnp.broadcast_to(c, (nyl, nxl)) for c in (aE, aW, aN)]
+        if aniso:
+            fields.append(jnp.broadcast_to(
+                params["dxy"].astype(dtype), (nyl, nxl)))
         if has_tissue:
             fields.append(params["tissue"].astype(dtype))
         # ONE two-phase deep-halo exchange for the whole coefficient stack
@@ -288,6 +314,7 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         # aS recovery: valid on window rows [1, R) (module docstring)
         as_ = jnp.roll(an, 1, axis=-2)
         tis = cb[3] if has_tissue else None
+        mixed = (cb[3], inv4) if aniso else None
         faces = (ae, aw, an, as_)
 
         # splice the fresh column halos into the resident strip (the HBM
@@ -318,7 +345,7 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
                 if a[s, j] != 0.0:
                     yi = yi + (h * float(a[s, j])) * ks[j]
             ks.append(rhs_block(yi, faces, tis, ds, b_rows, live_rows,
-                                stage_extra(s)))
+                                stage_extra(s), mixed=mixed))
 
         ynew = y0
         err = jnp.zeros_like(y0)

@@ -549,6 +549,40 @@ def maybe_fused_shard_divform(problem: Problem, mesh: Mesh,
         pad_spec=pad_spec)
 
 
+def maybe_fused_shard_aniso(problem: Problem, mesh: Mesh,
+                            interpret: bool = False, pad_spec=None):
+    """The 2-D anisotropic 9-point tensor through the windowed-coefficient
+    shard kernel (ops/pallas_shard_divform.py aniso mode: Dxy streamed as
+    a fourth field, the mixed pair added in-kernel). Padded grids decline
+    (sharded_params rejects tensor+pad — the XLA seam repair lacks
+    corners)."""
+    from crdmodel_tpu.integrate.erk import TABLEAUS
+    cfg = problem.cfg
+    if getattr(problem, "diffusion_tensor", None) is None:
+        return None
+    if problem.geometry.kind != "flat":
+        return None
+    if pad_spec is not None and pad_spec.active:
+        return None
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None
+    if cfg.method not in TABLEAUS:
+        return None
+    if not _shard_kernel_eligible(cfg, mesh, interpret):
+        return None
+    from crdmodel_tpu.ops import pallas_shard_divform
+    tableau = TABLEAUS[cfg.method]
+    nyl, nxl = _local_block_shape(cfg, mesh, pad_spec)
+    dtype = jnp.dtype(cfg.dtype)
+    if not pallas_shard_divform.is_shard_divform_supported(
+            problem, tableau, dtype, nyl, nxl, aniso=True):
+        return None
+    return pallas_shard_divform.build_fused_shard_divform(
+        problem, tableau, nyl, nxl, dtype, interpret=interpret,
+        pad_spec=pad_spec, aniso=True)
+
+
 def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
                           interpret: bool = False, pad_spec=None):
     """Sharded fused RKC2 (ops/pallas_shard_rkc.py) when supported — the
@@ -774,6 +808,9 @@ def build_local_run(problem: Problem, mesh,
              or maybe_fused_shard_divform(problem, mesh,
                                           interpret=interpret_pallas,
                                           pad_spec=pad_spec)
+             or maybe_fused_shard_aniso(problem, mesh,
+                                        interpret=interpret_pallas,
+                                        pad_spec=pad_spec)
              or maybe_fused_shard_box3d(problem, mesh,
                                         interpret=interpret_pallas,
                                         pad_spec=pad_spec))
@@ -950,6 +987,9 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
              or maybe_fused_shard_divform(problem, mesh,
                                           interpret=interpret_pallas,
                                           pad_spec=pad_spec)
+             or maybe_fused_shard_aniso(problem, mesh,
+                                        interpret=interpret_pallas,
+                                        pad_spec=pad_spec)
              or maybe_fused_shard_box3d(problem, mesh,
                                         interpret=interpret_pallas,
                                         pad_spec=pad_spec))

@@ -299,3 +299,62 @@ def test_fused_aniso_kernel_noflux_interpreter():
     assert np.all(np.asarray(sk.status) == 0)
     np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
                                rtol=0, atol=5e-6)
+
+
+def test_sharded_fused_aniso_matches_xla():
+    """Round 4: the 2-D anisotropic tensor keeps the fused path on a
+    device mesh (shard divform kernel's aniso mode — Dxy streamed as a
+    fourth coefficient field, mixed pair in-kernel). Step sequences
+    pinned to the sharded XLA tensor path; the state transport's
+    two-phase strips carry the corner values the mixed pair reads."""
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso,
+        maybe_fused_shard_divform, maybe_fused_shard_step, sharded_params)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg(dtype="float32", use_pallas=True, rtol=1e-4, atol=1e-7,
+               t_final=0.5, x_mesh=48, t_boundary=0.2, vary_beta=1,
+               beta_min=0.9, beta_max=1.5)
+    rng = np.random.default_rng(21)
+    tensor = _random_spd((cfg.ny, cfg.nx), rng)
+    mesh = make_mesh(shape=(2, 4))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    assert maybe_fused_shard_aniso(p_k, mesh, interpret=True) is not None
+    assert maybe_fused_shard_step(p_k, mesh, interpret=True) is None
+    assert maybe_fused_shard_divform(p_k, mesh, interpret=True) is None
+    params, _ = sharded_params(p_k)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(p_k.y0, params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+    tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+    assert np.all(np.asarray(sf.status) == 0)
+    assert np.array_equal(np.asarray(sf.steps), np.asarray(sx.steps))
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tx),
+                               rtol=0, atol=5e-6)
+
+
+def test_sharded_fused_aniso_noflux():
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso, sharded_params)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = _cfg(dtype="float32", use_pallas=True, rtol=1e-4, atol=1e-7,
+               t_final=0.5, x_mesh=48, boundary="noflux")
+    tensor = (0.3, 0.08, 0.1)
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    assert maybe_fused_shard_aniso(p_k, mesh, interpret=True) is not None
+    params, _ = sharded_params(p_k)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(p_k.y0, params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+    tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+    assert np.array_equal(np.asarray(sf.steps), np.asarray(sx.steps))
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tx),
+                               rtol=0, atol=5e-6)
