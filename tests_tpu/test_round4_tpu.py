@@ -119,3 +119,57 @@ def test_forcing_fused_on_chip():
     assert gap.max() <= 8
     np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
                                rtol=0, atol=5e-3)
+
+
+def test_aniso2d_shard_mode_on_chip():
+    """The 2-D aniso shard-kernel mode lowers through Mosaic (1x1 mesh)."""
+    from crdmodel_tpu.parallel.sharded import maybe_fused_shard_aniso
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=256,
+                    surface_width=20.0, surface_length=20.0, beta=1.25,
+                    t_final=0.2, output_timestep=1, dtype="float32",
+                    rtol=1e-4, atol=1e-6, use_pallas=True)
+    tensor = (0.3, 0.08, 0.1)
+    mesh = make_mesh(shape=(1, 1))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    assert maybe_fused_shard_aniso(p_k, mesh) is not None
+    params, _ = sharded_params(p_k)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh)
+    tf, sf = run_f(p_k.y0, params)
+    assert int(np.max(np.asarray(sf.status))) == 0
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+    tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+    gap = np.abs(np.asarray(sf.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 1
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tx),
+                               rtol=0, atol=1e-3)
+
+
+def test_rkc2_gated_pulse_on_chip():
+    """Pulsed pacing through the single-chip fused RKC kernel on silicon."""
+    import jax
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           pulse_train, rect_profile)
+    cfg = SimConfig(model="fhn", surface="torus", x_mesh=256,
+                    surface_width=20.0, surface_length=40.0, beta=1.25,
+                    t_final=0.6, output_timestep=3, dtype="float32",
+                    rtol=1e-4, atol=1e-6, use_pallas=True, method="rkc2")
+
+    def frc():
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.4], 0.1, 1.5),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 4)))
+
+    p_k = build_problem(cfg, forcing=frc())
+    run_k = jax.jit(make_run_fn(p_k)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    assert int(np.max(np.asarray(sk.status))) == 0
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=frc())
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 2
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=2e-3)
