@@ -575,20 +575,23 @@ def integrate_interval_batched(step_err, K, t0, y0, h_init, errs0, tout,
             yn, ss, fcn = step_err(t + j * h, ys[-1], h, params, fcs[-1])
             ys.append(yn)
             fcs.append(fcn)
-            e = jnp.sqrt(reduce_fn(ss) / global_size).astype(dtype)
-            es.append(jnp.where(jnp.isfinite(e), e, jnp.asarray(jnp.inf,
-                                                                dtype)))
-        evec = jnp.stack(es)
+            es.append(reduce_fn(ss))
+        # vectorised tail: per-sub-step sqrt/where ops cost ~1-2 us each
+        # inside a device loop on this backend (PERF_NOTES round-5
+        # "small-grid floor"), so finish the K error norms in three vector
+        # ops and select the committed state with ONE dynamic index into
+        # the stacked sub-step states instead of K full-state selects
+        evec = jnp.sqrt(jnp.stack(es) / global_size).astype(dtype)
+        evec = jnp.where(jnp.isfinite(evec), evec,
+                         jnp.asarray(jnp.inf, dtype))
         acc = jnp.cumprod((evec <= 1.0).astype(jnp.int32))
         prefix = jnp.sum(acc, dtype=jnp.int32)
 
-        y_next = ys[0]
-        fc_next = fcs[0]
-        for j in range(1, K + 1):
-            sel = prefix >= j
-            y_next = jnp.where(sel, ys[j], y_next)
-            fc_next = jax.tree_util.tree_map(
-                lambda a, b, s=sel: jnp.where(s, a, b), fcs[j], fc_next)
+        y_next = jax.lax.dynamic_index_in_dim(jnp.stack(ys), prefix,
+                                              keepdims=False)
+        fc_next = jax.tree_util.tree_map(
+            lambda *leaves: jax.lax.dynamic_index_in_dim(
+                jnp.stack(leaves), prefix, keepdims=False), *fcs)
         t_next = t + prefix.astype(dtype) * h
 
         all_ok = prefix == K
@@ -664,16 +667,26 @@ def integrate_interval_kernel_batched(kcall, K, t0, y0, h_init, errs0, tout,
         t, y, h, errs, nstep, nacc, nrej, status = state
         ep, epp = errs
         yK, sss = kcall(t, y, h, K, params)
-        es = []
-        for j in range(K):
-            e = jnp.sqrt(reduce_fn(sss[:, j]) / global_size).astype(dtype)
-            es.append(jnp.where(jnp.isfinite(e), e,
-                                jnp.asarray(jnp.inf, dtype)))
-        evec = jnp.stack(es)
+        # ONE vectorised reduce over the strip axis — per-sub-step loops of
+        # tiny reduce/sqrt/where ops cost ~1-2 us EACH inside a device loop
+        # on this backend (docs/PERF_NOTES.md round-5 "small-grid floor"),
+        # which at K=10 dwarfed the kernel itself
+        # (plain jnp.sum, not reduce_fn: the K-step kernel path is single-
+        # chip only — sim.py builds it outside shard_map — so the strip
+        # axis sum needs no collective / pad masking)
+        evec = jnp.sqrt(jnp.sum(sss, axis=0) / global_size).astype(dtype)
+        evec = jnp.where(jnp.isfinite(evec), evec,
+                         jnp.asarray(jnp.inf, dtype))
         acc = jnp.cumprod((evec <= 1.0).astype(jnp.int32))
         prefix = jnp.sum(acc, dtype=jnp.int32)
         all_ok = prefix == K
 
+        # commit the longest accepted prefix: recovery is a deterministic
+        # recompute behind lax.cond. (Round-5 measured the alternatives at
+        # 400x100 on-chip: an UNCONDITIONAL second kernel call costs ~60 us
+        # per batch in the dependent chain — +16 ms over the cond at K=10 —
+        # while the cond charges ~10 ms per run; both documented in
+        # PERF_NOTES "round-5 small-grid floor".)
         y_next = jax.lax.cond(
             all_ok, lambda: yK,
             lambda: kcall(t, y, h, prefix, params)[0])

@@ -50,36 +50,54 @@ from crdmodel_tpu.ops.kernel_common import (
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _strip_target(nx: int, nvars: int, n_stages: int, k: int) -> int:
-    """Strip row cap keeping the K-step working set under VMEM_BUDGET
-    (2 scratch slots + ~(stages+3) live stage arrays per sub-step)."""
-    nxp = ((nx + 2 * HALO + 127) // 128) * 128
-    live = 2 + k * (n_stages + 3)
+def _strip_target(nx: int, nvars: int, n_stages: int, k: int,
+                  halo: int = HALO) -> int:
+    """Strip row cap keeping the K-step working set under VMEM_BUDGET.
+    Liveness is k-INDEPENDENT: the unrolled sub-steps run sequentially, so
+    after sub-step j only (y, k1, committed) persist — peak residency is
+    one sub-step's stage arrays (~stages+5), not k of them (round-5
+    recalibration; the old k*(stages+3) model forced needlessly thin strips
+    at K=2 and ruled deep-K out entirely)."""
+    nxp = ((nx + 2 * halo + 127) // 128) * 128
+    live = 2 + n_stages + 5
     bytes_per_row = 4 * nxp * nvars * live
     rows = max(1, VMEM_BUDGET // bytes_per_row)
-    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+    return min(256, max(8, (int(rows) - 2 * halo) // 8 * 8))
 
 
-def max_k(tableau: Tableau) -> int:
-    """Largest K whose 1+(s-1)K RHS evaluations fit in the halo depth."""
+def halo_for(tableau: Tableau, k: int) -> int:
+    """Smallest multiple-of-8 halo depth covering the 1+(s-1)K (FSAL) or
+    s*K RHS evaluations of a K-step batch — each eval consumes one halo
+    ring. K=2 keeps the standard P=8; K=5 needs 16; K=10 needs 32."""
+    evals = (1 + (tableau.stages - 1) * k if tableau.fsal
+             else tableau.stages * k)
+    return max(8, -(-evals // 8) * 8)
+
+
+def max_k(tableau: Tableau, halo: int = HALO) -> int:
+    """Largest K whose RHS evaluations fit in the given halo depth."""
     if not tableau.fsal:
-        return HALO // tableau.stages
-    return (HALO - 1) // (tableau.stages - 1)
+        return halo // tableau.stages
+    return (halo - 1) // (tableau.stages - 1)
 
 
 def is_kstep_supported(problem, tableau: Tableau, dtype, k: int) -> bool:
     if problem.forcing is not None:
         return False   # forcing: pallas_step only (kernel_common.fused_forcing)
-    from crdmodel_tpu.ops.pallas_step import is_supported
-    if not is_supported(problem, tableau, dtype):
-        return False
     if not tableau.fsal:
+        return False
+    if k < 1:
+        return False
+    P = halo_for(tableau, k)
+    from crdmodel_tpu.ops.pallas_step import is_supported
+    if not is_supported(problem, tableau, dtype, halo=P):
         return False
     if _pick_strip(problem.cfg.ny,
                    target=_strip_target(problem.cfg.nx, problem.model.nvars,
-                                        tableau.stages, k)) is None:
+                                        tableau.stages, k, P),
+                   min_s=P) is None:
         return False
-    return 1 <= k <= max_k(tableau)
+    return k <= max_k(tableau, P)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,15 +121,17 @@ def build_fused_kstep(problem, tableau: Tableau, k: int,
     t_boundary = float(cfg.t_boundary)
     kind = coeff_kind(geometry.kind)
 
-    assert tableau.fsal and 1 <= k <= max_k(tableau)
+    P = halo_for(tableau, k)
+    assert tableau.fsal and 1 <= k <= max_k(tableau, P)
     a = tableau.a.tolist()
     bw = tableau.b.tolist()
     d = (tableau.b - tableau.bhat).tolist()
     n_stages = tableau.stages
-    P = HALO
-    S = _pick_strip(ny, target=_strip_target(nx, nvars, n_stages, k))
+    S = _pick_strip(ny, target=_strip_target(nx, nvars, n_stages, k, P),
+                    min_s=P)
     if S is None:
-        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
+        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in "
+                         f"[{P},256]")
     n_strips = ny // S
     R = S + 2 * P
     nxp = ((nx + 2 * P + 127) // 128) * 128

@@ -62,41 +62,46 @@ HALO = 8  # >= stages for every supported tableau; multiple of 8 for alignment
 VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _step_strip_target(nx: int, nvars: int, n_stages: int) -> int:
+def _step_strip_target(nx: int, nvars: int, n_stages: int,
+                       halo: int = HALO) -> int:
     """Strip row cap keeping the working set (2 scratch slots + live stage
     arrays) under VMEM_BUDGET — at wide grids the default 256-row strips
     brush the 16MB VMEM stack limit."""
-    nxp = ((nx + 2 * HALO + 127) // 128) * 128
+    nxp = ((nx + 2 * halo + 127) // 128) * 128
     live = 2 + n_stages + 3
     bytes_per_row = 4 * nxp * nvars * live
     rows = max(1, VMEM_BUDGET // bytes_per_row)
-    return min(256, max(8, (int(rows) - 2 * HALO) // 8 * 8))
+    return min(256, max(8, (int(rows) - 2 * halo) // 8 * 8))
 
 
-def _pick_strip(ny: int, target: int = 256) -> int | None:
+def _pick_strip(ny: int, target: int = 256, min_s: int = 8) -> int | None:
     """Largest divisor of ny <= target that is a multiple of 8 (Mosaic
-    sublane alignment for row slices)."""
+    sublane alignment for row slices). min_s > 8: deep-halo callers need
+    S >= P so the wrapped strip DMA windows stay contiguous
+    (kernel_common.load_wrap_strips)."""
     best = None
-    for s in range(8, min(ny, target) + 1, 8):
+    for s in range(max(8, min_s), min(ny, target) + 1, 8):
         if ny % s == 0:
             best = s
     return best
 
 
-def is_supported(problem, tableau: Tableau, dtype) -> bool:
+def is_supported(problem, tableau: Tableau, dtype, halo: int = None) -> bool:
     from crdmodel_tpu.ops.kernel_common import fused_forcing, needs_divform
+    P = HALO if halo is None else halo
     if needs_divform(problem):
         return False   # masked faces / 2-D fields: ops/pallas_divform.py
     if fused_forcing(problem) is False:
         return False   # free-form forcing needs the XLA path
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    if tableau.stages > HALO:
+    if tableau.stages > P:
         return False
     if _pick_strip(problem.cfg.ny,
                    target=_step_strip_target(problem.cfg.nx,
                                              problem.model.nvars,
-                                             tableau.stages)) is None:
+                                             tableau.stages, P),
+                   min_s=P) is None:
         return False
     return True
 
@@ -110,7 +115,11 @@ class FusedStep:
 
 
 def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
-                     interpret: bool = False) -> FusedStep:
+                     interpret: bool = False, halo: int = None) -> FusedStep:
+    """halo: row/column halo depth P (default HALO=8). Deep halos (16/32,
+    multiples of 8) exist for the speculative K-step companion kernel
+    (ops/pallas_kstep.py::halo_for) — both kernels must share one padded
+    state layout, so the adaptive driver builds them with the same P."""
     cfg = problem.cfg
     model = problem.model
     geometry = problem.geometry
@@ -125,11 +134,13 @@ def build_fused_step(problem, tableau: Tableau, dtype=jnp.float32,
     bw = tableau.b
     d = tableau.b - tableau.bhat
     n_stages = tableau.stages
-    P = HALO
-    assert n_stages <= P
-    S = _pick_strip(ny, target=_step_strip_target(nx, nvars, n_stages))
+    P = HALO if halo is None else halo
+    assert n_stages <= P and P % 8 == 0
+    S = _pick_strip(ny, target=_step_strip_target(nx, nvars, n_stages, P),
+                    min_s=P)
     if S is None:
-        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in [8,256]")
+        raise ValueError(f"ny={ny} has no multiple-of-8 divisor in "
+                         f"[{P},256]")
     n_strips = ny // S
     R = S + 2 * P                              # rows resident per strip
     nxp = ((nx + 2 * P + 127) // 128) * 128    # padded lane width

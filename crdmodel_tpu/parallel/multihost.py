@@ -173,6 +173,16 @@ def simulate_sharded_multihost(cfg, mesh: Optional[Mesh] = None,
         br_t = jnp.asarray(ck.get("br_t", ck["t"]), dtype)
         br_y = (jnp.asarray(ck["br_y"], dtype) if ck.get("br_y") is not None
                 else y)
+        if pad_spec is not None:
+            # re-derive pad cells from the physical field (same wrap-refill
+            # as simulate_sharded_streaming, parallel/sharded.py): the XLA
+            # padded path carries frozen pads, the fused mirror-pad kernels
+            # carry live wrapped copies — a checkpoint may hold either
+            # (kernel selection depends on backend/interpret, which are not
+            # in the config fingerprint), and the wrap-fill is the one
+            # layout both paths accept as-is
+            y = pad_spec.pad_field(pad_spec.unpad_field(y))
+            br_y = pad_spec.pad_field(pad_spec.unpad_field(br_y))
         acc = {k: np.array(ck["stats"][k], dtype=np.int64)
                for k in ("steps", "accepted", "rejected", "status")}
         snaps = []

@@ -454,7 +454,8 @@ def maybe_fused_shard_step(problem: Problem, mesh: Mesh,
     if fused_forcing(problem) is False:
         return None   # only structured separable forcing runs in-kernel
     if getattr(cfg, "pole_coarsen", 0):
-        return None   # reduced-grid pole coarsening: XLA single-device only
+        return None   # reduced-grid pole coarsening: XLA reduced
+        # operator (shards via the band machinery, sharded_params)
     if cfg.method not in TABLEAUS:   # rkc2 / ark324 have their own paths
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
@@ -639,7 +640,8 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
         # is_shard_rkc_supported additionally requires segment-gated
         # (pulse) stimuli — smooth waveforms vary across Chebyshev stages
     if getattr(cfg, "pole_coarsen", 0):
-        return None   # reduced-grid pole coarsening: XLA single-device only
+        return None   # reduced-grid pole coarsening: XLA reduced
+        # operator (shards via the band machinery, sharded_params)
     if cfg.method != "rkc2":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):
@@ -672,7 +674,8 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if getattr(cfg, "pole_coarsen", 0):
-        return None   # reduced-grid pole coarsening: XLA single-device only
+        return None   # reduced-grid pole coarsening: XLA reduced
+        # operator (shards via the band machinery, sharded_params)
     if cfg.method != "ark324":
         return None
     if not _shard_kernel_eligible(cfg, mesh, interpret):

@@ -238,18 +238,24 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                     interpret=interpret)
         elif pallas_step.is_supported(problem, tableau,
                                       jnp.dtype(cfg.dtype)):
-            fused = pallas_step.build_fused_step(problem, tableau,
-                                                 jnp.dtype(cfg.dtype),
-                                                 interpret=interpret)
             # speculative K-step mega-kernel: K frozen-h sub-steps per HBM
             # pass (opt-in via cfg.speculative_k; ops/pallas_kstep.py).
             # ARK_NORMAL mode never batches, so don't build the kernel
             # (never in the interpreter: ensemble/serial sweeps disable
-            # speculation anyway — the kernel bakes beta)
+            # speculation anyway — the kernel bakes beta). Deep K (> 2 for
+            # BS3) widens the halo of BOTH kernels — the K-step batch loop
+            # and its single-step tail share one padded state layout
+            # (pallas_kstep.halo_for).
             k = int(cfg.speculative_k)
-            if (k > 1 and cfg.step_mode == "tstop" and not interpret
-                    and pallas_kstep.is_kstep_supported(
-                        problem, tableau, jnp.dtype(cfg.dtype), k)):
+            use_k = (k > 1 and cfg.step_mode == "tstop" and not interpret
+                     and pallas_kstep.is_kstep_supported(
+                         problem, tableau, jnp.dtype(cfg.dtype), k))
+            halo = pallas_kstep.halo_for(tableau, k) if use_k else None
+            fused = pallas_step.build_fused_step(problem, tableau,
+                                                 jnp.dtype(cfg.dtype),
+                                                 interpret=interpret,
+                                                 halo=halo)
+            if use_k:
                 kstep = pallas_kstep.build_fused_kstep(
                     problem, tableau, k, jnp.dtype(cfg.dtype))
 

@@ -12,8 +12,10 @@ discontinuity, and separable protocols run IN-KERNEL on the fused ERK /
 divergence-form kernels (measured 6.8x the XLA forcing path at 10.2M
 points — scripts/bench_round4.py forcing). This domain is
 diffusion-CFL-bound at 256^2, so the example follows the method ground
-rules and uses rkc2 (which takes ~20x fewer steps here; rkc2 runs
-forcing on the XLA path today).
+rules and uses rkc2 (which takes ~20x fewer steps here); gated pulse
+trains like this protocol run IN-KERNEL on the fused RKC/divform paths
+too (segment-gating makes the amplitude constant per step), and only
+non-jittable waveforms fall back to XLA rkc2.
 
     python examples/s1s2_pacing.py [outdir]
 """

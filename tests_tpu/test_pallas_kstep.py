@@ -69,3 +69,58 @@ def test_kstep_full_run_matches_per_step_at_tolerance():
         res[sk] = np.asarray(traj)
     # different h sequences, same tolerance contract
     np.testing.assert_allclose(res[0], res[2], rtol=1e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("K", [5, 10])
+def test_deep_halo_kstep_matches_sequential_steps(K):
+    """Round-5 deep-halo K-step (halo_for widens P to 16/32): the K-batch
+    result is bitwise K sequential single fused steps built with the SAME
+    halo (shared padded layout), and mid-batch n_commit selects exact
+    prefixes."""
+    from crdmodel_tpu.ops import pallas_step
+    cfg = _cfg()
+    p = build_problem(cfg)
+    tab = TABLEAUS["bs32"]
+    P = pallas_kstep.halo_for(tab, K)
+    assert P == {5: 16, 10: 32}[K]
+    assert pallas_kstep.is_kstep_supported(p, tab, jnp.float32, K)
+    ks = pallas_kstep.build_fused_kstep(p, tab, K)
+    fs = pallas_step.build_fused_step(p, tab, halo=P)
+    params = {**p.params, "_seg_end": jnp.float32(2.0)}
+    h = jnp.float32(1e-4)
+    yp = ks.pad(p.y0)
+    yk, sss = jax.jit(
+        lambda y: ks.call(jnp.float32(1.5), y, h, K, params))(yp)
+    stepf = jax.jit(lambda y: fs.step_err(jnp.float32(1.5), y, h, params))
+    y = yp
+    ss_seq = []
+    for _ in range(K):
+        y, ss = stepf(y)
+        ss_seq.append(float(ss))
+    np.testing.assert_array_equal(np.asarray(ks.unpad(yk)),
+                                  np.asarray(fs.unpad(y)))
+    np.testing.assert_allclose(
+        [float(jnp.sum(sss[:, j])) for j in range(K)], ss_seq, rtol=1e-6)
+    # mid-batch commit: n_commit=3 == 3 plain steps
+    yk3, _ = jax.jit(
+        lambda y: ks.call(jnp.float32(1.5), y, h, 3, params))(yp)
+    y3 = yp
+    for _ in range(3):
+        y3, _ = stepf(y3)
+    np.testing.assert_array_equal(np.asarray(ks.unpad(yk3)),
+                                  np.asarray(fs.unpad(y3)))
+
+
+def test_deep_kstep_full_run_matches_per_step_at_tolerance():
+    """End-to-end speculative_k=5 (deep halo) vs per-step: same tolerance
+    contract, trajectories agree to tolerance-level error."""
+    cfg = _cfg()
+    res = {}
+    for sk in (0, 5):
+        c = dataclasses.replace(cfg, speculative_k=sk)
+        p = build_problem(c)
+        run, _ = make_simulation_fn(p)
+        traj, stats = run(p.y0, p.params)
+        assert np.all(np.asarray(stats.status) == 0)
+        res[sk] = np.asarray(traj)
+    np.testing.assert_allclose(res[0], res[5], rtol=1e-3, atol=5e-3)
