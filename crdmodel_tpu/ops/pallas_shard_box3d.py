@@ -28,8 +28,9 @@ with optional no-flux walls (closed z walls required — the z clamp),
 optional 3-D obstacle scars, and full 3-D diffusion fields (the
 coefficient plane ring of ops/pallas_box3d.py — here the per-shard
 (aE, aN, aU) stack is halo-padded once per dispatch like the tissue
-mask, so each plane needs ONE contiguous coefficient DMA); even grids
-only (pad_spec declines). Coefficients/beta/freeze ride as RUNTIME
+mask, so each plane needs ONE contiguous coefficient DMA); uneven grids
+run via mirror padding (round 4; tensor fields included since round 5).
+Coefficients/beta/freeze ride as RUNTIME
 params prepared once per dispatch inside shard_map (prepare_params),
 because each shard needs its own slices.
 

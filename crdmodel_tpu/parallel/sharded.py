@@ -272,12 +272,11 @@ def sharded_params(problem: Problem, pad_spec=None):
         pole = _pole_shard_data(problem, dtype)
     dxy = None
     if getattr(problem, "diffusion_tensor", None) is not None:
-        if padded:
-            raise ValueError(
-                "anisotropic diffusion_tensor needs an evenly-dividing "
-                "grid on this mesh: the 9-point mixed terms read corner "
-                "halo cells, which the pad-and-mask seam repair does not "
-                "fix (parallel/halo.py::_seam_fix)")
+        # round 5: tensor + padded (uneven) grids are supported — the
+        # two-phase seam-fixed exchange delivers correct DIAGONAL halo
+        # values for every physical cell (pinned by
+        # tests/test_uneven.py::test_seam_halo_nine_point_neighbourhoods),
+        # and the Dxy exchange below carries the same seam legs
         face_t, mixed_np, _ = problem.geometry.tensor_coeffs64(
             *problem.diffusion_tensor, boundary=cfg.boundary)
         coeffs = tuple(jnp.asarray(a, dtype) for a in face_t)
@@ -347,6 +346,13 @@ def sharded_params(problem: Problem, pad_spec=None):
     params = {"coeffs": coeffs, "b": b, "interior": jnp.asarray(interior)}
     specs = {"coeffs": coeff_spec, "b": b_spec, "interior": P(AXIS_Y, None)}
     if dxy is not None:
+        if padded:
+            # wrap-fill the trailing (ny, nx) axes like every other
+            # spatial parameter (the leading (3, nz) axes of the box
+            # stack are mesh-local); physical cells read Dxy only at
+            # their own and seam-delivered positions, so the fill is
+            # inert outside pad cells
+            dxy = pad_spec.pad_field(dxy)
         params["dxy"] = dxy
         specs["dxy"] = (P(None, None, AXIS_Y, AXIS_X) if dxy.ndim == 4
                         else P(AXIS_Y, AXIS_X))
@@ -481,9 +487,6 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if problem.geometry.kind != "box":
         return None
-    if getattr(problem, "diffusion_tensor", None) is not None \
-            and pad_spec is not None and pad_spec.active:
-        return None   # sharded_params rejects tensor+pad (corner seams)
     if problem.forcing is not None:
         return None   # forcing needs true stage times (AUTONOMY CONTRACT)
     if cfg.method not in TABLEAUS:
@@ -554,16 +557,14 @@ def maybe_fused_shard_aniso(problem: Problem, mesh: Mesh,
                             interpret: bool = False, pad_spec=None):
     """The 2-D anisotropic 9-point tensor through the windowed-coefficient
     shard kernel (ops/pallas_shard_divform.py aniso mode: Dxy streamed as
-    a fourth field, the mixed pair added in-kernel). Padded grids decline
-    (sharded_params rejects tensor+pad — the XLA seam repair lacks
-    corners)."""
+    a fourth field, the mixed pair added in-kernel). Tensor + padded (uneven)
+    grids compose: the Dxy field rides the mirror-haloed coefficient
+    stack like the three face fields (round 5)."""
     from crdmodel_tpu.integrate.erk import TABLEAUS
     cfg = problem.cfg
     if getattr(problem, "diffusion_tensor", None) is None:
         return None
     if problem.geometry.kind != "flat":
-        return None
-    if pad_spec is not None and pad_spec.active:
         return None
     from crdmodel_tpu.ops.kernel_common import fused_forcing
     if fused_forcing(problem) is False:
@@ -592,9 +593,6 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
     if problem.geometry.kind == "box":
-        if getattr(problem, "diffusion_tensor", None) is not None \
-                and pad_spec is not None and pad_spec.active:
-            return None   # sharded_params rejects tensor+pad
         if problem.forcing is not None:
             return None
         if cfg.method != "rkc2":
@@ -848,7 +846,10 @@ def build_local_run(problem: Problem, mesh,
             # static, only its halo view is mesh-local (the XLA local_rhs
             # — h0 heuristic and fallback path — reads it; the fused box
             # tensor kernel streams its own field ring instead)
-            params_run = {**params, "_dxy_pad": halo_pad(params["dxy"])}
+            params_run = {**params, "_dxy_pad": halo_pad(
+                params["dxy"],
+                seam_y=pad_spec.seam_y() if padded else None,
+                seam_x=pad_spec.seam_x() if padded else None)}
         if fused is not None:
             params_run = fused.prepare_params(params_run)
             kw = dict(
@@ -970,7 +971,13 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
     def tensor_params(p):
         if tensor is None:
             return p
-        return {**p, "_dxy_pad": halo_pad(p["dxy"])}
+        # one seam-legged ring exchange per dispatch: the mixed terms
+        # form fluxes at neighbour points, so Dxy needs the same
+        # (physically-wrapped) 1-ring halo as the state
+        return {**p, "_dxy_pad": halo_pad(
+            p["dxy"],
+            seam_y=pad_spec.seam_y() if padded else None,
+            seam_x=pad_spec.seam_x() if padded else None)}
 
     rho_fn = None
     if cfg.method == "rkc2":

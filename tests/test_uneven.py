@@ -408,3 +408,190 @@ def test_fused_padded_box3d_matches_xla(method):
     assert (int(np.sum(np.asarray(sf.steps)))
             == int(np.sum(np.asarray(r_x.stats.steps))))
     np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+
+def test_seam_halo_nine_point_neighbourhoods():
+    """Round 5 (VERDICT r4 item 2): the two-phase seam-fixed exchange
+    delivers the FULL 9-point neighbourhood — diagonals included — for
+    every physical cell on a doubly-uneven grid. This is the fact that
+    lets anisotropic tensors run on padded grids: the mixed terms read
+    corner halo cells (ops/stencil.py::anisotropic_from_padded), and the
+    column phase exchanges the already-seam-fixed row-padded block, so
+    corners arrive carrying true diagonal values."""
+    for (ny, nx, py, px) in [(39, 13, 2, 4), (10, 10, 4, 2), (8, 13, 2, 4)]:
+        spec = compute_pad_spec(ny, nx, py, px)
+        rng = np.random.default_rng(7)
+        u = rng.standard_normal((ny, nx))
+        up = jnp.asarray(spec.pad_field(u))
+        mesh = make_mesh(shape=(py, px))
+        blocks = np.asarray(jax.jit(jax.shard_map(
+            lambda x: halo_pad(x, seam_y=spec.seam_y(),
+                               seam_x=spec.seam_x())[None],
+            mesh=mesh, in_specs=P(AXIS_Y, AXIS_X),
+            out_specs=P(None, AXIS_Y, AXIS_X)))(up))
+        want = np.pad(u, 1, mode="wrap")
+        blk_y, blk_x = spec.y.blk, spec.x.blk
+        for sy in range(py):
+            for sx in range(px):
+                blk = blocks[0][sy * (blk_y + 2):(sy + 1) * (blk_y + 2),
+                                sx * (blk_x + 2):(sx + 1) * (blk_x + 2)]
+                for ly in range(blk_y):
+                    for lx in range(blk_x):
+                        gy, gx = sy * blk_y + ly, sx * blk_x + lx
+                        if gy >= ny or gx >= nx:
+                            continue
+                        np.testing.assert_array_equal(
+                            blk[ly:ly + 3, lx:lx + 3],
+                            want[gy:gy + 3, gx:gx + 3],
+                            err_msg=f"{ny}x{nx} cell {gy},{gx}")
+
+
+def _random_spd2(shape, rng):
+    dxx = 0.1 + rng.random(shape)
+    dyy = 0.1 + rng.random(shape)
+    dxy = 0.9 * np.sqrt(dxx * dyy) * (2 * rng.random(shape) - 1)
+    return dxx, dyy, dxy
+
+
+@pytest.mark.parametrize("name,shape,mesh_shape", [
+    ("both-axes-uneven", (25, 25), (2, 2)),
+    ("y-uneven", (39, 16), (2, 4)),
+])
+def test_uneven_tensor_matches_single_device(name, shape, mesh_shape):
+    """2-D anisotropic tensor diffusion on a non-dividing grid/mesh pair
+    (round 5 lifts the sharded_params ValueError): exact equivalence with
+    the single-device path, identical step counts. Reference analogue:
+    uneven SetupDecomp blocks, src/FHNmodel_torus.cpp:750-755, which the
+    reference handles for ANY operator."""
+    from crdmodel_tpu.core.problem import build_problem
+    ny, nx = shape
+    cfg = SimConfig(model="fhn", surface="flat", x_mesh=nx, y_mesh=ny,
+                    surface_width=20, surface_length=20.0 * ny / nx,
+                    t_final=0.5, output_timestep=2, beta=1.25,
+                    dtype="float64", rtol=1e-6, atol=1e-10)
+    assert (cfg.ny, cfg.nx) == shape
+    rng = np.random.default_rng(3)
+    tensor = _random_spd2(shape, rng)
+    p1 = build_problem(cfg, diffusion_tensor=tensor)
+    r1 = simulate(cfg, problem=p1)
+    p8 = build_problem(cfg, diffusion_tensor=tensor)
+    r8 = simulate_sharded(cfg, mesh=make_mesh(shape=mesh_shape),
+                          problem=p8)
+    assert r1.ok and r8.ok
+    np.testing.assert_allclose(np.asarray(r8.trajectory),
+                               np.asarray(r1.trajectory),
+                               rtol=1e-9, atol=1e-12)
+    assert np.array_equal(np.asarray(r8.stats.steps),
+                          np.asarray(r1.stats.steps))
+
+
+def test_uneven_tensor_3d_box_matches_single_device():
+    """3x3 SPD box tensor (19-point operator, xz/yz mixed pairs) on an
+    uneven grid: the stacked (Dxy, Dxz, Dyz) fields wrap-pad on the
+    trailing (ny, nx) axes and their ONE ring exchange per dispatch
+    carries the seam legs."""
+    from crdmodel_tpu.core.problem import build_problem
+    cfg = SimConfig(model="fhn", surface="box", x_mesh=13, y_mesh=10,
+                    z_mesh=4, surface_width=20, surface_length=16,
+                    surface_depth=6, t_final=0.3, output_timestep=1,
+                    beta=1.25, dtype="float64", rtol=1e-6, atol=1e-10)
+    rng = np.random.default_rng(5)
+    shape = (cfg.nz, cfg.ny, cfg.nx)
+    dxx = 0.1 + rng.random(shape)
+    dyy = 0.1 + rng.random(shape)
+    dzz = 0.1 + rng.random(shape)
+    s = lambda a, b: 0.5 * np.sqrt(a * b) * (2 * rng.random(shape) - 1)
+    tensor = (dxx, dyy, dzz, s(dxx, dyy), s(dxx, dzz), s(dyy, dzz))
+    p1 = build_problem(cfg, diffusion_tensor=tensor)
+    r1 = simulate(cfg, problem=p1)
+    p8 = build_problem(cfg, diffusion_tensor=tensor)
+    r8 = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 4)), problem=p8)
+    assert r1.ok and r8.ok
+    np.testing.assert_allclose(np.asarray(r8.trajectory),
+                               np.asarray(r1.trajectory),
+                               rtol=1e-9, atol=1e-12)
+    assert np.array_equal(np.asarray(r8.stats.steps),
+                          np.asarray(r1.stats.steps))
+
+
+def test_fused_padded_aniso_tensor_matches_xla():
+    """Round 5 (VERDICT r4 item 2): the 2-D anisotropic tensor runs FUSED
+    on an uneven grid — the Dxy field rides the mirror-haloed coefficient
+    stack of the windowed-coefficient shard kernel, whose two-phase strips
+    carry true corners by construction."""
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso,
+        mesh_pad_spec, sharded_params)
+    cfg = dataclasses.replace(SimConfig(**FUSED_UNEVEN), surface="flat",
+                              surface_width=20.0, surface_length=60.0)
+    rng = np.random.default_rng(13)
+    dxx = 0.1 + 0.2 * rng.random((cfg.ny, cfg.nx))
+    dyy = 0.1 + 0.2 * rng.random((cfg.ny, cfg.nx))
+    dxy = 0.8 * np.sqrt(dxx * dyy) * (2 * rng.random((cfg.ny, cfg.nx)) - 1)
+    tensor = (dxx, dyy, dxy)
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    assert pad_spec is not None and pad_spec.active
+    assert maybe_fused_shard_aniso(p_k, mesh, interpret=True,
+                                   pad_spec=pad_spec) is not None
+    params, _ = sharded_params(p_k, pad_spec)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(pad_spec.pad_field(p_k.y0), params)
+    tf = np.asarray(pad_spec.unpad_field(tf))
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+    assert r_x.ok
+    tx = np.asarray(r_x.trajectory)[1:]
+    assert np.all(np.asarray(sf.status) == 0)
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(r_x.stats.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("method", ["bs32", "rkc2"])
+def test_fused_padded_box3d_tensor_matches_xla(method):
+    """3x3 SPD box tensor (19-point) on an uneven volume through the
+    z-streaming shard kernels: the six streamed fields (aE, aN, aU, Dxy,
+    Dxz, Dyz) are wrap-filled and mirror-haloed like the scalar case."""
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_box3d,
+        mesh_pad_spec, sharded_params)
+    cfg = SimConfig(model="aliev_panfilov", surface="box", x_mesh=17,
+                    surface_width=10.0, surface_length=30.0, y_mesh=51,
+                    surface_depth=3.0, z_mesh=6, t_final=0.6,
+                    output_timestep=1, beta=0.0, dtype="float32",
+                    method=method, rtol=1e-4, atol=1e-7, boundary="noflux",
+                    use_pallas=True)
+    rng = np.random.default_rng(17)
+    shape = (cfg.nz, cfg.ny, cfg.nx)
+    dxx = 0.1 + 0.1 * rng.random(shape)
+    dyy = 0.1 + 0.1 * rng.random(shape)
+    dzz = 0.1 + 0.1 * rng.random(shape)
+    s = lambda a, b: 0.4 * np.sqrt(a * b) * (2 * rng.random(shape) - 1)
+    tensor = (dxx, dyy, dzz, s(dxx, dyy), s(dxx, dzz), s(dyy, dzz))
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    pad_spec = mesh_pad_spec(cfg, mesh)
+    assert pad_spec is not None and pad_spec.active
+    if method != "rkc2":
+        assert maybe_fused_shard_box3d(p_k, mesh, interpret=True,
+                                       pad_spec=pad_spec) is not None
+    params, _ = sharded_params(p_k, pad_spec)
+    run_f, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tf, sf = run_f(pad_spec.pad_field(p_k.y0), params)
+    tf = np.asarray(pad_spec.unpad_field(tf))
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+    assert r_x.ok
+    tx = np.asarray(r_x.trajectory)[1:]
+    assert np.all(np.asarray(sf.status) == 0)
+    assert (int(np.sum(np.asarray(sf.steps)))
+            == int(np.sum(np.asarray(r_x.stats.steps))))
+    np.testing.assert_allclose(tf, tx, rtol=0, atol=2e-5)
