@@ -206,9 +206,11 @@ def is_rkc_supported(problem, dtype) -> bool:
         return False   # free-form forcing: XLA rkc2 (true stage times)
     if ff is not None:
         from crdmodel_tpu.ops.kernel_common import needs_divform as _ndf
-        if not all(getattr(st.waveform, "segment_gated", False)
-                   for st in ff.stimuli):
-            return False   # smooth waveforms vary across Chebyshev stages
+        # round 5: smooth (non-gated) jittable waveforms run in-kernel
+        # too — the Chebyshev stage times t + c_j h are computed OUTSIDE
+        # the kernel for the dispatch's stage count (static_stage_tables
+        # with_times) and a per-eval amplitude row rides SMEM; only
+        # free-form forcing (ff is False above) still needs XLA rkc2
         if not _ndf(problem) and choose_blocking(
                 problem.cfg.ny, problem.cfg.nx,
                 problem.model.nvars)[0] > 1:
@@ -279,7 +281,7 @@ def rkc_stage_coeffs(s, dtype):
     return mu1, st[0]
 
 
-def static_stage_tables(s_cap: int, dtype):
+def static_stage_tables(s_cap: int, dtype, with_times: bool = False):
     """mu1[s] and ctab[s] = rkc_stage_coeffs(s) for every stage count
     s in [2, s_cap], precomputed in f64 numpy at BUILD time.
 
@@ -290,9 +292,18 @@ def static_stage_tables(s_cap: int, dtype):
     that into one dynamic index. f64 table entries cast to the kernel
     dtype differ from the old in-jit f32 recurrence by at most f32
     rounding (strictly more accurate), inside the documented fused-vs-XLA
-    f32 drift domain."""
+    f32 drift domain.
+
+    with_times: also return ctimes[s, e] — the normalized STAGE TIME of
+    the kernel's e-th RHS evaluation (the offsets the XLA rkc2 uses,
+    integrate/rkc.py:126-129): e=0 is F_0 at t (offset 0), e=j for the
+    stage-loop index j in [2, s] is F(Y_{j-1}) at t + c_{j-1} h, and
+    e=s+1 is the error estimator's F(y_new) at t + h. Smooth-waveform
+    forcing evaluates the amplitudes at t + ctimes[s]*h OUTSIDE the
+    kernel (round 5 — VERDICT r4 item 5)."""
     mu1 = np.zeros((s_cap + 1,), np.float64)
     ctab = np.zeros((s_cap + 1, S_MAX_KERNEL + 1, 4), np.float64)
+    ctimes = np.zeros((s_cap + 1, S_MAX_KERNEL + 2), np.float64)
     for s in range(2, s_cap + 1):
         w0 = 1.0 + rkc.EPS_DAMP / (s * s)
         T = np.zeros(s + 1)
@@ -316,7 +327,14 @@ def static_stage_tables(s_cap: int, dtype):
             mut = 2 * b[j] * w1 / b[j - 1]
             gt = -(1.0 - b[j - 1] * T[j - 1]) * mut
             ctab[s, j] = (mu, nu, mut, gt)
-    return jnp.asarray(mu1, dtype), jnp.asarray(ctab, dtype)
+            # c_{j-1} = w1 T''_{j-1}/T'_{j-1}, c_1 = w1/(4 w0)
+            ctimes[s, j] = (0.25 * w1 / w0 if j == 2
+                            else w1 * d2T[j - 1] / dT[j - 1])
+        ctimes[s, s + 1] = 1.0
+    out = (jnp.asarray(mu1, dtype), jnp.asarray(ctab, dtype))
+    if with_times:
+        out = out + (jnp.asarray(ctimes, dtype),)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -422,7 +440,16 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         stim_cols = jnp.asarray(np.stack(scols_np)[:, None, :], dtype)
     else:
         stim_cols = jnp.zeros((1, 1, 1), dtype)
-    amps0 = jnp.zeros((max(1, n_stim), 1), dtype)
+    # amplitude layout: all-gated pulse trains are constant per step —
+    # ONE column; smooth waveforms vary across the Chebyshev stages, so
+    # the SMEM row carries one amplitude per RHS EVALUATION, filled at
+    # the true stage times outside the kernel (static_stage_tables
+    # with_times; round 5)
+    all_gated = (not n_stim) or all(
+        getattr(st.waveform, "segment_gated", False)
+        for st in forcing.stimuli)
+    n_amp = 1 if all_gated else S_MAX_KERNEL + 2
+    amps0 = jnp.zeros((max(1, n_stim), n_amp), dtype)
     if divform:
         # general divergence form: full face-coefficient fields stacked
         # into ONE (n_coeff, ny, nxp) HBM array, row-windowed per strip by
@@ -495,15 +522,21 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
             s = s_ref[0, 0]
             mu1 = mu1_ref[0, 0]
             if n_stim:
-                ex = {}
-                for j in range(n_stim):
-                    contrib = (amps_ref[j, 0]
-                               * srow_ref[j, pl.ds(row0, R), :]
-                               * scol_ref[j, 0, :])
-                    v = stim_vars[j]
-                    ex[v] = ex[v] + contrib if v in ex else contrib
+                profs = [srow_ref[j, pl.ds(row0, R), :]
+                         * scol_ref[j, 0, :] for j in range(n_stim)]
+
+                def ex_at(e):
+                    ex = {}
+                    for j in range(n_stim):
+                        a = (amps_ref[j, 0] if n_amp == 1
+                             else amps_ref[j, e])
+                        v = stim_vars[j]
+                        contrib = a * profs[j]
+                        ex[v] = ex[v] + contrib if v in ex else contrib
+                    return ex
             else:
-                ex = None
+                def ex_at(e):
+                    return None
             if divform:
                 cslot = load_wrap_strips(c_hbm, cv, csems, ny, S, P,
                                          n_strips, i)
@@ -521,7 +554,7 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                          jnp.roll(cb[2], 1, axis=-2))
                 tis = cb[3] if has_tissue else None
 
-                def rhs_block(yb):
+                def rhs_block(yb, ex=None):
                     return divform_rhs(yb, faces, tis, None,
                                        b_rows, live_rows, extra=ex)
             else:
@@ -530,12 +563,12 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                     c0_ref, c1_ref, c2_ref,
                     b_ref, m_ref, fz_ref, row0, R)
 
-                def rhs_block(yb):
+                def rhs_block(yb, ex=None):
                     return rhs_block_of(yb, stencil, b_rows, live_rows,
                                         extra=ex)
 
             y0 = yv[slot]
-            f0 = rhs_block(y0)                       # ring 1
+            f0 = rhs_block(y0, ex_at(0))             # ring 1, time t
             y_jm1 = y0 + (h * mu1) * f0              # stage 1
             y_jm2 = y0
 
@@ -545,14 +578,14 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                 nu = ctab_ref[j, 1]
                 mut = ctab_ref[j, 2]
                 gt = ctab_ref[j, 3]
-                fy = rhs_block(yjm1)                 # ring j
+                fy = rhs_block(yjm1, ex_at(j))       # ring j, t+c_{j-1}h
                 yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
                       + (h * mut) * fy + (h * gt) * f0)
                 return (yj, yjm1)
 
             y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
 
-            f1 = rhs_block(y_new)                    # ring s+1
+            f1 = rhs_block(y_new, ex_at(s + 1))      # ring s+1, t+h
             est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
 
             z = y_new[:, P:P + S, :]
@@ -582,8 +615,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((max(1, n_stim), 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),  # per-step amps
+                pl.BlockSpec((max(1, n_stim), n_amp), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),  # per-eval amps
                 pl.BlockSpec(stim_rows_v.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),  # stimulus rows
                 pl.BlockSpec(stim_cols.shape, lambda i: (0, 0, 0),
@@ -650,7 +683,8 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
     # stage recurrence over strictly fewer amplified halo rows
     branches = [make_call(P, S) for (P, S) in reversed(plan)]
     caps = np.asarray([P - 1 for (P, _) in reversed(plan)], np.int32)
-    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
+    mu1_tab, ctab_tab, ctimes_tab = static_stage_tables(
+        s_cap, dtype, with_times=True)
 
     def _freeze_scalar(params):
         return freeze_scalar(params, has_freeze, t_boundary, dtype)
@@ -667,9 +701,25 @@ def build_fused_rkc_step(problem, dtype=jnp.float32,
         mu1_s = jnp.reshape(mu1, (1, 1))
         if n_stim:
             seg = params.get("_seg_end") if isinstance(params, dict) else None
-            amps = jnp.stack([
-                jnp.asarray(st.waveform(t, seg_end=seg), dtype)
-                for st in forcing.stimuli]).reshape(n_stim, 1)
+            if all_gated:
+                amps = jnp.stack([
+                    jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                    for st in forcing.stimuli]).reshape(n_stim, 1)
+            else:
+                # amplitudes at the TRUE Chebyshev stage times of THIS
+                # dispatch's stage count (the offsets the XLA rkc2 uses,
+                # integrate/rkc.py:126-129)
+                ctv = jax.lax.dynamic_index_in_dim(ctimes_tab, s, 0,
+                                                   keepdims=False)
+                times = (t + ctv * h).astype(dtype)
+                rows = []
+                for st in forcing.stimuli:
+                    if getattr(st.waveform, "segment_gated", False):
+                        a = jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                        rows.append(jnp.broadcast_to(a, times.shape))
+                    else:
+                        rows.append(jnp.asarray(st.waveform(times), dtype))
+                amps = jnp.stack(rows)
         else:
             amps = amps0
         args = (h_s, fz_s, s_s, mu1_s, ctab, amps, yp)

@@ -55,11 +55,6 @@ def is_shard_rkc_supported(problem, dtype, nyl: int, nxl: int) -> bool:
     ff = fused_forcing(problem)
     if ff is False:
         return False   # free-form forcing needs the XLA path
-    if ff is not None and not all(getattr(st.waveform, "segment_gated",
-                                          False) for st in ff.stimuli):
-        return False   # smooth waveforms vary ACROSS Chebyshev stages —
-        # only segment-gated pulses (constant per step) run in-kernel;
-        # the XLA rkc2 evaluates true stage times for the rest
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if nyl < P_RKC or nxl < P_RKC:
@@ -125,9 +120,10 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
         axis_y, axis_x, pad_spec=pad_spec)
 
-    # segment-gated forcing (pulse trains only — is_shard_rkc_supported):
-    # the amplitude is CONSTANT per step, so one (n_stim, 1) scalar input
-    # covers every Chebyshev stage; profiles stream like the beta field
+    # in-kernel forcing: all-gated pulse trains are constant per step
+    # (one amplitude column); smooth jittable waveforms carry one
+    # amplitude per RHS evaluation, filled at the true Chebyshev stage
+    # times outside the kernel (static_stage_tables with_times; round 5)
     from crdmodel_tpu.ops.kernel_common import fused_forcing
     from crdmodel_tpu.parallel.halo import (halo_pad_cols, halo_pad_rows,
                                             mirror_halo_pad_cols,
@@ -135,6 +131,10 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
     forcing = fused_forcing(problem)
     assert forcing is not False
     n_stim = len(forcing.stimuli) if forcing else 0
+    all_gated = (not n_stim) or all(
+        getattr(st.waveform, "segment_gated", False)
+        for st in forcing.stimuli)
+    n_amp = 1 if all_gated else S_MAX_KERNEL + 2
     pady = pad_spec is not None and pad_spec.y.active
     padx = pad_spec is not None and pad_spec.x.active
     fill = nxp - (nxl + 2 * P)
@@ -189,17 +189,22 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
         if n_stim:
-            ex = {}
-            for j in range(n_stim):
-                contrib = (amps_ref[j, 0]
-                           * srow_ref[j, pl.ds(row0, R), :]
-                           * scol_ref[j, 0, :])
-                v = stim_vars[j]
-                ex[v] = ex[v] + contrib if v in ex else contrib
-        else:
-            ex = None
+            profs = [srow_ref[j, pl.ds(row0, R), :]
+                     * scol_ref[j, 0, :] for j in range(n_stim)]
 
-        def rhs_block(yb):
+            def ex_at(e):
+                ex = {}
+                for j in range(n_stim):
+                    a = amps_ref[j, 0] if n_amp == 1 else amps_ref[j, e]
+                    v = stim_vars[j]
+                    contrib = a * profs[j]
+                    ex[v] = ex[v] + contrib if v in ex else contrib
+                return ex
+        else:
+            def ex_at(e):
+                return None
+
+        def rhs_block(yb, ex=None):
             return rhs_block_of(yb, stencil, b_rows, live_rows, extra=ex)
 
         # in-kernel column splice (VPU-only; HBM halo lanes are stale)
@@ -208,7 +213,7 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         y0 = jnp.concatenate(
             [wrow, yv[slot][..., P:P + nxl], erow,
              yv[slot][..., P + nxl + P:]], axis=-1)
-        f0 = rhs_block(y0)
+        f0 = rhs_block(y0, ex_at(0))             # time t
         y_jm1 = y0 + (h * mu1) * f0
         y_jm2 = y0
 
@@ -218,14 +223,14 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             nu = ctab_ref[j, 1]
             mut = ctab_ref[j, 2]
             gt = ctab_ref[j, 3]
-            fy = rhs_block(yjm1)
+            fy = rhs_block(yjm1, ex_at(j))       # time t + c_{j-1} h
             yj = ((1.0 - mu - nu) * y0 + mu * yjm1 + nu * yjm2
                   + (h * mut) * fy + (h * gt) * f0)
             return (yj, yjm1)
 
         y_new, _ = jax.lax.fori_loop(2, s + 1, stage, (y_jm1, y_jm2))
 
-        f1 = rhs_block(y_new)
+        f1 = rhs_block(y_new, ex_at(s + 1))      # time t + h
         est = 0.8 * (y0 - y_new) + (0.4 * h) * (f0 + f1)
 
         ynew_ref[:, :, :] = y_new[:, P:P + S, :]
@@ -253,8 +258,8 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
             smem11, smem11, smem11, smem11,
             pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((max(1, n_stim), 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),   # per-step amplitudes
+            pl.BlockSpec((max(1, n_stim), n_amp), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # per-eval amplitudes
             pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
                          lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),   # stimulus row profiles
@@ -302,10 +307,11 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
 
     ones = jnp.ones((1, 1), dtype)
     ones_rows = jnp.ones((nyl, 1), dtype)
-    amps0 = jnp.zeros((max(1, n_stim), 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), n_amp), dtype)
     srow0 = jnp.zeros((1, 1, 1), dtype)
     scol0 = jnp.zeros((1, 1, 1), dtype)
-    mu1_tab, ctab_tab = static_stage_tables(S_MAX_KERNEL, dtype)
+    mu1_tab, ctab_tab, ctimes_tab = static_stage_tables(
+        S_MAX_KERNEL, dtype, with_times=True)
 
     def _freeze_scalar(params):
         return freeze_scalar(params, has_freeze, t_boundary, dtype)
@@ -328,9 +334,25 @@ def build_fused_shard_rkc(problem, nyl: int, nxl: int, dtype=jnp.float32,
         vr = params.get("_fused_vrow", ones_rows)
         if n_stim:
             seg = params.get("_seg_end") if isinstance(params, dict) else None
-            amps = jnp.stack([
-                jnp.asarray(st.waveform(t, seg_end=seg), dtype)
-                for st in forcing.stimuli]).reshape(n_stim, 1)
+            if all_gated:
+                amps = jnp.stack([
+                    jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                    for st in forcing.stimuli]).reshape(n_stim, 1)
+            else:
+                # true Chebyshev stage times for THIS dispatch's pmax'd
+                # stage count (every shard computes the same s, so the
+                # same table row — collective-consistent)
+                ctv = jax.lax.dynamic_index_in_dim(ctimes_tab, s, 0,
+                                                   keepdims=False)
+                times = (t + ctv * h).astype(dtype)
+                rows = []
+                for st in forcing.stimuli:
+                    if getattr(st.waveform, "segment_gated", False):
+                        a = jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                        rows.append(jnp.broadcast_to(a, times.shape))
+                    else:
+                        rows.append(jnp.asarray(st.waveform(times), dtype))
+                amps = jnp.stack(rows)
             srow = params["_fused_stim_rows"]
             scol = params["_fused_stim_cols"]
         else:

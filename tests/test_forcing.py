@@ -422,9 +422,13 @@ class TestFusedDivformForcing:
 
 
 class TestFusedRKCForcing:
-    """Segment-gated pulse trains through the fused sharded RKC2 kernel:
-    the amplitude is constant per step (the gate), so one scalar per
-    stimulus covers every Chebyshev stage — smooth waveforms decline."""
+    """Forcing through the fused sharded RKC2 kernel. Segment-gated pulse
+    trains are constant per step (one amplitude column); smooth jittable
+    waveforms (round 5) carry one amplitude per RHS evaluation, computed
+    at the true Chebyshev stage times t + c_j h for the dispatch's pmax'd
+    stage count OUTSIDE the kernel (ops/pallas_rkc.py::static_stage_tables
+    with_times) — matching the XLA rkc2's stage-time evaluation
+    (integrate/rkc.py:126-129)."""
 
     def test_sharded_rkc2_pulse_matches_xla(self):
         import jax
@@ -467,13 +471,43 @@ class TestFusedRKCForcing:
         np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
                                    rtol=0, atol=1e-4)
 
-    def test_smooth_waveform_declines_rkc(self):
+    def test_sharded_rkc2_smooth_waveform_matches_xla(self):
+        """Round 5: smooth waveforms run in-kernel on the sharded RKC2
+        path (previously declined) and match the XLA rkc2's true
+        stage-time evaluation."""
         import jax
+        from crdmodel_tpu.core.problem import make_rho_bound
         from crdmodel_tpu.ops.pallas_shard_rkc import is_shard_rkc_supported
+        from crdmodel_tpu.parallel.mesh import AXIS_X, AXIS_Y, make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_rkc,
+            sharded_params)
+        from jax import lax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
         cfg = _fused_cfg(surface="torus", x_mesh=64, surface_width=20.0,
-                         surface_length=40.0, method="rkc2")
-        p = build_problem(cfg, forcing=_protocol_smooth(cfg))
-        assert not is_shard_rkc_supported(p, jnp.float32, 64, 64)
+                         surface_length=40.0, method="rkc2", t_final=0.6)
+        p_k = build_problem(cfg, forcing=_protocol_smooth(cfg))
+        assert is_shard_rkc_supported(p_k, jnp.float32, 64, 64)
+        mesh = make_mesh(shape=(2, 2))
+        rho = make_rho_bound(cfg, p_k.model, p_k.geometry, jnp.float32,
+                             max_reduce=lambda x: lax.pmax(x,
+                                                           (AXIS_Y, AXIS_X)))
+        assert maybe_fused_shard_rkc(p_k, mesh, rho,
+                                     interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=_protocol_smooth(cfg_x))
+        run_x, _ = make_sharded_simulation_fn(p_x, mesh)
+        tx, sx = run_x(p_x.y0, sharded_params(p_x)[0])
+        assert np.all(np.asarray(sk.status) == 0)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-4)
 
 
 def test_single_chip_rkc2_pulse_matches_xla():
@@ -524,6 +558,49 @@ def test_single_chip_rkc2_divform_pulse_matches_xla():
     tk, sk = run_k(p_k.y0, p_k.params)
     cfg_x = dataclasses.replace(cfg, use_pallas=False)
     p_x = build_problem(cfg_x, forcing=frc())
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.all(np.asarray(sk.status) == 0)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 1
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=1e-4)
+
+
+def test_single_chip_rkc2_smooth_waveform_matches_xla():
+    """Round 5: smooth (non-gated) waveforms through the single-chip fused
+    RKC2 kernel — per-eval amplitudes at the true Chebyshev stage times."""
+    import jax
+    from crdmodel_tpu.sim import make_run_fn
+    from crdmodel_tpu.ops.pallas_rkc import is_rkc_supported
+    cfg = _fused_cfg(surface="torus", x_mesh=64, surface_width=20.0,
+                     surface_length=40.0, method="rkc2", t_final=0.6)
+    p_k = build_problem(cfg, forcing=_protocol_smooth(cfg))
+    assert is_rkc_supported(p_k, jnp.float32)
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=_protocol_smooth(cfg_x))
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    assert np.all(np.asarray(sk.status) == 0)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 1
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=1e-4)
+
+
+def test_single_chip_rkc2_divform_smooth_matches_xla():
+    """Smooth waveforms + bounded tissue through the fused RKC divform
+    branch (round 5)."""
+    import jax
+    from crdmodel_tpu.sim import make_run_fn
+    cfg = _fused_cfg(boundary="noflux", method="rkc2", t_final=0.6)
+    p_k = build_problem(cfg, forcing=_protocol_smooth(cfg))
+    run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=_protocol_smooth(cfg_x))
     run_x = jax.jit(make_run_fn(p_x)[0])
     tx, sx = run_x(p_x.y0, p_x.params)
     assert np.all(np.asarray(sk.status) == 0)
