@@ -46,12 +46,18 @@ class Stimulus:
       * row/col: rank-1 profiles ((ny,) / (nx,) numpy arrays, either may
         be None = uniform) — fused-kernel eligible;
       * spatial: a full (ny, nx) field — XLA path only.
+
+    zprof: optional (nz,) depth profile for 3-D box problems (None =
+    uniform through the slab) — composes with row/col as a rank-1
+    separable volume profile; the z leg rides the box kernels' plane
+    schedule (round 5). Box surfaces only.
     """
     waveform: Callable
     var: int = 0
     row: Optional[object] = None
     col: Optional[object] = None
     spatial: Optional[object] = None
+    zprof: Optional[object] = None
 
     @property
     def separable(self) -> bool:
@@ -102,12 +108,23 @@ class SeparableForcing:
         pc = (jnp.asarray(np.asarray(s.col).reshape(1, -1), dtype)
               if s.col is not None else None)
         if pr is None and pc is None:
-            return jnp.ones((), dtype)
-        if pr is None:
-            return pc
-        if pc is None:
-            return pr
-        return pr * pc
+            prof = jnp.ones((), dtype)
+        elif pr is None:
+            prof = pc
+        elif pc is None:
+            prof = pr
+        else:
+            prof = pr * pc
+        return prof
+
+    def _apply_z(self, i, s, prof, dtype):
+        """Multiply in the optional (nz,) depth profile (3-D box states:
+        prof broadcasts (ny, nx)-like over z, zprof rides axis -3)."""
+        if s.zprof is None:
+            return prof
+        z = jnp.asarray(np.asarray(s.zprof, np.float64).reshape(-1, 1, 1),
+                        dtype)
+        return z * prof
 
     def __call__(self, t, state, params):
         nvars = state.shape[0]
@@ -119,7 +136,8 @@ class SeparableForcing:
                 amp = jnp.asarray(s.waveform(t, seg_end=seg), state.dtype)
             else:
                 amp = jnp.asarray(s.waveform(t), state.dtype)
-            contrib = amp * self._profile(i, s, state, params)
+            contrib = amp * self._apply_z(
+                i, s, self._profile(i, s, state, params), state.dtype)
             per_var[s.var] = (contrib if s.var not in per_var
                               else per_var[s.var] + contrib)
         zero = jnp.zeros_like(state[0])

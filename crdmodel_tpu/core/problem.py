@@ -743,6 +743,11 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
             # closed faces live in the face coefficients, so the operator
             # must take the divergence form even for constant D
             diffusion_field = np.float64(cfg.diffusion)
+    from crdmodel_tpu.core.forcing import SeparableForcing
+    if isinstance(forcing, SeparableForcing) and cfg.surface != "box" \
+            and any(st.zprof is not None for st in forcing.stimuli):
+        raise ValueError("Stimulus.zprof is a depth profile for 3-D box "
+                         "surfaces only (core/forcing.py)")
     steady = model.steady_state(cfg.beta)
     y0 = initial_state(cfg, model, steady, dtype)
     rhs = make_rhs(cfg, model, geometry, dtype,

@@ -59,6 +59,9 @@ def fused_forcing(problem):
         return None
     from crdmodel_tpu.core.forcing import SeparableForcing
     if isinstance(f, SeparableForcing) and f.separable:
+        if (problem.geometry.kind != "box"
+                and any(st.zprof is not None for st in f.stimuli)):
+            return False   # zprof is a box-only axis (core/forcing.py)
         return f
     return False
 

@@ -275,8 +275,11 @@ def _box_mode_impl(problem):
 
 def is_box3d_supported(problem, tableau: Tableau, dtype) -> bool:
     cfg = problem.cfg
-    if problem.forcing is not None:
-        return False   # forcing: pallas_step only (kernel_common.fused_forcing)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path; structured
+        # separable protocols run in-kernel (round 5): per-stage scalar
+        # amplitudes at true stage times + rank-1 row/col/z profiles
     if problem.geometry.kind != "box":
         return False
     if jnp.dtype(dtype) != jnp.float32:
@@ -355,6 +358,42 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
+    # structured forcing (core/forcing.py): per-stage scalar amplitudes
+    # at true stage times t + c_s h computed OUTSIDE the kernel; rank-1
+    # row/col profiles as wrapped constants (the 2-D pallas_step layout)
+    # and the optional z profile as an SMEM (n_stim, nz) table read at
+    # each evaluation's plane index (round 5 — VERDICT r4 item 1)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_box3d_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in tableau.c)
+        rows_np, cols_np, z_np = [], [], []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            rows_np.append(np.concatenate([r_[-P:], r_, r_[:P]], axis=0))
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P] = c_[-P:]
+            c_lane[P:P + nx] = c_
+            c_lane[P + nx:P + nx + P] = c_[:P]
+            cols_np.append(c_lane)
+            z_ = (np.ones(nz) if st.zprof is None
+                  else np.asarray(st.zprof, np.float64).reshape(nz))
+            z_np.append(z_)
+        stim_rows = jnp.asarray(np.stack(rows_np), dtype)
+        stim_cols = jnp.asarray(np.stack(cols_np)[:, None, :], dtype)
+        stim_z = jnp.asarray(np.stack(z_np), dtype)       # (n_stim, nz)
+    else:
+        stim_rows = jnp.zeros((1, 1, 1), dtype)
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+        stim_z = jnp.zeros((1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), ns), dtype)
+
     inv_xy = inv_xz = inv_yz = 0.0
     if has_field:
         # full-field faces: wrap-pad rows at build (static), stack the
@@ -412,7 +451,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     if has_tissue:
         problem.params["_box3d_tissue"] = tis_hbm
 
-    def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
+    def kernel(h_ref, fz_ref, ds_ref, amps_ref, srow_ref, scol_ref,
+               szp_ref, ae_ref, aw_ref, an_ref, as_ref,
                au_ref, ad_ref, b_ref, m_ref, cm_ref, y_hbm, t_hbm, c_hbm,
                ynew_ref, ss_ref, y0v, sems, tv, tsems, cv, csems, *kv):
         i = pl.program_id(0)
@@ -611,6 +651,21 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
                 react = model.kinetics(yc, b_rows)
                 ydot = jnp.stack([react[v] + laps[v] if v in laps
                                   else react[v] for v in range(nvars)])
+            if n_stim:
+                # stage-s amplitude x z(p) x row-strip x lane profiles;
+                # added BEFORE the freeze/tissue masks so stimulation is
+                # masked exactly like every other RHS term (XLA parity)
+                ex = {}
+                for j2 in range(n_stim):
+                    contrib = (amps_ref[j2, s] * szp_ref[j2, clampz(p)]
+                               * srow_ref[j2, pl.ds(row0, R), :]
+                               * scol_ref[j2, 0, :])
+                    v2 = stim_vars[j2]
+                    ex[v2] = ex[v2] + contrib if v2 in ex else contrib
+                # static per-var restack (no scatter: Mosaic has no
+                # scatter-add lowering)
+                ydot = jnp.stack([ydot[v2] + ex[v2] if v2 in ex
+                                  else ydot[v2] for v2 in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
             if has_tissue:
@@ -667,6 +722,12 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         grid=(n_strips, nz + ns),
         in_specs=[
             smem_scalar, smem_scalar, smem_scalar,   # h, fz, ds
+            pl.BlockSpec(amps0.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            vmem_const(stim_rows.shape),             # stimulus rows
+            vmem_const(stim_cols.shape),             # stimulus cols
+            pl.BlockSpec(stim_z.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # stimulus z profiles
             vmem_const((1, nxp)),                    # ae
             vmem_const((1, nxp)),                    # aw
             vmem_const((ny + 2 * P, 1)),             # an
@@ -712,10 +773,15 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
     one = jnp.ones((1, 1), dtype)
 
     def step_err(t, yp, h, params):
-        del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
+        if n_stim:
+            # true stage times — the one place t enters the kernel
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
+        else:
+            amps = amps0
         b_in = kc.b_pad
         ds_s = one
         if isinstance(params, dict):
@@ -728,7 +794,8 @@ def build_fused_box3d_step(problem, tableau: Tableau, dtype=jnp.float32,
         if isinstance(params, dict):
             th = params.get("_box3d_tissue", th)
             ch = params.get("_box3d_coeffs", ch)
-        ynew, ss = call(h_s, fz_s, ds_s, ae_row, aw_row, an_col, as_col,
+        ynew, ss = call(h_s, fz_s, ds_s, amps, stim_rows, stim_cols,
+                        stim_z, ae_row, aw_row, an_col, as_col,
                         au_z, ad_z, b_in, kc.m_pad, kc.col_mask, yp,
                         th, ch)
         return ynew, jnp.sum(ss)

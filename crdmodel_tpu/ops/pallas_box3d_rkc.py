@@ -92,8 +92,11 @@ def _rkc_strip_target(nx: int, nvars: int, has_tissue: bool = False,
 
 def is_box3d_rkc_supported(problem, dtype) -> bool:
     cfg = problem.cfg
-    if problem.forcing is not None:
-        return False   # forcing: 2-D rkc/step kernels only
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path; structured
+        # protocols run in-kernel with per-eval amplitudes at the true
+        # Chebyshev stage times (round 5)
     if problem.geometry.kind != "box":
         return False
     if jnp.dtype(dtype) != jnp.float32:
@@ -170,6 +173,40 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     kc = prepare_constants(problem, dtype, P, pad_cols, with_coeffs=False)
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
 
+    # structured forcing: per-EVAL amplitude rows at the true Chebyshev
+    # stage times (eval e=0: F0 at t; e=j: stage j at t+c_{j-1}h;
+    # e=s+1: f1 at t+h — static_stage_tables with_times), rank-1 row/col
+    # profiles as wrapped constants, z profile in SMEM (round 5)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_box3d_rkc_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        rows_np, cols_np, z_np = [], [], []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            rows_np.append(np.concatenate([r_[-P:], r_, r_[:P]], axis=0))
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P] = c_[-P:]
+            c_lane[P:P + nx] = c_
+            c_lane[P + nx:P + nx + P] = c_[:P]
+            cols_np.append(c_lane)
+            z_ = (np.ones(nz) if st.zprof is None
+                  else np.asarray(st.zprof, np.float64).reshape(nz))
+            z_np.append(z_)
+        stim_rows = jnp.asarray(np.stack(rows_np), dtype)
+        stim_cols = jnp.asarray(np.stack(cols_np)[:, None, :], dtype)
+        stim_z = jnp.asarray(np.stack(z_np), dtype)
+    else:
+        stim_rows = jnp.zeros((1, 1, 1), dtype)
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+        stim_z = jnp.zeros((1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), C + 2), dtype)
+
     inv_xy = inv_xz = inv_yz = 0.0
     if has_field:
         # full-field faces: the ops/pallas_box3d.py coefficient plane
@@ -225,6 +262,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         problem.params["_box3d_tissue"] = tis_hbm
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
+               amps_ref, srow_ref, scol_ref, szp_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
                b_ref, m_ref, cm_ref, y_hbm, t_hbm, c_hbm_ref,
                ynew_ref, ss_ref, y0v, sems, tv, tsems, cv, csems,
@@ -330,12 +368,13 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         def coeff_at(p):
             return cv[lax.rem(clampz(p), dt)]   # DC == DT
 
-        def rhs_plane(get, p):
+        def rhs_plane(get, p, e=0):
             """f(Y) at plane p: 7-point divergence stencil + kinetics on
             the plane triple get(p-1), get(p), get(p+1) — the
             ops/pallas_box3d.py stencil body (incl. its obstacle-openness
             recovery from the tissue plane ring and the full-field
-            coefficient plane ring)."""
+            coefficient plane ring). e: the evaluation index selecting
+            the forcing amplitude column (stage time)."""
             yc = get(p)
             yu = get(p + 1)
             yd = get(p - 1)
@@ -414,6 +453,20 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                 react = model.kinetics(yc, b_rows)
                 ydot = jnp.stack([react[v] + laps[v] if v in laps
                                   else react[v] for v in range(nvars)])
+            if n_stim:
+                # amplitude at this eval's stage time x z(p) x row x col;
+                # added BEFORE the freeze/tissue masks (XLA parity)
+                ex = {}
+                for jj in range(n_stim):
+                    contrib = (amps_ref[jj, e] * szp_ref[jj, clampz(p)]
+                               * srow_ref[jj, pl.ds(row0, R), :]
+                               * scol_ref[jj, 0, :])
+                    v2 = stim_vars[jj]
+                    ex[v2] = ex[v2] + contrib if v2 in ex else contrib
+                # static per-var restack (no scatter: Mosaic has no
+                # scatter-add lowering)
+                ydot = jnp.stack([ydot[v2] + ex[v2] if v2 in ex
+                                  else ydot[v2] for v2 in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
             if has_tissue:
@@ -424,7 +477,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         @pl.when((m >= 1) & (m <= nz))
         def _():
             p = m - 1
-            f0 = rhs_plane(y0_at, p)
+            f0 = rhs_plane(y0_at, p, 0)
             f0v[lax.rem(p, jnp.asarray(DF, m.dtype))] = f0
             yv[0][lax.rem(p, jnp.asarray(DJ, m.dtype))] = (
                 y0_at(p) + (h * mu1) * f0)
@@ -442,7 +495,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
                     nu = ctab_ref[j, 1]
                     mut = ctab_ref[j, 2]
                     gt = ctab_ref[j, 3]
-                    fy = rhs_plane(lambda q: yj_at(j - 1, q), p)
+                    fy = rhs_plane(lambda q: yj_at(j - 1, q), p, j)
                     yv[j - 1][slot] = (
                         (1.0 - mu - nu) * y0_at(p)
                         + mu * yj_at(j - 1, p) + nu * yj_at(j - 2, p)
@@ -456,7 +509,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
         @pl.when(m >= C + 1)
         def _():
             q = m - (C + 1)
-            f1 = rhs_plane(lambda p: yj_at(C, p), q)
+            f1 = rhs_plane(lambda p: yj_at(C, p), q, s + 1)
             y0q = y0_at(q)
             ynew = yj_at(C, q)
             est = 0.8 * (y0q - ynew) + (0.4 * h) * (f0_at(q) + f1)
@@ -489,6 +542,12 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             smem_scalar,                                 # mu1
             pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i, m: (0, 0),
                          memory_space=pltpu.SMEM),       # ctab rows
+            pl.BlockSpec(amps0.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # per-eval amps
+            vmem_const(stim_rows.shape),                 # stimulus rows
+            vmem_const(stim_cols.shape),                 # stimulus cols
+            pl.BlockSpec(stim_z.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # stimulus z prof
             vmem_const((1, nxp)),                        # ae
             vmem_const((1, nxp)),                        # aw
             vmem_const((ny + 2 * P, 1)),                 # an
@@ -533,16 +592,32 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
     )
 
     s_cap = C
-    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
+    mu1_tab, ctab_tab, ctimes_tab = static_stage_tables(
+        s_cap, dtype, with_times=True)
+    ctimes_tab = ctimes_tab[:, :s_cap + 2]
     one = jnp.ones((1, 1), dtype)
 
     def step_err(t, yp, h, params, carry=()):
-        # stage times only matter through the per-segment freeze flag
         rho = rho_fn(t, unpad_cols(yp), params).astype(dtype)
         s = jnp.minimum(rkc.choose_stages(h, rho),
                         jnp.asarray(s_cap, jnp.int32))
         mu1 = mu1_tab[s]
         ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
+        if n_stim:
+            seg = params.get("_seg_end") if isinstance(params, dict) else None
+            ctv = jax.lax.dynamic_index_in_dim(ctimes_tab, s, 0,
+                                               keepdims=False)
+            times = (t + ctv * h).astype(dtype)
+            arows = []
+            for st in forcing.stimuli:
+                if getattr(st.waveform, "segment_gated", False):
+                    a_ = jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                    arows.append(jnp.broadcast_to(a_, times.shape))
+                else:
+                    arows.append(jnp.asarray(st.waveform(times), dtype))
+            amps = jnp.stack(arows)
+        else:
+            amps = amps0
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
@@ -561,6 +636,7 @@ def build_fused_box3d_rkc_step(problem, dtype=jnp.float32, rho_fn=None,
             th = params.get("_box3d_tissue", th)
             ch = params.get("_box3d_coeffs", ch)
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
+                        amps, stim_rows, stim_cols, stim_z,
                         ae_row, aw_row, an_col, as_col, au_z, ad_z,
                         b_in, kc.m_pad, kc.col_mask, yp, th, ch)
         return ynew, jnp.sum(ss), ()

@@ -193,11 +193,33 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
+    # structured forcing (round 5): per-stage amplitudes at true stage
+    # times computed outside; row/col profiles are LOCAL shard slices
+    # halo-padded once per dispatch (prepare_params below), the z profile
+    # a mesh-replicated SMEM table (z is never sharded)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in tableau.c)
+        z_np = [np.ones(nz) if st.zprof is None
+                else np.asarray(st.zprof, np.float64).reshape(nz)
+                for st in forcing.stimuli]
+        stim_z = jnp.asarray(np.stack(z_np), dtype)
+    else:
+        stim_z = jnp.zeros((1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), max(1, ns)), dtype)
+    srow0 = jnp.zeros((1, 1, 1), dtype)
+    scol0 = jnp.zeros((1, 1, 1), dtype)
+
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
-    def kernel(h_ref, fz_ref, ds_ref, ae_ref, aw_ref, an_ref, as_ref,
+    def kernel(h_ref, fz_ref, ds_ref, amps_ref, srow_ref, scol_ref,
+               szp_ref, ae_ref, aw_ref, an_ref, as_ref,
                au_ref, ad_ref, b_ref, m_ref, cm_ref, vr_ref, y_hbm,
                lo_hbm, hi_hbm,
                t_hbm, c_hbm, ynew_ref, ss_ref, y0v, sems, tv, tsems,
@@ -420,6 +442,20 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
                 react = model.kinetics(yc, b_rows)
                 ydot = jnp.stack([react[v] + laps[v] if v in laps
                                   else react[v] for v in range(nvars)])
+            if n_stim:
+                # stage amplitude x z(p) x local row strip x lane cols;
+                # BEFORE the freeze/tissue masks (XLA parity)
+                ex = {}
+                for j2 in range(n_stim):
+                    contrib = (amps_ref[j2, s] * szp_ref[j2, clampz(p)]
+                               * srow_ref[j2, pl.ds(row0, R), :]
+                               * scol_ref[j2, 0, :])
+                    v2 = stim_vars[j2]
+                    ex[v2] = ex[v2] + contrib if v2 in ex else contrib
+                # static per-var restack (no scatter: Mosaic has no
+                # scatter-add lowering)
+                ydot = jnp.stack([ydot[v2] + ex[v2] if v2 in ex
+                                  else ydot[v2] for v2 in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
             if has_tissue:
@@ -472,6 +508,16 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         grid=(n_strips, nz + ns),
         in_specs=[
             smem_scalar, smem_scalar, smem_scalar,   # h, fz, ds
+            pl.BlockSpec(amps0.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
+                         lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus rows
+            pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
+                         lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus cols
+            pl.BlockSpec(stim_z.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),   # stimulus z profiles
             vmem_const((1, nxp)),                    # ae
             vmem_const((1, nxp)),                    # aw
             vmem_const((nyl + 2 * P, 1)),            # an
@@ -646,6 +692,18 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
         if has_freeze:
             out["_fused_live"] = _hrows(
                 params["interior"].astype(dtype).reshape(nyl, 1))
+        if n_stim:
+            srows, scols = [], []
+            for i2 in range(n_stim):
+                r_ = params[f"_stim_row_{i2}"].astype(dtype).reshape(nyl, 1)
+                srows.append(_hrows(r_))
+                c_ = params[f"_stim_col_{i2}"].astype(dtype).reshape(1, nxl)
+                c_ = _hcols(c_)
+                if fill:
+                    c_ = jnp.pad(c_, ((0, 0), (0, fill)))
+                scols.append(c_)
+            out["_fused_stim_rows"] = jnp.stack(srows)
+            out["_fused_stim_cols"] = jnp.stack(scols)
         if pad_spec is not None and pad_spec.active:
             valid = params["valid"].astype(dtype)
             out["_fused_vrow"] = jnp.max(valid, axis=1, keepdims=True)
@@ -660,8 +718,14 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
     cf_stub = jnp.zeros((1, 1, 1, 1), dtype)
 
     def step_err(t, yp, h, params):
-        del t  # stage times only matter through the per-segment freeze flag
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        if n_stim:
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
+            srow = params["_fused_stim_rows"]
+            scol = params["_fused_stim_cols"]
+        else:
+            amps, srow, scol = amps0, srow0, scol0
         yp, lo_rows, hi_rows = splice(yp)
         ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
         b = params["_fused_b"]
@@ -675,7 +739,8 @@ def build_fused_shard_box3d(problem, tableau: Tableau, nyl: int, nxl: int,
             ds_s = jnp.reshape(params["dscale"].astype(dtype), (1, 1))
         cm = params.get("_fused_cmask", col_mask)
         vr = params.get("_fused_vrow", ones_rows)
-        ynew, ss = call(h_s, fz_s, ds_s, ae, aw, an, as_, au, ad,
+        ynew, ss = call(h_s, fz_s, ds_s, amps, srow, scol, stim_z,
+                        ae, aw, an, as_, au, ad,
                         b, mlive, cm, vr, yp, lo_rows, hi_rows, t_in,
                         c_in)
         return ynew, ss

@@ -163,11 +163,32 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     dvars = tuple(model.diffusive_vars)
     ratios = tuple(model.diffusion_ratios)
 
+    # structured forcing (round 5): per-EVAL amplitude rows at the true
+    # Chebyshev stage times (the 2-D fused-RKC mechanism); row/col
+    # profiles are LOCAL shard slices halo-padded once per dispatch
+    # (prepare_params), the z profile a mesh-replicated SMEM table
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        z_np = [np.ones(nz) if st.zprof is None
+                else np.asarray(st.zprof, np.float64).reshape(nz)
+                for st in forcing.stimuli]
+        stim_z = jnp.asarray(np.stack(z_np), dtype)
+    else:
+        stim_z = jnp.zeros((1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), C_RKC + 2), dtype)
+    srow0 = jnp.zeros((1, 1, 1), dtype)
+    scol0 = jnp.zeros((1, 1, 1), dtype)
+
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, ds_ref, s_ref, mu1_ref, ctab_ref,
+               amps_ref, srow_ref, scol_ref, szp_ref,
                ae_ref, aw_ref, an_ref, as_ref, au_ref, ad_ref,
                b_ref, m_ref, cm_ref, vr_ref, y_hbm, lo_hbm, hi_hbm,
                t_hbm, c_hbm,
@@ -300,7 +321,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         def coeff_at(p):
             return cv[lax.rem(clampz(p), dt)]   # DC == DT
 
-        def rhs_plane(get, p):
+        def rhs_plane(get, p, e=0):
             """f(Y) at plane p — the ops/pallas_box3d.py stencil body
             incl. its obstacle-openness recovery from the tissue ring
             and the full-field coefficient plane ring."""
@@ -384,6 +405,20 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                 react = model.kinetics(yc, b_rows)
                 ydot = jnp.stack([react[v] + laps[v] if v in laps
                                   else react[v] for v in range(nvars)])
+            if n_stim:
+                # eval-e amplitude x z(p) x local row strip x lane cols;
+                # BEFORE the freeze/tissue masks (XLA parity)
+                ex = {}
+                for jj in range(n_stim):
+                    contrib = (amps_ref[jj, e] * szp_ref[jj, clampz(p)]
+                               * srow_ref[jj, pl.ds(row0, R), :]
+                               * scol_ref[jj, 0, :])
+                    v2 = stim_vars[jj]
+                    ex[v2] = ex[v2] + contrib if v2 in ex else contrib
+                # static per-var restack (no scatter: Mosaic has no
+                # scatter-add lowering)
+                ydot = jnp.stack([ydot[v2] + ex[v2] if v2 in ex
+                                  else ydot[v2] for v2 in range(nvars)])
             if live_rows is not None:
                 ydot = ydot * live_rows
             if has_tissue:
@@ -394,7 +429,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         @pl.when((m >= 1) & (m <= nz))
         def _():
             p = m - 1
-            f0 = rhs_plane(y0_at, p)
+            f0 = rhs_plane(y0_at, p, 0)
             f0v[lax.rem(p, jnp.asarray(DF, m.dtype))] = f0
             yv[0][lax.rem(p, jnp.asarray(DJ, m.dtype))] = (
                 y0_at(p) + (h * mu1) * f0)
@@ -412,7 +447,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                     nu = ctab_ref[j, 1]
                     mut = ctab_ref[j, 2]
                     gt = ctab_ref[j, 3]
-                    fy = rhs_plane(lambda q: yj_at(j - 1, q), p)
+                    fy = rhs_plane(lambda q: yj_at(j - 1, q), p, j)
                     yv[j - 1][slot] = (
                         (1.0 - mu - nu) * y0_at(p)
                         + mu * yj_at(j - 1, p) + nu * yj_at(j - 2, p)
@@ -426,7 +461,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         @pl.when(m >= C + 1)
         def _():
             q = m - (C + 1)
-            f1 = rhs_plane(lambda p: yj_at(C, p), q)
+            f1 = rhs_plane(lambda p: yj_at(C, p), q, s + 1)
             y0q = y0_at(q)
             ynew = yj_at(C, q)
             est = 0.8 * (y0q - ynew) + (0.4 * h) * (f0_at(q) + f1)
@@ -459,6 +494,16 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
             smem_scalar,                                 # mu1
             pl.BlockSpec((S_MAX_KERNEL + 1, 4), lambda i, m: (0, 0),
                          memory_space=pltpu.SMEM),       # ctab rows
+            pl.BlockSpec(amps0.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # per-eval amps
+            pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
+                         lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),       # stimulus rows
+            pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
+                         lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),       # stimulus cols
+            pl.BlockSpec(stim_z.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.SMEM),       # stimulus z prof
             vmem_const((1, nxp)),                        # ae
             vmem_const((1, nxp)),                        # aw
             vmem_const((nyl + 2 * P, 1)),                # an
@@ -625,6 +670,18 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         if has_freeze:
             out["_fused_live"] = _hrows(
                 params["interior"].astype(dtype).reshape(nyl, 1))
+        if n_stim:
+            srows, scols = [], []
+            for i2 in range(n_stim):
+                r_ = params[f"_stim_row_{i2}"].astype(dtype).reshape(nyl, 1)
+                srows.append(_hrows(r_))
+                c_ = params[f"_stim_col_{i2}"].astype(dtype).reshape(1, nxl)
+                c_ = _hcols(c_)
+                if fill:
+                    c_ = jnp.pad(c_, ((0, 0), (0, fill)))
+                scols.append(c_)
+            out["_fused_stim_rows"] = jnp.stack(srows)
+            out["_fused_stim_cols"] = jnp.stack(scols)
         if pad_spec is not None and pad_spec.active:
             valid = params["valid"].astype(dtype)
             out["_fused_vrow"] = jnp.max(valid, axis=1, keepdims=True)
@@ -638,7 +695,9 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
     tis_stub = jnp.zeros((1, 1, 1), dtype)
     cf_stub = jnp.zeros((1, 1, 1, 1), dtype)
     s_cap = C
-    mu1_tab, ctab_tab = static_stage_tables(s_cap, dtype)
+    mu1_tab, ctab_tab, ctimes_tab = static_stage_tables(
+        s_cap, dtype, with_times=True)
+    ctimes_tab = ctimes_tab[:, :s_cap + 2]
 
     def step_err(t, yp, h, params, carry=()):
         rho = rho_fn(t, unpad(yp), params).astype(dtype)   # pmax'd
@@ -646,6 +705,25 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
                         jnp.asarray(s_cap, jnp.int32))
         mu1 = mu1_tab[s]
         ctab = jax.lax.dynamic_index_in_dim(ctab_tab, s, 0, keepdims=False)
+        if n_stim:
+            # true Chebyshev stage times for the pmax'd stage count —
+            # every shard computes the same s, so the same table row
+            seg = params.get("_seg_end") if isinstance(params, dict) else None
+            ctv = jax.lax.dynamic_index_in_dim(ctimes_tab, s, 0,
+                                               keepdims=False)
+            times = (t + ctv * h).astype(dtype)
+            arows = []
+            for st in forcing.stimuli:
+                if getattr(st.waveform, "segment_gated", False):
+                    a_ = jnp.asarray(st.waveform(t, seg_end=seg), dtype)
+                    arows.append(jnp.broadcast_to(a_, times.shape))
+                else:
+                    arows.append(jnp.asarray(st.waveform(times), dtype))
+            amps = jnp.stack(arows)
+            srow = params["_fused_stim_rows"]
+            scol = params["_fused_stim_cols"]
+        else:
+            amps, srow, scol = amps0, srow0, scol0
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         yp, lo_rows, hi_rows = splice(yp)
         ae, aw, an, as_, au, ad = params["_fused_coeffs6"]
@@ -663,6 +741,7 @@ def build_fused_shard_box3d_rkc(problem, nyl: int, nxl: int,
         cm = params.get("_fused_cmask", col_mask)
         vr = params.get("_fused_vrow", ones_rows)
         ynew, ss = call(h_s, fz_s, ds_s, s_s, mu1_s, ctab,
+                        amps, srow, scol, stim_z,
                         ae, aw, an, as_, au, ad,
                         b, mlive, cm, vr, yp, lo_rows, hi_rows, t_in,
                         c_in)

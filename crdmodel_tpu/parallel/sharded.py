@@ -487,8 +487,9 @@ def maybe_fused_shard_box3d(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if problem.geometry.kind != "box":
         return None
-    if problem.forcing is not None:
-        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None   # only structured separable forcing runs in-kernel
     if cfg.method not in TABLEAUS:
         return None
     # selection policy: like _shard_kernel_eligible but sized on the
@@ -593,8 +594,9 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
     if problem.geometry.kind == "box":
-        if problem.forcing is not None:
-            return None
+        from crdmodel_tpu.ops.kernel_common import fused_forcing
+        if fused_forcing(problem) is False:
+            return None   # only structured separable forcing in-kernel
         if cfg.method != "rkc2":
             return None
         if interpret:

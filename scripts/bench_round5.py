@@ -121,9 +121,58 @@ def section_tensorpad():
               f"{cfg.ny*cfg.nx*steps/dt:.3e} pts*steps/s", flush=True)
 
 
+def section_boxforcing():
+    """Paced volumetric slab at 8.4M points (1024x1024x8, the round-4
+    tensor-bench shape): in-kernel pacing through the z-streaming box
+    kernels vs the XLA forcing path."""
+    import jax
+    import jax.numpy as jnp
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           gaussian_profile, pulse_train,
+                                           rect_profile)
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.sim import make_run_fn
+    from crdmodel_tpu.utils.profiling import device_sync
+
+    cfg0 = SimConfig(model="aliev_panfilov", surface="box", x_mesh=1024,
+                     surface_width=40.0, surface_length=40.0, y_mesh=1024,
+                     surface_depth=2.0, z_mesh=8, t_final=0.5,
+                     output_timestep=1, beta=0.1, dtype="float32",
+                     rtol=1e-4, atol=1e-6, boundary="noflux")
+
+    def frc(cfg):
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.05, 0.3], 0.08, 1.0),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 8),
+                     zprof=gaussian_profile(cfg.nz, 0.0, 2.0)),
+            Stimulus(waveform=lambda t: 0.3 * jnp.cos(4.0 * t),
+                     col=rect_profile(cfg.nx, 0, cfg.nx // 2)))
+
+    for method in ("bs32", "rkc2"):
+        for name, up in [("fused", True), ("xla", False)]:
+            cfg = dataclasses.replace(cfg0, use_pallas=up, method=method)
+            p = build_problem(cfg, forcing=frc(cfg))
+            run = jax.jit(make_run_fn(p)[0])
+
+            def one():
+                tr, st = run(p.y0, p.params)
+                device_sync(tr)
+                return st
+
+            dt = best_of(one)
+            _, st = run(p.y0, p.params)
+            steps = int(np.sum(np.asarray(st.steps)))
+            print(f"boxforcing {method} {name}: steps {steps}, "
+                  f"best {dt*1e3:.0f} ms, {dt/steps*1e6:.0f} us/step, "
+                  f"{cfg.nz*cfg.ny*cfg.nx*steps/dt:.3e} pts*steps/s",
+                  flush=True)
+
+
 if __name__ == "__main__":
-    sections = sys.argv[1:] or ["smoothrkc", "tensorpad"]
+    sections = sys.argv[1:] or ["smoothrkc", "tensorpad", "boxforcing"]
     for sec in sections:
         print(f"=== {sec} ===")
         {"smoothrkc": section_smoothrkc,
-         "tensorpad": section_tensorpad}[sec]()
+         "tensorpad": section_tensorpad,
+         "boxforcing": section_boxforcing}[sec]()
