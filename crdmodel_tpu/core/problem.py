@@ -395,24 +395,40 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
                                  diffusion_tensor=diffusion_tensor)
         if pole_bands is not None:
             bands, face_coeffs = pole_bands
+            # group bands by DISTINCT g into full-width (1, nx) coeff
+            # profiles (zero off-band, like the sharded path's
+            # _pole_c_{g} params): at 384-mesh the 14 per-band
+            # slice + at[].add full-array read-modify-writes cost ~34 us
+            # per RHS eval on-chip (90% of the eval — PERF_NOTES round-5
+            # "sphere band path") — 7 full-width reductions + ONE
+            # accumulated add move strictly less memory, and the values
+            # are bitwise identical (row means are column-independent;
+            # off-band columns contribute exact 0.0 * lapb)
+            nx_g = geometry.grid.nx
+            gmap: dict = {}
+            for sl, g, c in bands:
+                prof = gmap.setdefault(int(g), np.zeros((1, nx_g)))
+                prof[0, sl] = np.asarray(c, np.float64)
+            g_profs = tuple((g, jnp.asarray(v, dtype))
+                            for g, v in sorted(gmap.items()))
 
             def lap(u, _):
                 # reduced (pole-coarsened) grid: fine 5-point flux form
                 # with the phi faces zeroed on coarsened rings, plus the
-                # conservative Galerkin block operator per band —
-                # fine-cell rate = broadcast of the block-mean Laplacian,
-                # coeff aN/g^2 (core/grid.py::pole_group_sizes)
+                # conservative Galerkin block operator per distinct group
+                # size — fine-cell rate = broadcast of the block-mean
+                # Laplacian, coeff aN/g^2 (core/grid.py::pole_group_sizes)
                 out = divergence_laplacian(u, face_coeffs)
-                for sl, g, c in bands:
-                    usub = u[..., sl]
-                    nyg = usub.shape[-2] // g
-                    ub = usub.reshape(usub.shape[:-2]
-                                      + (nyg, g, usub.shape[-1])).mean(-2)
-                    lapb = c * (jnp.roll(ub, -1, -2) - 2.0 * ub
-                                + jnp.roll(ub, 1, -2))
-                    out = out.at[..., sl].add(
-                        jnp.repeat(lapb, g, axis=-2))
-                return out
+                term = None
+                for g, c in g_profs:
+                    nyg = u.shape[-2] // g
+                    ub = u.reshape(u.shape[:-2]
+                                   + (nyg, g, u.shape[-1])).mean(-2)
+                    lapb = (jnp.roll(ub, -1, -2) - 2.0 * ub
+                            + jnp.roll(ub, 1, -2))
+                    tg = c * jnp.repeat(lapb, g, axis=-2)
+                    term = tg if term is None else term + tg
+                return out if term is None else out + term
         else:
             face_coeffs = geometry.divergence_coeffs(diffusion_field, dtype,
                                                      face_mask=face_mask)

@@ -37,7 +37,18 @@ def needs_divform(problem) -> bool:
     if problem.diffusion_tensor is not None:
         return False            # the 9-point aniso kernel's territory
     if getattr(problem.cfg, "pole_coarsen", 0):
-        return False            # reduced-grid operator is XLA-only
+        # reduced-grid operator is XLA-only BY ARCHITECTURE, not policy:
+        # the Galerkin band term couples rows up to 2g away with pole
+        # group sizes up to ny/6 (g=128 at the 384-mesh sphere) — far
+        # beyond any feasible strip halo — and it must be evaluated
+        # INSIDE every RK/Chebyshev stage, so no pre/post pass around a
+        # fused step can be exact. The dense-matmul route prices at
+        # ~3.2 GFLOP/eval (>= 10x the measured band cost at f32-true MXU
+        # throughput; DEFAULT precision loses the second differences).
+        # The XLA band path is instead optimised directly — measured
+        # decomposition + numbers in PERF_NOTES round-5 "sphere band
+        # path".
+        return False
     if getattr(problem, "face_mask", None) is not None:
         return True
     df = problem.diffusion_field
