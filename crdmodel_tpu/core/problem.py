@@ -56,7 +56,8 @@ class Problem:
     # rkc2/ark324 — kernel_common.needs_divform).
     diffusion_field: object = None
     # anisotropic diffusion tensor (Dxx, Dyy, Dxy) — float64 numpy arrays
-    # broadcastable to (ny, nx); flat surface only. Switches the operator
+    # broadcastable to (ny, nx); flat + torus surfaces (torus: physical
+    # orthonormal-frame components, round 5). Switches the operator
     # to the conservative 9-point anisotropic form
     # (ops/stencil.py::anisotropic_laplacian). Mutually exclusive with
     # diffusion_field/coupling; fused kernels decline (XLA path).
@@ -355,7 +356,8 @@ def make_rhs(cfg: SimConfig, model: ReactionModel, geometry: Geometry, dtype,
 
     diffusion_tensor: optional (Dxx, Dyy, Dxy) SPD tensor field — the
     anisotropic conservative 9-point operator
-    (ops/stencil.py::anisotropic_laplacian; flat surface only).
+    (ops/stencil.py::anisotropic_laplacian; flat + torus surfaces — the
+    torus form is metric-weighted, grid.py::TorusGeometry.tensor_coeffs64).
 
     face_mask: optional (oE, oW, oN, oS) openness masks
     (grid.py::face_openness — no-flux boundaries / obstacle walls); forces
@@ -571,7 +573,10 @@ def make_rho_bound(cfg: SimConfig, model: ReactionModel, geometry: Geometry,
             for dab, inv in zip(mixed_np, inv_w):
                 rho_diff += float(8.0 * inv * np.max(np.abs(dab)))
         else:
-            rho_diff += float(8.0 * inv_w * np.max(np.abs(mixed_np)))
+            # inv_w is a scalar (flat) or an (nx,) metric profile (torus):
+            # max over the profile keeps the Gershgorin over-bound safe
+            rho_diff += float(8.0 * np.max(np.asarray(inv_w))
+                              * np.max(np.abs(mixed_np)))
     elif diffusion_field is not None:
         # divergence form: diag magnitude = sum of face coefficients, and the
         # off-diagonal row sum equals it, so Gershgorin gives 2*max row sum
@@ -687,19 +692,21 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
         if diffusion_field is not None or cfg.coupling != "none":
             raise ValueError("diffusion_tensor is mutually exclusive with "
                              "diffusion_field / coupling")
-        if geometry.kind == "flat":
+        if geometry.kind in ("flat", "torus"):
             if len(diffusion_tensor) != 3:
                 raise ValueError("diffusion_tensor must be (Dxx, Dyy, Dxy) "
-                                 "on the flat surface")
+                                 "on the flat/torus surfaces (physical "
+                                 "orthonormal-frame components)")
         elif geometry.kind == "box":
             if len(diffusion_tensor) != 6:
                 raise ValueError("diffusion_tensor must be "
                                  "(Dxx, Dyy, Dzz, Dxy, Dxz, Dyz) on the "
                                  "3-D box")
         else:
-            raise ValueError("diffusion_tensor needs surface='flat' or "
-                             "'box' (the curved metrics couple to the "
-                             "tensor; unsupported)")
+            raise ValueError("diffusion_tensor needs surface='flat', "
+                             "'torus' or 'box' (general surfaces of "
+                             "revolution: unsupported — the capped pole "
+                             "closure has no tensor form yet)")
         diffusion_tensor = tuple(
             np.asarray(c, dtype=np.float64) for c in diffusion_tensor)
         # SPD validation happens in tensor_coeffs64; build them once here

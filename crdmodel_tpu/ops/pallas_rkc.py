@@ -121,6 +121,22 @@ def variant_plan(ny: int, nx: int, nvars: int, blocked: bool = False,
                                                  extra_live=extra_live))
         while S is not None and not fits(P, S):
             S = _pick_strip(ny, target=S - 8)
+        if S is not None and ny // S > 1 and S < P:
+            S = None
+        if S is None:
+            # round 5 (VERDICT r4 item 6): the 10MB strip-target heuristic
+            # under-sizes deep-P variants at wide rows (its rows-budget
+            # assumes the full 9-live set at the TARGET width and then
+            # subtracts 2P, handing back S < P); the chip-calibrated
+            # fits() ceilings are the real constraint — search the
+            # divisor ladder downward for the widest S >= P that fits.
+            # At 1600x1600 noflux this recovers the (24, 24) divform
+            # variant, loosening the stage-budget h cap (s<=15 -> s<=23,
+            # 2.35x) exactly where the round-4 pulsed-pacing row measured
+            # 2.4x per step but only 1.1x net (PERF_NOTES round-5).
+            S = _pick_strip(ny, target=256, min_s=P)
+            while S is not None and not fits(P, S):
+                S = _pick_strip(ny, target=S - 8, min_s=P)
         if S is None:
             continue
         if ny // S > 1 and S < P:

@@ -102,7 +102,9 @@ def is_shard_divform_supported(problem, tableau: Tableau, dtype,
     if aniso:
         # 2-D anisotropic 9-point mode: the SAME windowed-coefficient
         # kernel with Dxy as a fourth streamed field and the mixed pair
-        # added in-kernel (flat surface only — build_problem's contract)
+        # added in-kernel (flat only: the curved torus tensor carries an
+        # (nx,) mixed-weight PROFILE this kernel does not stream — it
+        # takes the XLA path, tests/test_anisotropic_curved.py)
         if getattr(problem, "diffusion_tensor", None) is None:
             return False
         if problem.geometry.kind != "flat":

@@ -105,8 +105,10 @@ def make_local_rhs(cfg: SimConfig, model, kind: str, split: bool = False,
                             up, coeffs, (dp[0], dp[1], dp[2]),
                             tensor_inv4)
                     else:
+                        inv4 = (params["inv4"]
+                                if tensor_inv4 == "param" else tensor_inv4)
                         term = anisotropic_from_padded(
-                            up, coeffs, params["_dxy_pad"], tensor_inv4)
+                            up, coeffs, params["_dxy_pad"], inv4)
                 elif divergence:
                     # 3-D box: six faces, z mesh-local (ops/stencil.py::
                     # divergence3_from_padded — z neighbours via local roll)
@@ -277,9 +279,16 @@ def sharded_params(problem: Problem, pad_spec=None):
         # values for every physical cell (pinned by
         # tests/test_uneven.py::test_seam_halo_nine_point_neighbourhoods),
         # and the Dxy exchange below carries the same seam legs
-        face_t, mixed_np, _ = problem.geometry.tensor_coeffs64(
+        face_t, mixed_np, inv_w = problem.geometry.tensor_coeffs64(
             *problem.diffusion_tensor, boundary=cfg.boundary)
         coeffs = tuple(jnp.asarray(a, dtype) for a in face_t)
+        if not isinstance(inv_w, tuple) and np.ndim(inv_w) > 0:
+            # curved-metric (nx,) mixed-weight profile: shards over the
+            # x axis like every column profile (registered below)
+            inv4_prof = jnp.asarray(
+                np.asarray(inv_w, np.float64).reshape(1, -1), dtype)
+        else:
+            inv4_prof = None
         if len(face_t) == 6:
             # 3-D box tensor: stack (Dxy, Dxz, Dyz) so ONE halo exchange
             # per dispatch covers all three mixed fields
@@ -356,6 +365,11 @@ def sharded_params(problem: Problem, pad_spec=None):
         params["dxy"] = dxy
         specs["dxy"] = (P(None, None, AXIS_Y, AXIS_X) if dxy.ndim == 4
                         else P(AXIS_Y, AXIS_X))
+        if inv4_prof is not None:
+            if padded:
+                inv4_prof = pad_spec.pad_cols(inv4_prof)
+            params["inv4"] = inv4_prof
+            specs["inv4"] = P(None, AXIS_X)
     obstacle = getattr(problem, "obstacle_mask", None)
     if obstacle is not None:
         tis = np.broadcast_to(np.asarray(obstacle, dtype=bool),
@@ -593,6 +607,12 @@ def maybe_fused_shard_rkc(problem: Problem, mesh: Mesh, rho_fn,
     3-D boxes route to the z-streaming variant
     (ops/pallas_shard_box3d_rkc.py)."""
     cfg = problem.cfg
+    if cfg.use_pallas is None:
+        from crdmodel_tpu.sim import _quiescent_autonomous
+        if _quiescent_autonomous(problem):
+            return None   # stage-budget cost model: a provably-quiescent
+            # run inflates fused steps at the h cap with nothing to
+            # amortise (sim.py::_quiescent_autonomous; PERF_NOTES r5)
     if problem.geometry.kind == "box":
         from crdmodel_tpu.ops.kernel_common import fused_forcing
         if fused_forcing(problem) is False:
@@ -768,9 +788,16 @@ def build_local_run(problem: Problem, mesh,
             *tensor, boundary=cfg.boundary)[2]
         # python floats: an np.float64 scalar would promote the whole f32
         # RHS to f64 under x64 (the forced-x64 CPU test environment)
-        tensor_inv4 = (tuple(float(v) for v in tensor_inv4)
-                       if isinstance(tensor_inv4, tuple)
-                       else float(tensor_inv4))
+        if isinstance(tensor_inv4, tuple):
+            tensor_inv4 = tuple(float(v) for v in tensor_inv4)
+        elif np.ndim(tensor_inv4) > 0:
+            # curved-metric mixed weight (TorusGeometry.tensor_coeffs64:
+            # inv4 is an (nx,) profile 1/(4 dx dy r ring)) — the LOCAL
+            # slice rides params["inv4"] (sharded_params), so the static
+            # closure value is just a marker here
+            tensor_inv4 = "param"
+        else:
+            tensor_inv4 = float(tensor_inv4)
     tissue = getattr(problem, "obstacle_mask", None) is not None
     pole_gs = check_pole_mesh(problem, mesh, pad_spec)
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,
@@ -957,9 +984,16 @@ def make_sharded_interval_fn(problem: Problem, mesh: Mesh,
             *tensor, boundary=cfg.boundary)[2]
         # python floats: an np.float64 scalar would promote the whole f32
         # RHS to f64 under x64 (the forced-x64 CPU test environment)
-        tensor_inv4 = (tuple(float(v) for v in tensor_inv4)
-                       if isinstance(tensor_inv4, tuple)
-                       else float(tensor_inv4))
+        if isinstance(tensor_inv4, tuple):
+            tensor_inv4 = tuple(float(v) for v in tensor_inv4)
+        elif np.ndim(tensor_inv4) > 0:
+            # curved-metric mixed weight (TorusGeometry.tensor_coeffs64:
+            # inv4 is an (nx,) profile 1/(4 dx dy r ring)) — the LOCAL
+            # slice rides params["inv4"] (sharded_params), so the static
+            # closure value is just a marker here
+            tensor_inv4 = "param"
+        else:
+            tensor_inv4 = float(tensor_inv4)
     tissue = getattr(problem, "obstacle_mask", None) is not None
     pole_gs = check_pole_mesh(problem, mesh, pad_spec)
     local_rhs = make_local_rhs(cfg, model, kind, pad_spec=pad_spec,

@@ -115,6 +115,35 @@ def _pallas_eligible(problem, interpret: bool = False,
     return True
 
 
+def _quiescent_autonomous(problem) -> bool:
+    """True when the run provably never leaves its uniform rest state:
+    autonomous (no forcing), scalar beta, spatially uniform ICs (so
+    diffusion is exactly zero and the RHS is the pointwise kinetics),
+    and the kinetics rate at that state below tolerance-rate over an
+    output interval. This is the one STATICALLY-detectable corner of the
+    fused-RKC stage-budget tradeoff (round 5 — VERDICT r4 item 6): the
+    accuracy-limited h then grows to the interval length while the fused
+    kernel stays pinned at its stage-budget cap, inflating steps with
+    nothing to amortise (measured 4.1x steps / 1.35x net LOSS at
+    quiescent 1600^2 vs the XLA path; every measured ACTIVE
+    configuration keeps fused 1.4-4.2x ahead — PERF_NOTES round-5
+    "fused-vs-XLA rkc2 selection")."""
+    cfg = problem.cfg
+    if problem.forcing is not None or cfg.vary_beta == 1:
+        return False
+    y0 = np.asarray(problem.y0)
+    flat = y0.reshape(y0.shape[0], -1)
+    if np.any(flat.max(axis=1) != flat.min(axis=1)):
+        return False
+    point = jnp.asarray(flat[:, :1].reshape(y0.shape[0], 1, 1),
+                        jnp.dtype(cfg.dtype))
+    rate = np.asarray(problem.model.kinetics(
+        point, jnp.asarray(cfg.beta, point.dtype))).reshape(-1)
+    w = 1.0 / (cfg.rtol * np.abs(flat[:, 0]) + cfg.atol)
+    dtout = cfg.t_final / cfg.output_timestep
+    return float(np.max(np.abs(rate) * w)) * dtout < 1e-2
+
+
 def make_simulation_fn(problem: Problem):
     """Build the jitted end-to-end integration fn(y0, params) -> (traj, stats).
 
@@ -160,7 +189,9 @@ def make_run_fn(problem: Problem, interpret: bool = False):
         if _pallas_eligible(problem, interpret, allow_forcing=True) and (
                 problem.diffusion_tensor is None
                 or problem.geometry.kind == "box"):
-            if problem.geometry.kind == "box":
+            if cfg.use_pallas is None and _quiescent_autonomous(problem):
+                pass   # stage-budget cost model: quiescent runs keep XLA
+            elif problem.geometry.kind == "box":
                 # 3-D box: the z-streaming fused Chebyshev pipeline
                 # (ops/pallas_box3d_rkc.py; tensor mode streams the
                 # 19-point operator's six coefficient fields)

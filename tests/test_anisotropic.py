@@ -237,9 +237,11 @@ def test_validation_errors():
     cfg = _cfg()
     with pytest.raises(ValueError, match="SPD"):
         build_problem(cfg, diffusion_tensor=(0.1, 0.1, 0.2))
-    with pytest.raises(ValueError, match="flat"):
-        build_problem(_cfg(surface="torus"),
-                      diffusion_tensor=(0.1, 0.1, 0.0))
+    # round 5: the torus ACCEPTS tensors (metric-weighted operator,
+    # tests/test_anisotropic_curved.py); general revolution surfaces
+    # still reject (the capped pole closure has no tensor form)
+    assert build_problem(_cfg(surface="torus"),
+                         diffusion_tensor=(0.1, 0.1, 0.0)) is not None
     with pytest.raises(ValueError, match="exclusive"):
         build_problem(cfg, diffusion_tensor=(0.1, 0.1, 0.0),
                       diffusion_field=np.full((cfg.ny, cfg.nx), 0.1))
