@@ -102,12 +102,14 @@ def is_shard_divform_supported(problem, tableau: Tableau, dtype,
     if aniso:
         # 2-D anisotropic 9-point mode: the SAME windowed-coefficient
         # kernel with Dxy as a fourth streamed field and the mixed pair
-        # added in-kernel (flat only: the curved torus tensor carries an
-        # (nx,) mixed-weight PROFILE this kernel does not stream — it
-        # takes the XLA path, tests/test_anisotropic_curved.py)
+        # added in-kernel. Curved (torus) tensors stream their (nx,)
+        # mixed-weight profile 1/(4 dx dy r ring) as a lane input applied
+        # OUTSIDE the differences (round 5 — folding it into the Dxy
+        # field would be wrong for a varying weight, which is why the
+        # single-chip pallas_aniso kernel stays flat-only)
         if getattr(problem, "diffusion_tensor", None) is None:
             return False
-        if problem.geometry.kind != "flat":
+        if problem.geometry.kind not in ("flat", "torus"):
             return False
     elif not needs_divform(problem):
         return False
@@ -153,10 +155,15 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     t_boundary = float(cfg.t_boundary)
     has_tissue = getattr(problem, "obstacle_mask", None) is not None
     inv4 = 0.0
+    inv4_profile = False
     if aniso:
         assert not has_tissue
-        inv4 = float(problem.geometry.tensor_coeffs64(
-            *problem.diffusion_tensor, boundary=cfg.boundary)[2])
+        inv_w = problem.geometry.tensor_coeffs64(
+            *problem.diffusion_tensor, boundary=cfg.boundary)[2]
+        if np.ndim(inv_w) > 0:
+            inv4_profile = True   # curved metric: rides params["inv4"]
+        else:
+            inv4 = float(inv_w)
 
     a = tableau.a
     bw = tableau.b
@@ -250,6 +257,9 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             cmask = jnp.zeros((1, nxp), dtype)
             out["_fused_cmask"] = cmask.at[0, P:P + nxl].set(
                 jnp.max(valid, axis=0))
+        if inv4_profile:
+            out["_fused_inv4"] = _halo_cols_prof(
+                params["inv4"].astype(dtype).reshape(1, nxl))
         if n_stim:
             out["_fused_stim_rows"] = jnp.stack(
                 [_halo_rows(params[f"_stim_row_{i}"]
@@ -266,7 +276,7 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     col_mask = jnp.asarray(col_mask_np, dtype)
 
     def kernel(h_ref, fz_ref, ds_ref, amps_ref, srow_ref, scol_ref,
-               b_ref, m_ref, cm_ref, vr_ref,
+               iv4_ref, b_ref, m_ref, cm_ref, vr_ref,
                y_hbm, c_hbm, w_ref, e_ref, lo_ref, hi_ref,
                ynew_ref, ss_ref, yv, sems, cv, csems):
         i = pl.program_id(0)
@@ -316,7 +326,9 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
         # aS recovery: valid on window rows [1, R) (module docstring)
         as_ = jnp.roll(an, 1, axis=-2)
         tis = cb[3] if has_tissue else None
-        mixed = (cb[3], inv4) if aniso else None
+        mixed = None
+        if aniso:
+            mixed = (cb[3], iv4_ref[0, :] if inv4_profile else inv4)
         faces = (ae, aw, an, as_)
 
         # splice the fresh column halos into the resident strip (the HBM
@@ -383,6 +395,9 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
                          lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),   # stimulus col profiles
+            pl.BlockSpec((1, nxp if inv4_profile else 1),
+                         lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # mixed-weight profile
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nxp), lambda i: (0, 0),
@@ -429,6 +444,7 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
     amps0 = jnp.zeros((max(1, n_stim), n_stages), dtype)
     srow0 = jnp.zeros((1, 1, 1), dtype)
     scol0 = jnp.zeros((1, 1, 1), dtype)
+    iv40 = jnp.zeros((1, 1), dtype)
 
     def step_err(t, yp, h, params):
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
@@ -447,7 +463,8 @@ def build_fused_shard_divform(problem, tableau: Tableau, nyl: int, nxl: int,
             scol = params["_fused_stim_cols"]
         else:
             amps, srow, scol = amps0, srow0, scol0
-        ynew, ss = call(h_s, fz_s, ds_s, amps, srow, scol,
+        iv4 = params["_fused_inv4"] if inv4_profile else iv40
+        ynew, ss = call(h_s, fz_s, ds_s, amps, srow, scol, iv4,
                         params["_fused_b"],
                         params.get("_fused_live", one), cm, vr,
                         yp, params["_divform_coeffs"],

@@ -169,10 +169,58 @@ def section_boxforcing():
                   flush=True)
 
 
+
+
+def section_curvedtensor():
+    """Torus-metric anisotropic tensor FIELD at ~10.2M points: the fused
+    shard aniso kernel (streamed inv4 lane profile) vs the XLA curved
+    path, 1x1 mesh on the chip."""
+    import jax
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso, sharded_params)
+    from crdmodel_tpu.utils.profiling import device_sync
+
+    cfg0 = SimConfig(model="fhn", surface="torus", x_mesh=1600,
+                     surface_width=20.0, surface_length=80.0, beta=1.25,
+                     t_final=0.05, output_timestep=1, dtype="float32",
+                     rtol=1e-5, atol=1e-8)
+    rng = np.random.default_rng(37)
+    shape = (cfg0.ny, cfg0.nx)
+    dxx = 0.1 + 0.2 * rng.random(shape)
+    dyy = 0.1 + 0.2 * rng.random(shape)
+    dxy = 0.7 * np.sqrt(dxx * dyy) * (2 * rng.random(shape) - 1)
+    tensor = (dxx, dyy, dxy)
+    mesh = make_mesh(shape=(1, 1))
+    for name, up in [("fused", True), ("xla", False)]:
+        cfg = dataclasses.replace(cfg0, use_pallas=up)
+        p = build_problem(cfg, diffusion_tensor=tensor)
+        if up:
+            assert maybe_fused_shard_aniso(p, mesh) is not None
+        params, _ = sharded_params(p)
+        run, _ = make_sharded_simulation_fn(p, mesh)
+
+        def one():
+            tr, st = run(p.y0, params)
+            device_sync(tr)
+            return st
+
+        dt = best_of(one)
+        _, st = run(p.y0, params)
+        steps = int(np.sum(np.asarray(st.steps)))
+        print(f"curvedtensor {name}: grid {cfg.ny}x{cfg.nx}, steps {steps}, "
+              f"best {dt*1e3:.0f} ms, {dt/steps*1e6:.0f} us/step, "
+              f"{cfg.ny*cfg.nx*steps/dt:.3e} pts*steps/s", flush=True)
+
+
 if __name__ == "__main__":
-    sections = sys.argv[1:] or ["smoothrkc", "tensorpad", "boxforcing"]
+    sections = sys.argv[1:] or ["smoothrkc", "tensorpad", "boxforcing",
+                                "curvedtensor"]
     for sec in sections:
         print(f"=== {sec} ===")
         {"smoothrkc": section_smoothrkc,
          "tensorpad": section_tensorpad,
-         "boxforcing": section_boxforcing}[sec]()
+         "boxforcing": section_boxforcing,
+         "curvedtensor": section_curvedtensor}[sec]()

@@ -145,3 +145,35 @@ def test_validation():
                       t_final=0.3, output_timestep=1)
     with pytest.raises(ValueError, match="revolution"):
         build_problem(cfg_s, diffusion_tensor=(0.1, 0.1, 0.0))
+
+
+def test_fused_shard_aniso_curved_matches_xla():
+    """Round 5: the curved torus tensor runs FUSED on the windowed-
+    coefficient shard kernel — the (nx,) mixed-weight profile streams as
+    a lane input applied OUTSIDE the centred differences (folding it
+    into the Dxy field would be wrong for a varying weight)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso,
+        sharded_params, simulate_sharded)
+    cfg = _cfg(x_mesh=64, surface_width=20, surface_length=40,
+               t_final=0.5, dtype="float32", rtol=1e-4, atol=1e-6,
+               use_pallas=True)
+    rng = np.random.default_rng(7)
+    tensor = _random_spd((cfg.ny, cfg.nx), rng, margin=0.7)
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    assert maybe_fused_shard_aniso(p_k, mesh, interpret=True) is not None
+    params, _ = sharded_params(p_k)
+    run_k, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tk, sk = run_k(p_k.y0, params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+    tx = np.asarray(r_x.trajectory)[1:]
+    assert np.all(np.asarray(sk.status) == 0)
+    assert np.array_equal(np.asarray(sk.steps),
+                          np.asarray(r_x.stats.steps))
+    np.testing.assert_allclose(np.asarray(tk), tx, rtol=0, atol=2e-5)
