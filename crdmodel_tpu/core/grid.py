@@ -611,6 +611,63 @@ class RevolutionGeometry:
         aS = Ds * cy
         return _apply_face_mask((aE, aW, aN, aS), face_mask)
 
+    def tensor_coeffs64(self, dxx, dyy, dxy, boundary: str = "periodic"):
+        """Anisotropic conservative tensor operator on ANY surface of
+        revolution (round 5) — the TorusGeometry.tensor_coeffs64
+        construction generalised to the sampled metric profiles: scale
+        factors h_v = sqrt(E)(v), h_phi = rho(v), cell weight
+        w = sqrt(E) rho. D in the PHYSICAL orthonormal (e_v, e_phi)
+        frame:
+
+          L u = (1/w) [ d_v( (rho/sqrt(E)) Dxx d_v u + Dxy d_ph u )
+                      + d_ph( Dxy d_v u + (sqrt(E)/rho) Dyy d_ph u ) ]
+
+        axis terms: the divergence_coeffs64 face-flux structure with
+        per-direction diffusivities (bitwise scalar reduction); mixed
+        terms: the centred pair under the (nx,) profile weight
+        inv4(v) = 1/(4 dx dy w(v)), w-weighted symmetric + conservative
+        by the antisymmetric-difference argument.
+
+        capped=True (sphere-like): the end v-faces already carry zero
+        flux (flux_w_e closure); the mixed field Dxy is zeroed on the
+        two cap-adjacent v-COLUMNS — exactly the flat noflux_x layer
+        treatment — so every centred difference spanning a cap (or the
+        array wrap, which is not a physical neighbourhood) multiplies
+        zero. Standard first-order-at-the-cap behaviour; note the
+        physical frame itself degenerates AT a pole (rho -> 0), so
+        pole-adjacent fiber fields should taper like any lat-lon code's.
+        Does not compose with pole_coarsen (build_problem rejects).
+
+        Returns ((aE, aW, aN, aS), dxy_full (ny, nx), inv4 (nx,))."""
+        if boundary != "periodic":
+            raise ValueError("revolution surfaces are closed (caps are "
+                             "built into the metric): tensor boundaries "
+                             "other than 'periodic' do not exist")
+        g = self.grid
+        shape = (g.ny, g.nx)
+        Dxx = np.broadcast_to(np.asarray(dxx, np.float64), shape)
+        Dyy = np.broadcast_to(np.asarray(dyy, np.float64), shape)
+        Dxy = np.broadcast_to(np.asarray(dxy, np.float64), shape).copy()
+        if not (np.all(Dxx > 0.0) and np.all(Dyy > 0.0)
+                and np.all(Dxx * Dyy - Dxy * Dxy >= -1e-14 * Dxx * Dyy)):
+            raise ValueError("diffusion_tensor must be SPD pointwise "
+                             "(Dxx>0, Dyy>0, Dxx*Dyy >= Dxy^2)")
+        w = self.se_p * self.rho_p
+        cx = 1.0 / np.float64(g.dx) ** 2
+        cy = 1.0 / (self.rho_p * self.rho_p * np.float64(g.dy) ** 2)
+        De = 0.5 * (Dxx + np.roll(Dxx, -1, axis=-1))
+        Dn = 0.5 * (Dyy + np.roll(Dyy, -1, axis=-2))
+        flux_e = self.flux_w_e * De * cx   # end faces zero when capped
+        aE = flux_e / w
+        aW = np.roll(flux_e, 1, axis=-1) / w
+        aN = Dn * cy
+        aS = np.roll(aN, 1, axis=-2)
+        if self.capped:
+            Dxy[..., 0] = 0.0
+            Dxy[..., -1] = 0.0
+        inv4 = 1.0 / (4.0 * np.float64(g.dx) * np.float64(g.dy) * w)
+        return (aE, aW, aN, aS), Dxy, inv4
+
 
 @dataclasses.dataclass(frozen=True)
 class BoxGeometry:

@@ -692,21 +692,24 @@ def build_problem(cfg: SimConfig, diffusion_field=None,
         if diffusion_field is not None or cfg.coupling != "none":
             raise ValueError("diffusion_tensor is mutually exclusive with "
                              "diffusion_field / coupling")
-        if geometry.kind in ("flat", "torus"):
+        if geometry.kind in ("flat", "torus", "revolution"):
             if len(diffusion_tensor) != 3:
                 raise ValueError("diffusion_tensor must be (Dxx, Dyy, Dxy) "
-                                 "on the flat/torus surfaces (physical "
+                                 "on 2-D surfaces (physical "
                                  "orthonormal-frame components)")
+            if getattr(cfg, "pole_coarsen", 0):
+                raise ValueError("diffusion_tensor does not compose with "
+                                 "pole_coarsen (the Galerkin band "
+                                 "operator assumes ring-constant phi "
+                                 "coefficients)")
         elif geometry.kind == "box":
             if len(diffusion_tensor) != 6:
                 raise ValueError("diffusion_tensor must be "
                                  "(Dxx, Dyy, Dzz, Dxy, Dxz, Dyz) on the "
                                  "3-D box")
         else:
-            raise ValueError("diffusion_tensor needs surface='flat', "
-                             "'torus' or 'box' (general surfaces of "
-                             "revolution: unsupported — the capped pole "
-                             "closure has no tensor form yet)")
+            raise ValueError("diffusion_tensor needs a flat, torus, "
+                             "revolution or box surface")
         diffusion_tensor = tuple(
             np.asarray(c, dtype=np.float64) for c in diffusion_tensor)
         # SPD validation happens in tensor_coeffs64; build them once here

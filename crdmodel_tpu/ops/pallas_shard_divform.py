@@ -109,7 +109,7 @@ def is_shard_divform_supported(problem, tableau: Tableau, dtype,
         # single-chip pallas_aniso kernel stays flat-only)
         if getattr(problem, "diffusion_tensor", None) is None:
             return False
-        if problem.geometry.kind not in ("flat", "torus"):
+        if problem.geometry.kind not in ("flat", "torus", "revolution"):
             return False
     elif not needs_divform(problem):
         return False

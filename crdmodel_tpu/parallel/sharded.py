@@ -579,9 +579,9 @@ def maybe_fused_shard_aniso(problem: Problem, mesh: Mesh,
     cfg = problem.cfg
     if getattr(problem, "diffusion_tensor", None) is None:
         return None
-    if problem.geometry.kind not in ("flat", "torus"):
-        return None   # torus: curved mixed-weight profile streamed
-        # (round 5 — pallas_shard_divform aniso docstring)
+    if problem.geometry.kind not in ("flat", "torus", "revolution"):
+        return None   # curved surfaces: the mixed-weight profile streams
+        # as a lane input (round 5 — pallas_shard_divform aniso docstring)
     from crdmodel_tpu.ops.kernel_common import fused_forcing
     if fused_forcing(problem) is False:
         return None

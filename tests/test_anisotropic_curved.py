@@ -138,12 +138,12 @@ def test_validation():
     geo = make_geometry(cfg)
     with pytest.raises(ValueError, match="closed"):
         geo.tensor_coeffs64(0.1, 0.1, 0.0, boundary="noflux")
-    # general revolution surfaces (capped sphere): still unsupported,
-    # rejected loudly
+    # pole coarsening assumes ring-constant phi coefficients: tensors
+    # reject loudly
     cfg_s = SimConfig(model="fhn", surface="sphere", x_mesh=48,
                       dtype="float64", diffusion=0.12, surface_length=80.0,
-                      t_final=0.3, output_timestep=1)
-    with pytest.raises(ValueError, match="revolution"):
+                      t_final=0.3, output_timestep=1, pole_coarsen=1)
+    with pytest.raises(ValueError, match="pole_coarsen"):
         build_problem(cfg_s, diffusion_tensor=(0.1, 0.1, 0.0))
 
 
@@ -177,3 +177,108 @@ def test_fused_shard_aniso_curved_matches_xla():
     assert np.array_equal(np.asarray(sk.steps),
                           np.asarray(r_x.stats.steps))
     np.testing.assert_allclose(np.asarray(tk), tx, rtol=0, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Generic surfaces of revolution (late round 5): the same construction on
+# the SAMPLED metric profiles (RevolutionGeometry.tensor_coeffs64) — the
+# torus profile reproduces TorusGeometry bitwise-to-metric-accuracy, and
+# the capped sphere gets fiber tensors with the noflux_x-style cap layers.
+# ---------------------------------------------------------------------------
+
+
+def _sphere_cfg(**kw):
+    base = dict(model="fhn", surface="sphere", x_mesh=48, dtype="float64",
+                diffusion=0.12, surface_length=80.0, t_final=0.3,
+                output_timestep=1, rtol=1e-6, atol=1e-10)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_revolution_torus_profile_matches_torus_geometry():
+    """RevolutionGeometry with the torus profile + analytic derivatives
+    reproduces TorusGeometry.tensor_coeffs64 to rounding."""
+    from crdmodel_tpu.core.grid import RevolutionGeometry
+    cfg = _cfg(t_final=0.3)
+    geot = make_geometry(cfg)
+    R, r = geot.R, geot.r
+    geor = RevolutionGeometry.from_profile(
+        geot.grid, cfg.diffusion,
+        rho=lambda v: R + r * np.cos(v), z=lambda v: r * np.sin(v),
+        derivs=(lambda v: -r * np.sin(v), lambda v: r * np.cos(v)))
+    rng = np.random.default_rng(3)
+    tensor = _random_spd((cfg.ny, cfg.nx), rng)
+    ft, mt, it_ = geot.tensor_coeffs64(*tensor)
+    fr, mr, ir_ = geor.tensor_coeffs64(*tensor)
+    for a, b in zip(ft, fr):
+        np.testing.assert_allclose(b, a, rtol=1e-13)
+    np.testing.assert_allclose(ir_, it_, rtol=1e-13)
+    np.testing.assert_array_equal(mr, mt)
+
+
+def test_sphere_tensor_structure_and_equivalence():
+    """Capped sphere: w-weighted conservation + self-adjointness of the
+    fiber-tensor operator, cap layers zeroing the mixed field, and
+    single-vs-sharded equivalence with equal step counts."""
+    cfg = _sphere_cfg()
+    geo = make_geometry(cfg)
+    rng = np.random.default_rng(11)
+    tensor = _random_spd((cfg.ny, cfg.nx), rng, margin=0.6)
+    faces, dxy_f, inv4 = geo.tensor_coeffs64(*tensor)
+    assert np.all(dxy_f[..., 0] == 0.0) and np.all(dxy_f[..., -1] == 0.0)
+    fj = tuple(jnp.asarray(a) for a in faces)
+    L = lambda u: np.asarray(anisotropic_laplacian(
+        jnp.asarray(u), fj, jnp.asarray(dxy_f), jnp.asarray(inv4)))
+    w = geo.row_weights()
+    u = rng.standard_normal((cfg.ny, cfg.nx))
+    v = rng.standard_normal((cfg.ny, cfg.nx))
+    scale = np.abs(w * L(u)).max()
+    assert abs((w * L(u)).sum()) < 1e-11 * scale * u.size ** 0.5
+    lhs = (w * v * L(u)).sum()
+    rhs = (w * u * L(v)).sum()
+    assert abs(lhs - rhs) < 1e-11 * max(abs(lhs), 1.0)
+
+    if len(jax.devices()) >= 4:
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import simulate_sharded
+        p1 = build_problem(cfg, diffusion_tensor=tensor)
+        r1 = simulate(cfg, problem=p1)
+        p4 = build_problem(cfg, diffusion_tensor=tensor)
+        r4 = simulate_sharded(cfg, mesh=make_mesh(shape=(2, 2)),
+                              problem=p4)
+        assert r1.ok and r4.ok
+        np.testing.assert_allclose(np.asarray(r4.trajectory),
+                                   np.asarray(r1.trajectory),
+                                   rtol=0, atol=1e-12)
+        assert np.array_equal(np.asarray(r4.stats.steps),
+                              np.asarray(r1.stats.steps))
+
+
+def test_fused_shard_aniso_sphere_matches_xla():
+    """The sphere fiber tensor runs FUSED on the shard aniso kernel (the
+    streamed inv4 profile is geometry-agnostic)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from crdmodel_tpu.parallel.mesh import make_mesh
+    from crdmodel_tpu.parallel.sharded import (
+        make_sharded_simulation_fn, maybe_fused_shard_aniso,
+        sharded_params, simulate_sharded)
+    cfg = _sphere_cfg(x_mesh=64, dtype="float32", rtol=1e-4, atol=1e-6,
+                      t_final=0.2, use_pallas=True)
+    rng = np.random.default_rng(9)
+    tensor = _random_spd((cfg.ny, cfg.nx), rng, margin=0.6)
+    mesh = make_mesh(shape=(2, 2))
+    p_k = build_problem(cfg, diffusion_tensor=tensor)
+    assert maybe_fused_shard_aniso(p_k, mesh, interpret=True) is not None
+    params, _ = sharded_params(p_k)
+    run_k, _ = make_sharded_simulation_fn(p_k, mesh, interpret_pallas=True)
+    tk, sk = run_k(p_k.y0, params)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, diffusion_tensor=tensor)
+    r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+    assert np.all(np.asarray(sk.status) == 0)
+    assert np.array_equal(np.asarray(sk.steps),
+                          np.asarray(r_x.stats.steps))
+    np.testing.assert_allclose(np.asarray(tk),
+                               np.asarray(r_x.trajectory)[1:],
+                               rtol=0, atol=2e-5)
