@@ -287,9 +287,11 @@ def make_split_block(kind: str, model, just_diffusion: bool):
     nvars = model.nvars
     full = make_rhs_block(kind, model, just_diffusion=True)
 
-    def ex_block(yb, stencil, live_rows):
-        # the just_diffusion rhs_block IS the diffusion part
-        return full(yb, stencil, None, live_rows)
+    def ex_block(yb, stencil, live_rows, extra=None):
+        # the just_diffusion rhs_block IS the diffusion part; structured
+        # forcing joins it (the XLA split's rhs_ex = diffusion + forcing,
+        # core/problem.py:505-510 — freeze-masked inside like every term)
+        return full(yb, stencil, None, live_rows, extra=extra)
 
     def im_block(yb, b_rows, live_rows):
         if just_diffusion:

@@ -65,9 +65,12 @@ def is_imex_supported(problem, dtype) -> bool:
     matches the XLA stepper's ti = t + C[i]*h evaluation only because no
     registered model's kinetics depend on t. A time-dependent-kinetics
     extension must return False here (fall back to the XLA path)."""
-    from crdmodel_tpu.ops.kernel_common import needs_divform
+    from crdmodel_tpu.ops.kernel_common import fused_forcing, needs_divform
     if needs_divform(problem):
         return False   # masked faces / 2-D fields: XLA divergence path
+    if fused_forcing(problem) is False:
+        return False   # free-form forcing needs the XLA path; structured
+        # protocols ride the explicit stages at true stage times (round 5)
     if jnp.dtype(dtype) != jnp.float32:
         return False
     return _pick_strip(problem.cfg.ny,
@@ -112,7 +115,7 @@ def imex_block_step(y0, h, f_ex, f_im, nvars, dtype, P, S, w):
                    else jnp.zeros_like(y0[0]) for b in range(nvars)])
         for a in range(nvars)])
 
-    kE = [f_ex(y0)]
+    kE = [f_ex(y0, 0)]
     kI = [f_im(y0)]
     delta_ss = jnp.asarray(0.0, dtype)
     for s in range(1, imex.STAGES):
@@ -131,7 +134,7 @@ def imex_block_step(y0, h, f_ex, f_im, nvars, dtype, P, S, w):
             yi = yi + dy
         sdy = dy[:, P:P + S, :] * w
         delta_ss = delta_ss + jnp.sum(sdy * sdy)
-        kE.append(f_ex(yi))
+        kE.append(f_ex(yi, s))
         kI.append((yi - rhs_known) / hg)
 
     ynew = y0
@@ -184,7 +187,37 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
     b_is_field, has_freeze = kc.b_is_field, kc.has_freeze
     ex_block_of, im_block_of = make_split_block(kind, model, just_diffusion)
 
-    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+    # structured forcing rides the EXPLICIT stages at the ARK c nodes
+    # (imex.C — the XLA stepper's ti = t + C[i] h), the pallas_step
+    # mechanism: per-stage scalar amplitudes + wrapped rank-1 profiles
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    forcing = fused_forcing(problem)
+    assert forcing is not False, "is_imex_supported should have declined"
+    n_stim = len(forcing.stimuli) if forcing else 0
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in imex.C)
+        rows_np, cols_np = [], []
+        for st in forcing.stimuli:
+            r_ = (np.ones((ny, 1)) if st.row is None
+                  else np.asarray(st.row, np.float64).reshape(ny, 1))
+            rows_np.append(np.concatenate([r_[-P:], r_, r_[:P]], axis=0))
+            c_ = (np.ones(nx) if st.col is None
+                  else np.asarray(st.col, np.float64).reshape(nx))
+            c_lane = np.zeros(nxp)
+            c_lane[:P] = c_[-P:]
+            c_lane[P:P + nx] = c_
+            c_lane[P + nx:P + nx + P] = c_[:P]
+            cols_np.append(c_lane)
+        stim_rows = jnp.asarray(np.stack(rows_np), dtype)
+        stim_cols = jnp.asarray(np.stack(cols_np)[:, None, :], dtype)
+    else:
+        stim_rows = jnp.zeros((1, 1, 1), dtype)
+        stim_cols = jnp.zeros((1, 1, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), imex.STAGES), dtype)
+
+    def kernel(h_ref, fz_ref, amps_ref, srow_ref, scol_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
                y_hbm, ynew_ref, ss_ref, yv, sems):
         i = pl.program_id(0)
         row0 = pl.multiple_of(i * S, 8)
@@ -195,8 +228,20 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
-        def f_ex(yb):
-            return ex_block_of(yb, stencil, live_rows)
+        def ex_at(e):
+            if not n_stim:
+                return None
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, e]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+            return ex
+
+        def f_ex(yb, e=0):
+            return ex_block_of(yb, stencil, live_rows, extra=ex_at(e))
 
         def f_im(yb):
             return im_block_of(yb, b_rows, live_rows)
@@ -221,6 +266,12 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(amps0.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec(stim_rows.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus rows
+            pl.BlockSpec(stim_cols.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus cols
             kc.coeff_spec, kc.coeff_spec, kc.coeff_spec,
             pl.BlockSpec(kc.b_pad.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -252,11 +303,17 @@ def build_fused_imex_step(problem, dtype=jnp.float32,
     )
 
     def step_err(t, yp, h, params):
-        del t   # stage times only matter through the per-segment freeze
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
+        if n_stim:
+            # true explicit stage times — the one place t enters the kernel
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
+        else:
+            amps = amps0
+        ynew, ss = call(h_s, fz_s, amps, stim_rows, stim_cols,
+                        kc.c0, kc.c1, kc.c2, kc.b_pad, kc.m_pad,
                         kc.col_mask, yp)
         return ynew, jnp.sum(ss)
 

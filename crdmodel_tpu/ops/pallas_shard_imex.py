@@ -83,15 +83,53 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
     ex_block_of, im_block_of = make_split_block(kind, model, just_diffusion)
 
     # v3 splice transport shared by the sharded kernels
-    pad, unpad, splice_inputs, prepare_params = make_shard_halo_helpers(
+    pad, unpad, splice_inputs, prepare_params0 = make_shard_halo_helpers(
         kind, nyl, nxl, P, nxp, dtype, b_is_field, has_freeze,
         axis_y, axis_x, pad_spec=pad_spec)
+
+    # structured forcing rides the EXPLICIT stages at the ARK c nodes
+    # (round 5 — the pallas_imex mechanism with LOCAL shard profiles)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    from crdmodel_tpu.parallel.halo import (halo_pad_cols, halo_pad_rows,
+                                            mirror_halo_pad_cols,
+                                            mirror_halo_pad_rows)
+    from crdmodel_tpu.integrate import imex as _imex
+    forcing = fused_forcing(problem)
+    assert forcing is not False
+    n_stim = len(forcing.stimuli) if forcing else 0
+    pady = pad_spec is not None and pad_spec.y.active
+    padx = pad_spec is not None and pad_spec.x.active
+    if n_stim:
+        stim_vars = tuple(st.var for st in forcing.stimuli)
+        c_nodes = tuple(float(c) for c in _imex.C)
+
+    def prepare_params(params):
+        out = prepare_params0(params)
+        if n_stim:
+            rows, cols = [], []
+            for i in range(n_stim):
+                r_ = params[f"_stim_row_{i}"].astype(dtype).reshape(nyl, 1)
+                r_ = (mirror_halo_pad_rows(r_, axis_y, P, pad_spec.y.n,
+                                           pad_spec.y.blk)
+                      if pady else halo_pad_rows(r_, axis_y, P))
+                rows.append(r_)
+                c_ = params[f"_stim_col_{i}"].astype(dtype).reshape(1, nxl)
+                c_ = (mirror_halo_pad_cols(c_, axis_x, P, pad_spec.x.n,
+                                           pad_spec.x.blk)
+                      if padx else halo_pad_cols(c_, axis_x, P))
+                if fill:
+                    c_ = jnp.pad(c_, ((0, 0), (0, fill)))
+                cols.append(c_)
+            out["_fused_stim_rows"] = jnp.stack(rows)
+            out["_fused_stim_cols"] = jnp.stack(cols)
+        return out
 
     col_mask_np = np.zeros((1, nxp), dtype=np.float32)
     col_mask_np[0, P:P + nxl] = 1.0
     col_mask = jnp.asarray(col_mask_np, dtype)
 
-    def kernel(h_ref, fz_ref, c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
+    def kernel(h_ref, fz_ref, amps_ref, srow_ref, scol_ref,
+               c0_ref, c1_ref, c2_ref, b_ref, m_ref, cm_ref,
                vr_ref, y_hbm, w_ref, e_ref, lo_ref, hi_ref, ynew_ref, ss_ref,
                yv, sems):
         i = pl.program_id(0)
@@ -105,8 +143,20 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
             kind, b_is_field, has_freeze,
             c0_ref, c1_ref, c2_ref, b_ref, m_ref, fz_ref, row0, R)
 
-        def f_ex(yb):
-            return ex_block_of(yb, stencil, live_rows)
+        def ex_at(e):
+            if not n_stim:
+                return None
+            ex = {}
+            for j in range(n_stim):
+                contrib = (amps_ref[j, e]
+                           * srow_ref[j, pl.ds(row0, R), :]
+                           * scol_ref[j, 0, :])
+                v = stim_vars[j]
+                ex[v] = ex[v] + contrib if v in ex else contrib
+            return ex
+
+        def f_ex(yb, e=0):
+            return ex_block_of(yb, stencil, live_rows, extra=ex_at(e))
 
         def f_im(yb):
             return im_block_of(yb, b_rows, live_rows)
@@ -142,6 +192,14 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((max(1, n_stim), 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),   # stage amplitudes
+            pl.BlockSpec((max(1, n_stim), nyl + 2 * P if n_stim else 1, 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus rows
+            pl.BlockSpec((max(1, n_stim), 1, nxp if n_stim else 1),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),   # stimulus cols
             coeff_spec, coeff_spec, coeff_spec,
             pl.BlockSpec(b_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(m_shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -182,10 +240,19 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
 
     ones = jnp.ones((1, 1), dtype)
     ones_rows = jnp.ones((nyl, 1), dtype)
+    amps0 = jnp.zeros((max(1, n_stim), 4), dtype)
+    srow0 = jnp.zeros((1, 1, 1), dtype)
+    scol0 = jnp.zeros((1, 1, 1), dtype)
 
     def step_err(t, yp, h, params):
-        del t
         fz = freeze_scalar(params, has_freeze, t_boundary, dtype)
+        if n_stim:
+            from crdmodel_tpu.ops.kernel_common import stage_amplitudes
+            amps = stage_amplitudes(forcing, t, h, c_nodes, params, dtype)
+            srow = params["_fused_stim_rows"]
+            scol = params["_fused_stim_cols"]
+        else:
+            amps, srow, scol = amps0, srow0, scol0
         w_ext, e_ext, lo_rows, hi_rows = splice_inputs(yp)
         c0, c1, c2 = params["_fused_coeffs"]
         b = params["_fused_b"]
@@ -194,8 +261,8 @@ def build_fused_shard_imex(problem, nyl: int, nxl: int,
         vr = params.get("_fused_vrow", ones_rows)
         h_s = jnp.reshape(h.astype(dtype), (1, 1))
         fz_s = jnp.reshape(fz, (1, 1))
-        ynew, ss = call(h_s, fz_s, c0, c1, c2, b, m, cm, vr,
-                        yp, w_ext, e_ext, lo_rows, hi_rows)
+        ynew, ss = call(h_s, fz_s, amps, srow, scol, c0, c1, c2, b, m,
+                        cm, vr, yp, w_ext, e_ext, lo_rows, hi_rows)
         return ynew, ss
 
     return FusedShardImex(step_err=step_err, pad=pad, unpad=unpad,

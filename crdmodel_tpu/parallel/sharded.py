@@ -692,8 +692,10 @@ def maybe_fused_shard_imex(problem: Problem, mesh: Mesh,
                       # face coefficients, XLA divergence path only
     if getattr(problem, "diffusion_tensor", None) is not None:
         return None   # anisotropic 9-point operator: XLA path only
-    if problem.forcing is not None:
-        return None   # forcing needs true stage times (AUTONOMY CONTRACT)
+    from crdmodel_tpu.ops.kernel_common import fused_forcing
+    if fused_forcing(problem) is False:
+        return None   # free-form forcing: XLA (true stage times);
+        # structured protocols ride the explicit stages (round 5)
     if getattr(cfg, "pole_coarsen", 0):
         return None   # reduced-grid pole coarsening: XLA reduced
         # operator (shards via the band machinery, sharded_params)

@@ -223,7 +223,7 @@ def make_run_fn(problem: Problem, interpret: bool = False):
                              diffusion_tensor=problem.diffusion_tensor,
                              face_mask=problem.face_mask,
                              obstacle_mask=problem.obstacle_mask)
-        if _pallas_eligible(problem, interpret) and \
+        if _pallas_eligible(problem, interpret, allow_forcing=True) and \
                 problem.diffusion_tensor is None:
             from crdmodel_tpu.ops import pallas_imex
             if pallas_imex.is_imex_supported(problem, jnp.dtype(cfg.dtype)):

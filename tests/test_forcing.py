@@ -720,3 +720,78 @@ class TestFusedBoxForcing:
                 Stimulus(waveform=pulse_train([0.1], 0.1),
                          row=rect_profile(flat.ny, 0, 4),
                          zprof=gaussian_profile(4, 0.0, 1.0))))
+
+
+class TestFusedImexForcing:
+    """Round 5 (late): structured forcing through the fused ark324 IMEX
+    kernels — amplitudes at the true EXPLICIT stage times t + C[s] h
+    (imex.C), riding the explicit diffusion stages exactly like the XLA
+    split's rhs_ex = diffusion + forcing (core/problem.py:505-510).
+    With this, every fused kernel family (ERK, divform, aniso, RKC,
+    box3d, box3d-RKC, IMEX) evaluates structured protocols in-kernel."""
+
+    @staticmethod
+    def _imex_cfg(**kw):
+        base = dict(model="goldbeter", surface="torus", x_mesh=48,
+                    surface_width=20.0, surface_length=40.0, beta=0.4,
+                    t_final=1.0, output_timestep=2, dtype="float32",
+                    rtol=1e-4, atol=1e-7, method="ark324",
+                    use_pallas=True)
+        base.update(kw)
+        return SimConfig(**base)
+
+    @staticmethod
+    def _protocol(cfg):
+        from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                               gaussian_profile,
+                                               pulse_train, rect_profile)
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.5], 0.1, 0.5),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 4)),
+            Stimulus(waveform=lambda t: 0.2 * jnp.cos(5.0 * t),
+                     col=gaussian_profile(cfg.nx, cfg.nx / 2, cfg.nx / 8)))
+
+    def test_single_chip_imex_forcing_matches_xla(self):
+        import jax
+        from crdmodel_tpu.ops.pallas_imex import is_imex_supported
+        from crdmodel_tpu.sim import make_run_fn
+        cfg = self._imex_cfg()
+        p_k = build_problem(cfg, forcing=self._protocol(cfg))
+        assert is_imex_supported(p_k, jnp.float32)
+        run_k = jax.jit(make_run_fn(p_k, interpret=True)[0])
+        tk, sk = run_k(p_k.y0, p_k.params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=self._protocol(cfg_x))
+        run_x = jax.jit(make_run_fn(p_x)[0])
+        tx, sx = run_x(p_x.y0, p_x.params)
+        assert np.all(np.asarray(sk.status) == 0)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+        assert gap.max() <= 1
+        np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                                   rtol=0, atol=1e-3)
+
+    def test_sharded_imex_forcing_matches_xla(self):
+        import jax
+        from crdmodel_tpu.parallel.mesh import make_mesh
+        from crdmodel_tpu.parallel.sharded import (
+            make_sharded_simulation_fn, maybe_fused_shard_imex,
+            sharded_params, simulate_sharded)
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        cfg = self._imex_cfg()
+        mesh = make_mesh(shape=(2, 2))
+        p_k = build_problem(cfg, forcing=self._protocol(cfg))
+        assert maybe_fused_shard_imex(p_k, mesh, interpret=True) is not None
+        params, _ = sharded_params(p_k)
+        run_k, _ = make_sharded_simulation_fn(p_k, mesh,
+                                              interpret_pallas=True)
+        tk, sk = run_k(p_k.y0, params)
+        cfg_x = dataclasses.replace(cfg, use_pallas=False)
+        p_x = build_problem(cfg_x, forcing=self._protocol(cfg_x))
+        r_x = simulate_sharded(cfg_x, mesh=mesh, problem=p_x)
+        assert np.all(np.asarray(sk.status) == 0)
+        gap = np.abs(np.asarray(sk.steps) - np.asarray(r_x.stats.steps))
+        assert gap.max() <= 1
+        np.testing.assert_allclose(np.asarray(tk),
+                                   np.asarray(r_x.trajectory)[1:],
+                                   rtol=0, atol=1e-3)

@@ -193,3 +193,37 @@ def test_curved_tensor_fused_on_chip():
     np.testing.assert_allclose(np.asarray(tf),
                                np.asarray(r_x.trajectory)[1:],
                                rtol=0, atol=5e-3)
+
+
+def test_imex_forcing_on_chip():
+    """Structured forcing through the fused ark324 IMEX kernel on silicon
+    (round 5 late): amplitudes at the explicit stage times."""
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           gaussian_profile, pulse_train,
+                                           rect_profile)
+    from crdmodel_tpu.ops.pallas_imex import is_imex_supported
+    cfg = SimConfig(model="goldbeter", surface="torus", x_mesh=128,
+                    surface_width=20.0, surface_length=40.0, beta=0.4,
+                    t_final=1.0, output_timestep=2, dtype="float32",
+                    rtol=1e-4, atol=1e-7, method="ark324", use_pallas=True)
+
+    def frc(c):
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.5], 0.1, 0.5),
+                     row=rect_profile(c.ny, 0, c.ny // 4)),
+            Stimulus(waveform=lambda t: 0.2 * jnp.cos(5.0 * t),
+                     col=gaussian_profile(c.nx, c.nx / 2, c.nx / 8)))
+
+    p_k = build_problem(cfg, forcing=frc(cfg))
+    assert is_imex_supported(p_k, jnp.float32)
+    run_k = jax.jit(make_run_fn(p_k)[0])
+    tk, sk = run_k(p_k.y0, p_k.params)
+    assert int(np.max(np.asarray(sk.status))) == 0
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    p_x = build_problem(cfg_x, forcing=frc(cfg_x))
+    run_x = jax.jit(make_run_fn(p_x)[0])
+    tx, sx = run_x(p_x.y0, p_x.params)
+    gap = np.abs(np.asarray(sk.steps) - np.asarray(sx.steps))
+    assert gap.max() <= 2
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tx),
+                               rtol=0, atol=2e-3)
