@@ -215,12 +215,59 @@ def section_curvedtensor():
               f"{cfg.ny*cfg.nx*steps/dt:.3e} pts*steps/s", flush=True)
 
 
+
+
+def section_imexforcing():
+    """Paced reaction-stiff Goldbeter at 800x3200 (the fused-IMEX
+    headline shape): structured forcing through the fused ark324 kernel
+    vs the XLA forcing path."""
+    import jax
+    import jax.numpy as jnp
+    from crdmodel_tpu.config import SimConfig
+    from crdmodel_tpu.core.forcing import (SeparableForcing, Stimulus,
+                                           gaussian_profile, pulse_train,
+                                           rect_profile)
+    from crdmodel_tpu.core.problem import build_problem
+    from crdmodel_tpu.sim import make_run_fn
+    from crdmodel_tpu.utils.profiling import device_sync
+
+    cfg0 = SimConfig(model="goldbeter", surface="torus", x_mesh=800,
+                     surface_width=20.0, surface_length=80.0, beta=0.4,
+                     t_final=1.0, output_timestep=1, dtype="float32",
+                     rtol=1e-4, atol=1e-7, method="ark324")
+
+    def frc(cfg):
+        return SeparableForcing(
+            Stimulus(waveform=pulse_train([0.1, 0.5], 0.1, 0.5),
+                     row=rect_profile(cfg.ny, 0, cfg.ny // 8)),
+            Stimulus(waveform=lambda t: 0.2 * jnp.cos(5.0 * t),
+                     col=gaussian_profile(cfg.nx, cfg.nx / 2, cfg.nx / 8)))
+
+    for name, up in [("fused", True), ("xla", False)]:
+        cfg = dataclasses.replace(cfg0, use_pallas=up)
+        p = build_problem(cfg, forcing=frc(cfg))
+        run = jax.jit(make_run_fn(p)[0])
+
+        def one():
+            tr, st = run(p.y0, p.params)
+            device_sync(tr)
+            return st
+
+        dt = best_of(one)
+        _, st = run(p.y0, p.params)
+        steps = int(np.sum(np.asarray(st.steps)))
+        print(f"imexforcing {name}: steps {steps}, best {dt*1e3:.0f} ms, "
+              f"{dt/steps*1e6:.0f} us/step, "
+              f"{cfg.ny*cfg.nx*steps/dt:.3e} pts*steps/s", flush=True)
+
+
 if __name__ == "__main__":
     sections = sys.argv[1:] or ["smoothrkc", "tensorpad", "boxforcing",
-                                "curvedtensor"]
+                                "curvedtensor", "imexforcing"]
     for sec in sections:
         print(f"=== {sec} ===")
         {"smoothrkc": section_smoothrkc,
          "tensorpad": section_tensorpad,
          "boxforcing": section_boxforcing,
-         "curvedtensor": section_curvedtensor}[sec]()
+         "curvedtensor": section_curvedtensor,
+         "imexforcing": section_imexforcing}[sec]()
